@@ -1,0 +1,237 @@
+"""Column-chunk framing: the unit our engine encodes, ships, and checkpoints.
+
+A chunk plays the role of the reference's column chunk + page
+(``src/column/page.rs:30-56``, ``src/file/metadata.rs:294-444``): a
+self-describing binary blob holding one encoded column slice plus the
+metadata needed to decode and audit it (codec id, value count, raw/encoded
+sizes, CRC32 checksum — the fields of ``PageWriteSpec``,
+``src/column/page.rs:151-158``).
+
+Frame layout (little-endian)::
+
+    magic 'SGC1' | u8 version | u8 codec | u8 dtype | u8 flags
+    u64 n_values | u64 raw_bytes | u32 crc32(payload) | u64 payload_len
+    payload
+
+Integer payloads by codec:
+    PLAIN   raw LE values
+    DICT    u32 dict_page_len | dict_page | width byte + hybrid indices
+    DELTA   DELTA_BINARY_PACKED stream
+    BITPACK zigzag_uleb(min) | u8 width | fixed-width packed (values - min)
+    RLE     zigzag_uleb(min) | u8 width | RLE/bit-packed hybrid (values - min)
+
+BITPACK and RLE are frame-of-reference generalizations: subtracting the chunk
+minimum makes values unsigned so the reference's unsigned kernels apply (the
+reference's RLE value encoding is BOOLEAN-only, ``src/encodings/encoding.rs:
+422-501``; ours extends it to any small-range int column).
+
+String payloads (dtype=bytes, values passed as (lengths, concat data)):
+    PLAIN_BA  u32 len + bytes per value  DICT_BA   dictionary of byte arrays
+    DELTA_LENGTH_BA / DELTA_BA           FSST      symbol-table compression
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codecs import bitpack, bytearrays, delta_for, dictionary, fsst, plain, rle
+
+MAGIC = b"SGC1"
+VERSION = 1
+
+# codec ids (stable on-disk contract)
+PLAIN = 0
+DICT = 1
+DELTA = 2
+BITPACK = 3
+RLE = 4
+PLAIN_BA = 16
+DICT_BA = 17
+DELTA_LENGTH_BA = 18
+DELTA_BA = 19
+FSST = 20
+
+CODEC_NAMES = {
+    PLAIN: "plain",
+    DICT: "dict",
+    DELTA: "delta",
+    BITPACK: "bitpack",
+    RLE: "rle",
+    PLAIN_BA: "plain_ba",
+    DICT_BA: "dict_ba",
+    DELTA_LENGTH_BA: "delta_length_ba",
+    DELTA_BA: "delta_ba",
+    FSST: "fsst",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+_DTYPES = {"int32": 0, "int64": 1, "float32": 2, "float64": 3, "bytes": 4, "bool": 5}
+_DTYPE_NAMES = {v: k for k, v in _DTYPES.items()}
+_DTYPE_SIZE = {"int32": 4, "int64": 8, "float32": 4, "float64": 8, "bool": 1}
+
+_HEADER_LEN = 4 + 1 + 1 + 1 + 1 + 8 + 8 + 4 + 8
+
+
+@dataclass
+class ChunkInfo:
+    codec: str
+    dtype: str
+    n_values: int
+    raw_bytes: int
+    enc_bytes: int
+    checksum: int
+
+
+# --- integer value payloads -------------------------------------------------
+
+
+def _encode_int_payload(values: np.ndarray, codec: int, dtype: str) -> bytes:
+    if codec == PLAIN:
+        return plain.encode(values, dtype)
+    if codec == DICT:
+        dict_page, indices = dictionary.encode(values, dtype)
+        return len(dict_page).to_bytes(4, "little") + dict_page + indices
+    if codec == DELTA:
+        return delta_for.encode(values, dtype)
+    if codec in (BITPACK, RLE):
+        v = np.ascontiguousarray(values, dtype=np.int64)
+        vmin = int(v.min()) if v.size else 0
+        shifted = (v - vmin).astype(np.uint64)
+        width = bitpack.num_required_bits(int(shifted.max())) if v.size else 0
+        head = bitpack.uleb128_encode(bitpack.zigzag_encode(vmin)) + bytes([width])
+        if codec == BITPACK:
+            return head + bitpack.pack(shifted, width)
+        return head + rle.encode(shifted, width)
+    raise ValueError(f"codec {codec} not valid for dtype {dtype}")
+
+
+def _decode_int_payload(raw: np.ndarray, codec: int, n: int, dtype: str) -> np.ndarray:
+    itype = np.dtype(dtype)
+    if codec == PLAIN:
+        return plain.decode(raw, n, dtype)
+    if codec == DICT:
+        dlen = int.from_bytes(raw[:4].tobytes(), "little")
+        return dictionary.decode(
+            raw[4 : 4 + dlen].tobytes(), raw[4 + dlen :].tobytes(), n, dtype
+        )
+    if codec == DELTA:
+        return delta_for.decode(raw, n, dtype)
+    if codec in (BITPACK, RLE):
+        zz, pos = bitpack.uleb128_decode(raw, 0)
+        vmin = bitpack.zigzag_decode(zz)
+        width = int(raw[pos])
+        pos += 1
+        if codec == BITPACK:
+            shifted = bitpack.unpack(raw[pos:], width, n)
+        else:
+            shifted = rle.decode(raw[pos:], width, n)
+        return (shifted.astype(np.int64) + vmin).astype(itype)
+    raise ValueError(f"codec {codec} not valid for dtype {dtype}")
+
+
+# --- string value payloads --------------------------------------------------
+
+
+def _encode_ba_payload(lengths: np.ndarray, data: bytes, codec: int) -> bytes:
+    if codec == PLAIN_BA:
+        return plain.encode_byte_arrays(lengths, data)
+    if codec == DELTA_LENGTH_BA:
+        return bytearrays.encode_delta_length(lengths, data)
+    if codec == DELTA_BA:
+        return bytearrays.encode_delta_byte_array(lengths, data)
+    if codec == FSST:
+        return fsst.encode_flat(lengths, data)
+    if codec == DICT_BA:
+        off = np.concatenate(([0], np.cumsum(np.asarray(lengths, dtype=np.int64))))
+        vals = [data[off[i] : off[i + 1]] for i in range(len(lengths))]
+        import pandas as pd
+
+        dict_page, indices = dictionary.encode_strings(pd.Series(vals, dtype=object))
+        return len(dict_page).to_bytes(4, "little") + dict_page + indices
+    raise ValueError(f"codec {codec} not valid for byte arrays")
+
+
+def _decode_ba_payload(raw: np.ndarray, codec: int, n: int) -> tuple[np.ndarray, bytes]:
+    if codec == PLAIN_BA:
+        lens, data = plain.decode_byte_arrays(raw, n)
+        return lens.astype(np.int64), data
+    if codec == DELTA_LENGTH_BA:
+        return bytearrays.decode_delta_length(raw, n)
+    if codec == DELTA_BA:
+        return bytearrays.decode_delta_byte_array(raw, n)
+    if codec == FSST:
+        return fsst.decode_flat(raw, n)
+    if codec == DICT_BA:
+        dlen = int.from_bytes(raw[:4].tobytes(), "little")
+        lens, data = dictionary.decode_strings(
+            raw[4 : 4 + dlen].tobytes(), raw[4 + dlen :].tobytes(), n
+        )
+        return lens.astype(np.int64), data
+    raise ValueError(f"codec {codec} not valid for byte arrays")
+
+
+# --- public framing API -------------------------------------------------------
+
+
+def encode_chunk(values, codec: str, dtype: str = "int32") -> bytes:
+    """Encode one column slice into a framed chunk blob.
+
+    ``values``: numpy array for numeric dtypes; ``(lengths, data)`` tuple for
+    dtype='bytes'.
+    """
+    cid = CODEC_IDS[codec]
+    if dtype == "bytes":
+        lengths, data = values
+        n = len(lengths)
+        raw_bytes = int(np.asarray(lengths, dtype=np.int64).sum()) + 4 * n
+        payload = _encode_ba_payload(np.asarray(lengths), data, cid)
+    else:
+        arr = np.ascontiguousarray(values)
+        n = arr.size
+        raw_bytes = n * _DTYPE_SIZE[dtype]
+        payload = _encode_int_payload(arr, cid, dtype)
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    header = (
+        MAGIC
+        + bytes([VERSION, cid, _DTYPES[dtype], 0])
+        + n.to_bytes(8, "little")
+        + raw_bytes.to_bytes(8, "little")
+        + crc.to_bytes(4, "little")
+        + len(payload).to_bytes(8, "little")
+    )
+    return header + payload
+
+
+def read_info(blob: bytes | np.ndarray) -> ChunkInfo:
+    raw = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) else blob
+    if raw[:4].tobytes() != MAGIC:
+        raise ValueError("bad chunk magic")
+    if raw[4] != VERSION:
+        raise ValueError(f"unsupported chunk version {raw[4]}")
+    cid = int(raw[5])
+    dtype = _DTYPE_NAMES[int(raw[6])]
+    n = int.from_bytes(raw[8:16].tobytes(), "little")
+    raw_bytes = int.from_bytes(raw[16:24].tobytes(), "little")
+    crc = int.from_bytes(raw[24:28].tobytes(), "little")
+    plen = int.from_bytes(raw[28:36].tobytes(), "little")
+    return ChunkInfo(CODEC_NAMES[cid], dtype, n, raw_bytes, _HEADER_LEN + plen, crc)
+
+
+def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
+    """Decode a framed chunk -> numpy array (numeric) or (lengths, data)."""
+    raw = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) else blob
+    info = read_info(raw)
+    payload = raw[_HEADER_LEN : info.enc_bytes]
+    if verify_checksum:
+        actual = zlib.crc32(payload.tobytes()) & 0xFFFFFFFF
+        if actual != info.checksum:
+            raise ValueError(
+                f"chunk checksum mismatch: stored {info.checksum:#x}, actual {actual:#x}"
+            )
+    cid = CODEC_IDS[info.codec]
+    if info.dtype == "bytes":
+        return _decode_ba_payload(payload, cid, info.n_values)
+    return _decode_int_payload(payload, cid, info.n_values, info.dtype)

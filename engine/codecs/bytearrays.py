@@ -1,0 +1,104 @@
+"""Byte-array (string) stream codecs.
+
+- DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED + concatenated raw
+  bytes (reference ``src/encodings/encoding.rs:796-859``). The flat
+  (lengths, data) form is exactly Arrow's string layout, so encode/decode is
+  zero-copy-ish and fully vectorized.
+- DELTA_BYTE_ARRAY (incremental / front coding): shared-prefix lengths as
+  DELTA_BINARY_PACKED + suffixes as DELTA_LENGTH_BYTE_ARRAY (reference
+  ``src/encodings/encoding.rs:866-952``, prefix-match loop ``:907-920``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import delta_for
+
+
+def flat_from_values(values) -> tuple[np.ndarray, bytes]:
+    """(lengths, concat utf-8 data) from an iterable of str/bytes."""
+    bs = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+    lengths = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    return lengths, b"".join(bs)
+
+
+def encode_delta_length(lengths: np.ndarray, data: bytes) -> bytes:
+    lens32 = np.ascontiguousarray(lengths, dtype=np.int32)
+    lens_enc = delta_for.encode(lens32, "int32")
+    return len(lens_enc).to_bytes(4, "little") + lens_enc + data
+
+
+def decode_delta_length(buf: bytes | np.ndarray, n: int) -> tuple[np.ndarray, bytes]:
+    raw = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
+    hlen = int.from_bytes(raw[:4].tobytes(), "little")
+    lengths = delta_for.decode(raw[4 : 4 + hlen], n, "int32").astype(np.int64)
+    total = int(lengths.sum())
+    data = raw[4 + hlen : 4 + hlen + total].tobytes()
+    return lengths, data
+
+
+def _common_prefix_lengths(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Vectorized shared-prefix length of each value with its predecessor."""
+    n = len(lengths)
+    out = np.zeros(n, dtype=np.int64)
+    if n <= 1:
+        return out
+    off = np.concatenate(([0], np.cumsum(lengths)))
+    maxlens = np.minimum(lengths[:-1], lengths[1:])
+    m = int(maxlens.max()) if len(maxlens) else 0
+    # compare prefix bytes column-by-column (bounded by longest common span)
+    alive = maxlens > 0
+    eq_so_far = np.ones(n - 1, dtype=bool)
+    for k in range(m):
+        sel = alive & eq_so_far & (k < maxlens)
+        if not sel.any():
+            break
+        idx = np.flatnonzero(sel)
+        a = data[off[idx] + k]
+        b = data[off[idx + 1] + k]
+        match = a == b
+        eq_so_far[idx[~match]] = False
+        out[idx[match] + 1] += 1
+    return out
+
+
+def encode_delta_byte_array(lengths: np.ndarray, data: bytes) -> bytes:
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    arr = np.frombuffer(data, np.uint8)
+    prefix = _common_prefix_lengths(lengths, arr)
+    suffix_lens = lengths - prefix
+    off = np.concatenate(([0], np.cumsum(lengths)))
+    starts = off[:-1] + prefix
+    total = int(suffix_lens.sum())
+    rep = np.repeat(starts, suffix_lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(suffix_lens)[:-1])), suffix_lens
+    )
+    suffix_data = arr[rep + within].tobytes() if total else b""
+    pre_enc = delta_for.encode(prefix.astype(np.int32), "int32")
+    body = encode_delta_length(suffix_lens, suffix_data)
+    return len(pre_enc).to_bytes(4, "little") + pre_enc + body
+
+
+def decode_delta_byte_array(buf: bytes | np.ndarray, n: int) -> tuple[np.ndarray, bytes]:
+    raw = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
+    plen = int.from_bytes(raw[:4].tobytes(), "little")
+    prefix = delta_for.decode(raw[4 : 4 + plen], n, "int32").astype(np.int64)
+    suffix_lens, suffix_data = decode_delta_length(raw[4 + plen :], n)
+    lengths = prefix + suffix_lens
+    # sequential reconstruction (front coding is inherently sequential across
+    # values, but each copy is a bulk slice; values with prefix 0 reset chains)
+    out = bytearray(int(lengths.sum()))
+    off = np.concatenate(([0], np.cumsum(lengths)))
+    soff = np.concatenate(([0], np.cumsum(suffix_lens)))
+    prev = 0
+    for i in range(n):
+        o = int(off[i])
+        p = int(prefix[i])
+        if p:
+            out[o : o + p] = out[prev : prev + p]
+        sl = int(suffix_lens[i])
+        out[o + p : o + p + sl] = suffix_data[int(soff[i]) : int(soff[i]) + sl]
+        prev = o
+    return lengths, bytes(out)

@@ -1,0 +1,122 @@
+"""Distributed encode job: tokenized_sequences -> encoded column chunks.
+
+The Spark replay of the reference's write path (``SerializedFileWriter ->
+write_batch -> close``, ``src/file/writer.rs:119-248`` /
+``src/column/writer.rs:204-253``), re-architected for a cluster:
+
+- one shuffle co-locates each deterministic ``chunk_id`` bucket
+  (``engine.skew.plan_buckets``) on one task — the row-group boundary;
+- ``groupBy(chunk_id).applyInPandas`` encodes every column of the bucket with
+  numpy kernels (the column-chunk write loop,
+  ``src/file/writer.rs:339-357``) — zero per-row Python;
+- each column emits one chunk row carrying the ``PageWriteSpec``-equivalent
+  metrics (codec, n_values, raw/encoded bytes, crc32 —
+  ``src/column/page.rs:151-158``) plus the framed payload;
+- rows inside a bucket are sorted by doc_id, so chunk bytes are a pure
+  function of the bucket *set*, independent of upstream partitioning — this
+  is what makes checkpoint/resume byte-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import chunk, selector, skew
+from ..codecs import bytearrays
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("chunk_id", StringType(), False),
+        StructField("column", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_values", LongType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+# column name -> (kind, per-column codec override or None for auto-select)
+DEFAULT_COLUMNS = {
+    "tokens": ("int32_list", None),
+    "n_tok": ("int32", None),
+    "doc_id": ("bytes", None),
+    "source": ("bytes", "dict_ba"),
+}
+
+
+def _encode_group(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    chunk_id = pdf["chunk_id"].iloc[0]
+    n_docs = len(pdf)
+    rows = []
+    for col, (kind, override) in columns.items():
+        if kind == "int32_list":
+            arrays = [np.asarray(a, dtype=np.int32) for a in pdf[col]]
+            flat = np.concatenate(arrays) if arrays else np.empty(0, np.int32)
+            codec, _, _ = selector.select_codec(flat, override=override)
+            blob = chunk.encode_chunk(flat, codec, "int32")
+        elif kind in ("int32", "int64"):
+            vals = pdf[col].to_numpy(dtype=kind)
+            codec, _, _ = selector.select_codec(vals, override=override)
+            blob = chunk.encode_chunk(vals, codec, kind)
+        elif kind == "bytes":
+            lengths, data = bytearrays.flat_from_values(pdf[col].tolist())
+            codec = selector.select_ba_codec(lengths, data, override=override)
+            blob = chunk.encode_chunk((lengths, data), codec, "bytes")
+        else:
+            raise ValueError(f"unknown column kind {kind}")
+        info = chunk.read_info(blob)
+        rows.append(
+            {
+                "chunk_id": chunk_id,
+                "column": col,
+                "codec": codec,
+                "n_values": info.n_values,
+                "n_docs": n_docs,
+                "raw_bytes": info.raw_bytes,
+                "enc_bytes": info.enc_bytes,
+                "checksum": info.checksum,
+                "payload": blob,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def encode_table(
+    df: DataFrame,
+    columns: dict | None = None,
+    rows_per_bucket: int = skew.DEFAULT_ROWS_PER_BUCKET,
+    skip_chunk_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Encode a tokenized_sequences DataFrame into chunk rows.
+
+    ``skip_chunk_ids``: single-column (chunk_id) DataFrame of already-committed
+    chunks (checkpoint resume) — anti-joined *before* the encode shuffle so
+    resumed runs never re-encode or even re-shuffle finished buckets.
+    """
+    columns = columns or DEFAULT_COLUMNS
+    bucketed = skew.plan_buckets(df, rows_per_bucket=rows_per_bucket)
+    if skip_chunk_ids is not None:
+        bucketed = bucketed.join(
+            F.broadcast(skip_chunk_ids.select("chunk_id").distinct()),
+            "chunk_id",
+            "left_anti",
+        )
+    cols = ["chunk_id"] + [c for c in columns]
+    return (
+        bucketed.select(*cols)
+        .groupBy("chunk_id")
+        .applyInPandas(lambda pdf: _encode_group(pdf, columns), CHUNK_SCHEMA)
+    )

