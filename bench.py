@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (seconds), "unit": "sec", "queries": {...}, "sf",
+plus throughput extras}.
+
+Workload:
+- encode: deterministic bench corpus (datagen, ~20M tokens) -> chunk rows
+  (the north-rule metric: encode throughput in tokens/sec);
+- decode: chunks -> sequences, exact count check (bit-identical decode is
+  asserted by the correctness gate; here we time it);
+- queries: the round-trip + pipeline queries from __spark_entry__ at sf_dir.
+
+Scaling evidence (N vs 4N executors) is produced by
+``scripts/scaling_bench.py``, which invokes this file at two parallelism
+levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from engine import datagen
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+    from engine.session import get_spark, ship_package
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    ship_package(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- headline: encode/decode throughput on the deterministic corpus -----
+    corpus = datagen.generate_spark(spark, BENCH_ROWS, seed=42, partitions=cpus)
+    corpus = corpus.persist()
+    n_tokens = corpus.agg(F.sum("n_tok")).first()[0]  # materializes the corpus
+
+    t0 = time.time()
+    chunks = encode_job.encode_table(corpus, rows_per_bucket=65_536).persist()
+    enc_rows = chunks.count()
+    t_encode = time.time() - t0
+    timings["encode"] = round(t_encode, 3)
+    extras["encode_tokens_per_sec"] = round(n_tokens / t_encode, 1)
+
+    m = (
+        chunks.where(F.col("column") == "tokens")
+        .agg(F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc"))
+        .first()
+    )
+    extras["bytes_per_token"] = round(m["enc"] / n_tokens, 4)
+    extras["compression_ratio"] = round(m["enc"] / m["raw"], 4)
+    extras["n_tokens"] = int(n_tokens)
+
+    t0 = time.time()
+    decoded_tokens = decode_job.decode_chunks(chunks).agg(F.sum("n_tok")).first()[0]
+    t_decode = time.time() - t0
+    timings["decode"] = round(t_decode, 3)
+    extras["decode_tokens_per_sec"] = round(n_tokens / t_decode, 1)
+    assert decoded_tokens == n_tokens, f"decode lost tokens: {decoded_tokens} != {n_tokens}"
+    chunks.unpersist()
+    corpus.unpersist()
+
+    # -- per-query timings at sf_dir ----------------------------------------
+    bench_queries = [
+        "rt_delta_sorted_partkeys",
+        "rt_dict_lowcard",
+        "rt_rle_linenumbers",
+        "rt_auto_documents",
+        "dedup_exact",
+        "minhash_pairs",
+        "knn_bruteforce",
+        "token_count",
+        "tpch_q1",
+    ]
+    qs = entry.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "engine bench wall (encode+decode+queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-HASH_PRIME = (1 << 61) - 1
+# 31-bit Mersenne prime: keeps (h % P) * a + b under 2^62 so the affine
+# permutations never overflow int64 under ANSI mode
+HASH_PRIME = (1 << 31) - 1
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -63,7 +65,7 @@ def minhash_signatures(
     sh = docs.select(
         F.col(key_col),
         F.explode(F.array_distinct(_shingles(text_col, k))).alias("shingle"),
-    ).select(key_col, F.abs(F.xxhash64("shingle")).alias("h"))
+    ).select(key_col, F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h"))
     mins = [
         F.min((F.col("h") * int(a[i]) + int(b[i])) % HASH_PRIME).alias(f"mh{i}")
         for i in range(num_hashes)

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side machinery (schema, partition sizing, Arrow batch shape, UDF
+signatures) is real and tested; the actual media decode is STUBBED behind
+``FAKE_DECODE`` because no image/audio libraries exist in this container —
+swap ``_decode_image_bytes`` for PIL/libvips on a real cluster.
+
+Scale notes: media bytes never enter a shuffle — feature extraction is a
+``mapInPandas`` projection; only the (small) extracted features flow
+downstream. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
+memory for wide binary rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FAKE_DECODE = True  # container has no PIL/libvips/ffmpeg; see module docstring
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_sha", StringType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
+    """STUB decode -> deterministic fake feature vector.
+
+    Real implementation: PIL.Image.open -> resize -> channel means etc.
+    The fake is a pure function of the bytes so tests are reproducible.
+    """
+    if not FAKE_DECODE:
+        raise NotImplementedError("media decode requires PIL/libvips (not in container)")
+    h = hashlib.sha256(buf).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: batches arrive as Arrow; each batch is
+    processed vectorized; media bytes are dropped before any shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_bytes(b, dim) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_sha": pdf["content"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "feature": pd.Series(list(feats), dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plan: (media_id, frame_idx) rows via sequence +
+    explode — the distributed work-list a real frame extractor would consume."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (zlib-compressed noise payloads)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = zlib.compress(rng.integers(0, 256, 512).astype(np.uint8).tobytes())
+        rows.append(
+            {
+                "media_id": f"m-{i:06d}",
+                "kind": kind,
+                "content": payload,
+                "width": 64 if kind == "image" else None,
+                "height": 64 if kind == "image" else None,
+                "sample_rate": 16000 if kind == "audio" else None,
+                "n_frames": 100 if kind == "video" else None,
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)

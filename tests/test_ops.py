@@ -1,0 +1,131 @@
+"""Pipeline ops: dedup, similarity search, text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops import dedup, multimodal, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup of 1
+        (4, "der hund ist nicht auf der couch und das ist gut", "de"),
+        (5, "completely unrelated text about databases and encodings", "en"),
+        (6, "le chat est dans la maison et il est pour content", "fr"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ).persist()
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    assert len(out) == 5  # 6 docs, one exact dup collapses
+    dup_row = out[out["dup_count"] == 2]
+    assert len(dup_row) == 1 and dup_row["survivor_id"].iloc[0] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16).toPandas()
+    got = {tuple(r) for r in pairs.itertuples(index=False)}
+    assert (1, 2) in got  # identical docs always collide
+    assert (1, 3) in got or (2, 3) in got  # near dup shares most shingles
+    assert (1, 5) not in got and (4, 5) not in got
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16)
+    verified = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.99).toPandas()
+    assert set(map(tuple, verified[["id_a", "id_b"]].values)) == {(1, 2)}
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=0).toPandas()
+    assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+    # hamming 0 only for identical word multisets
+    assert all(h == 0 for h in pairs["hamming"])
+
+
+def test_textstats_token_count(spark, docs):
+    out = textstats.token_count(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 9
+    assert out.loc[1, "n_chars"] == 43
+    assert out.loc[1, "n_tokens_est"] == 9 + int(np.ceil(43 / 4))
+
+
+def test_textstats_language_id(spark, docs):
+    out = textstats.language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[4, "lang_pred"] == "de"
+    assert out.loc[6, "lang_pred"] == "fr"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["ab cde", "cde ab"]})
+    )
+    out = textstats.fingerprint(df).toPandas()
+    assert out["rolling_fp"].nunique() == 2  # order matters
+    assert out["text_hash"].nunique() == 2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((100, 8)).astype(np.float64)
+    pdf = pd.DataFrame(
+        {"vec_id": range(100), "embedding": [list(map(float, v)) for v in emb]}
+    )
+    return spark.createDataFrame(pdf).persist()
+
+
+def test_bruteforce_topk_self_is_rank1(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.cosine_topk_bruteforce(vectors, queries, k=5).toPandas()
+    rank1 = out[out["rank"] == 1]
+    assert (rank1["vec_id"] == rank1["query_id"]).all()
+    assert (rank1["cosine"] == 1.0).all()
+    assert len(out) == 15
+
+
+def test_lsh_topk_contains_self(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = simsearch.cosine_topk_lsh(vectors, queries, dim=8, k=5, nbits=4).toPandas()
+    rank1 = out[out["rank"] == 1]
+    # self always lands in its own bucket -> rank 1 with cosine 1
+    assert (rank1["vec_id"] == rank1["query_id"]).all()
+
+
+def test_ivf_assign_partitions_space(spark, vectors):
+    centroids = np.eye(8)[:4]
+    out = simsearch.ivf_assign(vectors, centroids).toPandas()
+    assert set(out["ivf_cell"]).issubset({0, 1, 2, 3})
+    assert out["ivf_cell"].nunique() > 1
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.make_fake_media(spark, n=12)
+    feats = multimodal.extract_features(media, dim=8).toPandas()
+    assert len(feats) == 12
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic fake: same bytes -> same sha + feature
+    again = multimodal.extract_features(media, dim=8).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert (a["content_sha"] == b["content_sha"]).all()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.make_fake_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_n=25).toPandas()
+    per_video = plan.groupby("media_id").size()
+    assert (per_video == 4).all()  # frames 0,25,50,75 of 100
