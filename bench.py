@@ -56,7 +56,7 @@ def main() -> None:
     n_tokens = corpus.agg(F.sum("n_tok")).first()[0]  # materializes the corpus
 
     t0 = time.time()
-    chunks = encode_job.encode_table(corpus, rows_per_bucket=65_536).persist()
+    chunks = encode_job.encode_table(corpus, rows_per_bucket=4096).persist()
     enc_rows = chunks.count()
     t_encode = time.time() - t0
     timings["encode"] = round(t_encode, 3)

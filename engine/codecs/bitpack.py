@@ -17,21 +17,35 @@ import numpy as np
 MAX_WIDTH = 64  # widths 0..32 for i32 streams; up to 64 for i64 deltas
 
 
+def _store_dtype(bit_width: int) -> np.dtype:
+    if bit_width <= 8:
+        return np.dtype("<u1")
+    if bit_width <= 16:
+        return np.dtype("<u2")
+    if bit_width <= 32:
+        return np.dtype("<u4")
+    return np.dtype("<u8")
+
+
 def pack(values: np.ndarray, bit_width: int) -> bytes:
     """Pack ``values`` (non-negative, < 2**bit_width) LSB-first at ``bit_width``
     bits each, little-endian within bytes — parquet bit-packed layout.
 
     bit j of value i lands at overall bit position ``i*bit_width + j``.
+    Implementation stays entirely in uint8: each value's LE bytes are
+    bit-exploded with ``np.unpackbits`` and the first ``bit_width`` bit
+    columns are re-packed — no (n, w) uint64 temporaries.
     """
-    if bit_width == 0 or len(values) == 0:
+    n = len(values)
+    if bit_width == 0 or n == 0:
         return b""
     if not 0 < bit_width <= MAX_WIDTH:
         raise ValueError(f"bit_width out of range: {bit_width}")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    shifts = np.arange(bit_width, dtype=np.uint64)
-    # (n, w) matrix of bits, LSB-first per value, then flattened in stream order.
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    dt = _store_dtype(bit_width)
+    v = np.ascontiguousarray(values, dtype=dt)
+    # (n, 8*itemsize) bit matrix, LSB-first within each value
+    bits = np.unpackbits(v.view(np.uint8).reshape(n, dt.itemsize), axis=1, bitorder="little")
+    return np.packbits(bits[:, :bit_width].reshape(-1), bitorder="little").tobytes()
 
 
 def unpack(buf: bytes | np.ndarray, bit_width: int, n: int) -> np.ndarray:
@@ -44,11 +58,12 @@ def unpack(buf: bytes | np.ndarray, bit_width: int, n: int) -> np.ndarray:
     nbits = n * bit_width
     if raw.size * 8 < nbits:
         raise ValueError(f"buffer too small: {raw.size} bytes for {nbits} bits")
+    dt = _store_dtype(bit_width)
     bits = np.unpackbits(raw[: (nbits + 7) // 8], bitorder="little", count=nbits)
-    shifts = np.arange(bit_width, dtype=np.uint64)
-    return (bits.reshape(n, bit_width).astype(np.uint64) << shifts[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    out_bits = np.zeros((n, 8 * dt.itemsize), dtype=np.uint8)
+    out_bits[:, :bit_width] = bits.reshape(n, bit_width)
+    le_bytes = np.packbits(out_bits, axis=1, bitorder="little")
+    return le_bytes.reshape(-1).view(dt).astype(np.uint64)
 
 
 def num_required_bits(x: int) -> int:

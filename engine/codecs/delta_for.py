@@ -12,10 +12,15 @@ Layout (reference ``DeltaBitPackEncoder``, ``src/encodings/encoding.rs:506-652``
   (``src/encodings/encoding.rs:748-768``);
 - each block's min_delta is subtracted so packed values are unsigned
   (``flush_block_values``, ``src/encodings/encoding.rs:593-652``);
-- the last partial miniblock is zero-padded to 32 values; unused trailing
-  miniblock widths are written as 0 (fresh buffer in the reference);
+- the last partial miniblock is zero-padded to 32 values; fully-empty
+  trailing miniblocks get width 0 and no payload;
 - decode is cumulative wrapping add (``src/encodings/decoding.rs:535-572``),
-  done here as one uint64 ``np.cumsum`` mod 2**32 / 2**64.
+  done as one uint64 ``np.cumsum`` mod 2**32 / 2**64.
+
+Fully vectorized across blocks: per-block mins/widths come from one reshape,
+miniblock payloads are packed in batches *grouped by bit width* (<= 65
+vectorized pack calls regardless of input size), and the variable-length
+output is assembled with one offset-scatter.
 """
 
 from __future__ import annotations
@@ -30,6 +35,18 @@ MINI_BLOCK_SIZE = BLOCK_SIZE // NUM_MINI_BLOCKS  # 32
 
 _I32 = {"int32": (np.uint32, np.int32, 32), "int64": (np.uint64, np.int64, 64)}
 
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def _bit_widths(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 values."""
+    return (x[:, None] >= _POW2[None, :]).sum(axis=1).astype(np.uint8)
+
+
+def _zigzag_array(v: np.ndarray) -> np.ndarray:
+    s = v.astype(np.int64)
+    return ((s << 1) ^ (s >> 63)).view(np.uint64)
+
 
 def encode(values: np.ndarray, dtype: str = "int32") -> bytes:
     utype, itype, nbits = _I32[dtype]
@@ -38,58 +55,80 @@ def encode(values: np.ndarray, dtype: str = "int32") -> bytes:
     first = int(v[0]) if n else 0
     first_signed = first - (1 << nbits) if first >= (1 << (nbits - 1)) else first
 
-    out = bytearray()
-    out += bitpack.uleb128_encode(BLOCK_SIZE)
-    out += bitpack.uleb128_encode(NUM_MINI_BLOCKS)
-    out += bitpack.uleb128_encode(n)
-    out += bitpack.uleb128_encode(bitpack.zigzag_encode(first_signed))
+    header = (
+        bitpack.uleb128_encode(BLOCK_SIZE)
+        + bitpack.uleb128_encode(NUM_MINI_BLOCKS)
+        + bitpack.uleb128_encode(n)
+        + bitpack.uleb128_encode(bitpack.zigzag_encode(first_signed))
+    )
     if n <= 1:
-        return bytes(out)
+        return header
 
-    mask = np.uint64((1 << nbits) - 1)
+    mask = np.uint64((1 << nbits) - 1) if nbits < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     deltas = (v[1:] - v[:-1]) & mask  # wrapping subtraction in the uint domain
     nd = deltas.size
     nblocks = (nd + BLOCK_SIZE - 1) // BLOCK_SIZE
-    padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.uint64)
-    padded[:nd] = deltas
-    blocks = padded.reshape(nblocks, NUM_MINI_BLOCKS, MINI_BLOCK_SIZE)
 
-    # per-block min over REAL deltas only (padding must not affect min)
-    block_valid = np.minimum(
-        np.maximum(nd - np.arange(nblocks) * BLOCK_SIZE, 0), BLOCK_SIZE
+    # signed view of wrapped deltas, padding with +max so block mins ignore it
+    if nbits == 64:
+        signed = deltas.view(np.int64)
+    else:
+        signed = deltas.astype(np.int64)
+        signed = np.where(deltas >= np.uint64(1 << (nbits - 1)), signed - (1 << nbits), signed)
+    spad = np.full(nblocks * BLOCK_SIZE, np.iinfo(np.int64).max, dtype=np.int64)
+    spad[:nd] = signed
+    block_mins = spad.reshape(nblocks, BLOCK_SIZE).min(axis=1)  # int64 per block
+
+    # (deltas - min) wrapped back into the unsigned domain; padding -> 0
+    upad = np.zeros(nblocks * BLOCK_SIZE, dtype=np.uint64)
+    upad[:nd] = deltas
+    sub = (upad.reshape(nblocks, BLOCK_SIZE) - block_mins.view(np.uint64)[:, None]) & mask
+    sub.reshape(-1)[nd:] = 0  # reference pads with literal zeros
+
+    mbs = sub.reshape(nblocks, NUM_MINI_BLOCKS, MINI_BLOCK_SIZE)
+    widths = _bit_widths(mbs.max(axis=2).reshape(-1)).reshape(nblocks, NUM_MINI_BLOCKS)
+    # fully-empty trailing miniblocks (no data at all) carry width 0, no bytes
+    block_valid = np.minimum(np.maximum(nd - np.arange(nblocks) * BLOCK_SIZE, 0), BLOCK_SIZE)
+    mb_has_data = (
+        np.arange(NUM_MINI_BLOCKS)[None, :] * MINI_BLOCK_SIZE < block_valid[:, None]
     )
-    half = np.uint64(1 << (nbits - 1))
-    for b in range(nblocks):
-        valid = int(block_valid[b])
-        flat = blocks[b].reshape(-1)[:valid]
-        # min over *signed* interpretation of the wrapped deltas
-        if nbits == 64:
-            signed = flat.view(np.int64)
-        else:
-            signed = flat.astype(np.int64)
-            signed = np.where(flat >= half, signed - (1 << nbits), signed)
-        min_delta = int(signed.min())
-        out += bitpack.uleb128_encode(bitpack.zigzag_encode(min_delta))
-        # subtract min_delta with wrapping in the nbits domain -> unsigned
-        sub = (flat - (np.uint64(min_delta & int(mask)))) & mask
-        widths = []
-        packed_parts = []
-        for m in range(NUM_MINI_BLOCKS):
-            lo, hi = m * MINI_BLOCK_SIZE, (m + 1) * MINI_BLOCK_SIZE
-            if lo >= valid:
-                widths.append(0)
-                packed_parts.append(b"")
-                continue
-            mb = sub[lo:min(hi, valid)]
-            w = bitpack.num_required_bits(int(mb.max()))
-            widths.append(w)
-            if len(mb) < MINI_BLOCK_SIZE:  # zero-pad last partial miniblock
-                mb = np.concatenate((mb, np.zeros(MINI_BLOCK_SIZE - len(mb), np.uint64)))
-            packed_parts.append(bitpack.pack(mb, w) if w else b"")
-        out += bytes(widths)
-        for p in packed_parts:
-            out += p
-    return bytes(out)
+    widths = np.where(mb_has_data, widths, 0).astype(np.uint8)
+    mb_bytes = np.where(mb_has_data, widths.astype(np.int64) * (MINI_BLOCK_SIZE // 8), 0)
+
+    # per-block variable-length headers (zigzag uleb of min_delta)
+    hdr_bytes, hdr_lens = bitpack.uleb128_encode_array(_zigzag_array(block_mins))
+
+    block_sizes = hdr_lens + NUM_MINI_BLOCKS + mb_bytes.sum(axis=1)
+    block_off = np.concatenate(([0], np.cumsum(block_sizes)))
+    out = np.zeros(int(block_off[-1]), dtype=np.uint8)
+
+    # scatter headers (repeat-index trick)
+    hdr_dst = np.repeat(block_off[:-1], hdr_lens) + (
+        np.arange(int(hdr_lens.sum())) - np.repeat(np.concatenate(([0], np.cumsum(hdr_lens)[:-1])), hdr_lens)
+    )
+    out[hdr_dst] = hdr_bytes
+    # widths at fixed offset after each header
+    w_off = block_off[:-1] + hdr_lens
+    for m in range(NUM_MINI_BLOCKS):
+        out[w_off + m] = widths[:, m]
+    # miniblock payload positions
+    mb_off = (w_off + NUM_MINI_BLOCKS)[:, None] + np.concatenate(
+        (np.zeros((nblocks, 1), np.int64), np.cumsum(mb_bytes, axis=1)[:, :-1]), axis=1
+    )
+    # pack miniblocks in batches grouped by width
+    flat_w = widths.reshape(-1)
+    flat_off = mb_off.reshape(-1)
+    flat_mbs = mbs.reshape(-1, MINI_BLOCK_SIZE)
+    flat_has = mb_has_data.reshape(-1)
+    for w in np.unique(flat_w[flat_has & (flat_w > 0)]):
+        sel = np.flatnonzero(flat_has & (flat_w == w))
+        packed = np.frombuffer(
+            bitpack.pack(flat_mbs[sel].reshape(-1), int(w)), dtype=np.uint8
+        ).reshape(len(sel), int(w) * (MINI_BLOCK_SIZE // 8))
+        nb = packed.shape[1]
+        dst = flat_off[sel][:, None] + np.arange(nb)[None, :]
+        out[dst.reshape(-1)] = packed.reshape(-1)
+    return header + out.tobytes()
 
 
 def decode(buf: bytes | np.ndarray, n: int | None = None, dtype: str = "int32") -> np.ndarray:
@@ -109,26 +148,47 @@ def decode(buf: bytes | np.ndarray, n: int | None = None, dtype: str = "int32") 
     mask = (1 << nbits) - 1
 
     nd = total - 1
-    deltas = np.empty(nd, dtype=np.uint64)
+    nblocks = (nd + block_size - 1) // block_size
+
+    # pass 1: walk per-block headers (cheap integer parses), record layout
+    mins = np.empty(nblocks, dtype=np.int64)
+    widths = np.empty((nblocks, num_mini), dtype=np.uint8)
+    mb_off = np.empty((nblocks, num_mini), dtype=np.int64)
     got = 0
-    while got < nd:
-        zz_min, pos = bitpack.uleb128_decode(raw, pos)
-        min_delta = bitpack.zigzag_decode(zz_min)
-        widths = raw[pos : pos + num_mini]
+    for b in range(nblocks):
+        zz, pos = bitpack.uleb128_decode(raw, pos)
+        mins[b] = bitpack.zigzag_decode(zz)
+        widths[b] = raw[pos : pos + num_mini]
         pos += num_mini
         for m in range(num_mini):
-            if got >= nd:
-                break
-            w = int(widths[m])
-            take = min(mini_size, nd - got)
-            if w == 0:
-                vals = np.zeros(take, dtype=np.uint64)
-            else:
-                nbytes = mini_size * w // 8
-                vals = bitpack.unpack(raw[pos : pos + nbytes], w, mini_size)[:take]
-                pos += nbytes
-            deltas[got : got + take] = (vals + np.uint64(min_delta & mask)) & np.uint64(mask)
-            got += take
+            has = got < nd
+            mb_off[b, m] = pos if has else -1
+            if has:
+                pos += int(widths[b, m]) * mini_size // 8
+                got += mini_size
+    got = min(got, nd)
+
+    # pass 2: unpack miniblocks grouped by width
+    deltas = np.empty(nblocks * block_size, dtype=np.uint64)
+    flat_w = widths.reshape(-1)
+    flat_off = mb_off.reshape(-1)
+    has = flat_off >= 0
+    for w in np.unique(flat_w[has]):
+        sel = np.flatnonzero(has & (flat_w == w))
+        w = int(w)
+        if w == 0:
+            dst = (sel[:, None] * mini_size + np.arange(mini_size)[None, :]).reshape(-1)
+            deltas[dst] = 0
+            continue
+        nb = w * mini_size // 8
+        src = flat_off[sel][:, None] + np.arange(nb)[None, :]
+        vals = bitpack.unpack(raw[src.reshape(-1)], w, len(sel) * mini_size)
+        dst = (sel[:, None] * mini_size + np.arange(mini_size)[None, :]).reshape(-1)
+        deltas[dst] = vals
+    # add per-block min_delta (wrapped) and truncate padding
+    deltas = deltas.reshape(nblocks, block_size)
+    deltas = (deltas + mins.view(np.uint64)[:, None]) & np.uint64(mask)
+    deltas = deltas.reshape(-1)[:nd]
 
     # cumulative wrapping add in uint64 (exact mod-2**nbits arithmetic)
     acc = np.empty(total, dtype=np.uint64)
