@@ -55,8 +55,12 @@ def main() -> None:
     corpus = corpus.persist()
     n_tokens = corpus.agg(F.sum("n_tok")).first()[0]  # materializes the corpus
 
+    # bucket count must exceed task slots by a healthy factor at ANY scale;
+    # at 10^12 rows the production default (65536) yields millions of buckets,
+    # at bench scale we derive it from the corpus size (~128 buckets)
+    rows_per_bucket = max(512, BENCH_ROWS // 128)
     t0 = time.time()
-    chunks = encode_job.encode_table(corpus, rows_per_bucket=4096).persist()
+    chunks = encode_job.encode_table(corpus, rows_per_bucket=rows_per_bucket).persist()
     enc_rows = chunks.count()
     t_encode = time.time() - t0
     timings["encode"] = round(t_encode, 3)

@@ -48,6 +48,7 @@ DICT = 1
 DELTA = 2
 BITPACK = 3
 RLE = 4
+RLE_BOOL = 5
 PLAIN_BA = 16
 DICT_BA = 17
 DELTA_LENGTH_BA = 18
@@ -56,6 +57,7 @@ FSST = 20
 
 CODEC_NAMES = {
     PLAIN: "plain",
+    RLE_BOOL: "rle_bool",
     DICT: "dict",
     DELTA: "delta",
     BITPACK: "bitpack",
@@ -91,6 +93,11 @@ class ChunkInfo:
 def _encode_int_payload(values: np.ndarray, codec: int, dtype: str) -> bytes:
     if codec == PLAIN:
         return plain.encode(values, dtype)
+    if codec == RLE_BOOL:
+        # BOOLEAN RLE value encoding: 4-byte LE length prefix + width-1 hybrid
+        # (reference RleValueEncoder, src/encodings/encoding.rs:422-501)
+        v = np.ascontiguousarray(values, dtype=np.uint8).astype(np.uint64)
+        return rle.encode_len_prefixed(v, 1)
     if codec == DICT:
         dict_page, indices = dictionary.encode(values, dtype)
         return len(dict_page).to_bytes(4, "little") + dict_page + indices
@@ -109,9 +116,12 @@ def _encode_int_payload(values: np.ndarray, codec: int, dtype: str) -> bytes:
 
 
 def _decode_int_payload(raw: np.ndarray, codec: int, n: int, dtype: str) -> np.ndarray:
-    itype = np.dtype(dtype)
     if codec == PLAIN:
         return plain.decode(raw, n, dtype)
+    if codec == RLE_BOOL:
+        vals, _ = rle.decode_len_prefixed(raw, 1, n)
+        return vals.astype(bool)
+    itype = np.dtype(dtype)
     if codec == DICT:
         dlen = int.from_bytes(raw[:4].tobytes(), "little")
         return dictionary.decode(

@@ -1,0 +1,87 @@
+"""Debug CLI: the engine's equivalent of the reference's ``parquet-read``
+(print N records, ``src/bin/parquet-read.rs:30-94``) and ``parquet-schema``
+(print schema + metadata, ``src/bin/parquet-schema.rs``) binaries, pointed at
+a chunk store.
+
+Usage::
+
+    python -m engine.cli read   <store_dir> [num_records]
+    python -m engine.cli schema <store_dir>
+    python -m engine.cli chunks <store_dir>      # per-chunk lineage/metrics
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _spark():
+    from engine.session import get_spark, ship_package
+
+    spark = get_spark(app="engine-cli", master="local[4]", shuffle_partitions=8)
+    ship_package(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_read(store_dir: str, n: int = 10) -> None:
+    from engine.jobs import decode as decode_job
+    from engine.lineage import ChunkStore
+
+    spark = _spark()
+    store = ChunkStore(spark, store_dir)
+    decode_job.decode_chunks(store.read_chunks()).show(n, truncate=80)
+
+
+def cmd_schema(store_dir: str) -> None:
+    from engine.jobs import decode as decode_job
+    from engine.lineage import ChunkStore
+
+    spark = _spark()
+    store = ChunkStore(spark, store_dir)
+    print("== decoded schema")
+    decode_job.decode_chunks(store.read_chunks()).printSchema()
+    print("== chunk store schema")
+    store.read_chunks().printSchema()
+
+
+def cmd_chunks(store_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from engine.lineage import ChunkStore
+
+    spark = _spark()
+    store = ChunkStore(spark, store_dir)
+    (
+        store.read_lineage()
+        .groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n_values").alias("values"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+            F.round(F.sum("enc_bytes") / F.sum("raw_bytes"), 4).alias("ratio"),
+        )
+        .orderBy("column", "codec")
+        .show(100, truncate=False)
+    )
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        raise SystemExit(2)
+    cmd, store = sys.argv[1], sys.argv[2]
+    if cmd == "read":
+        cmd_read(store, int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    elif cmd == "schema":
+        cmd_schema(store)
+    elif cmd == "chunks":
+        cmd_chunks(store)
+    else:
+        print(__doc__)
+        raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

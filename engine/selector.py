@@ -47,42 +47,69 @@ class ChunkStats:
     n_blocks: int
 
 
-def compute_stats(values: np.ndarray) -> ChunkStats:
-    v = np.ascontiguousarray(values, dtype=np.int64)
-    n = v.size
+SAMPLE_CAP = 1 << 16  # 64k values: keeps stats one cheap pass at any chunk size
+
+
+def compute_stats(values: np.ndarray, sample_cap: int = SAMPLE_CAP) -> ChunkStats:
+    """Chunk statistics from a leading sample, extrapolated to the chunk.
+
+    min/max are exact (single cheap pass); run structure, cardinality and
+    delta widths come from a ``sample_cap``-value prefix and scale linearly —
+    the selector only needs size *estimates* (the reference's own
+    ``estimated_data_encoded_size`` is a heuristic too), and sampling keeps
+    selection O(sample) instead of a second full pass over every chunk.
+    """
+    full = np.ascontiguousarray(values, dtype=np.int64)
+    n = full.size
     if n == 0:
         return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0)
-    vmin, vmax = int(v.min()), int(v.max())
-    # run structure
+    vmin, vmax = int(full.min()), int(full.max())
+    v = full[:sample_cap]
+    m = v.size
+    scale = n / m
+    # run structure (sample)
     change = np.flatnonzero(v[1:] != v[:-1]) + 1
     starts = np.concatenate(([0], change))
-    lengths = np.diff(np.concatenate((starts, [n])))
+    lengths = np.diff(np.concatenate((starts, [m])))
     long_mask = lengths >= 8
-    # cardinality (exact; the dict encoder needs the factorization anyway)
-    cardinality = len(pd.unique(v)) if n else 0
-    # delta miniblock widths (exact, vectorized)
+    # cardinality: Chao1 richness estimate from the sample's abundance
+    # spectrum (card + f1^2 / 2*f2). A plain plateau assumption undershoots
+    # badly on heavy-tailed (zipf) chunks and makes dict look cheaper than it
+    # is; Chao1 tracks the unseen mass from singleton/doubleton counts.
+    if m == n:
+        cardinality = len(pd.unique(v))
+    else:
+        codes, uniques = pd.factorize(v, use_na_sentinel=False)
+        counts = np.bincount(codes)
+        card_sample = len(uniques)
+        f1 = int((counts == 1).sum())
+        f2 = int((counts == 2).sum())
+        cardinality = min(n, int(card_sample + f1 * (f1 - 1) / (2.0 * (f2 + 1))))
+    # delta miniblock widths (sample, vectorized)
     delta_bits = 0
-    nblocks = 0
-    if n > 1:
+    nblocks = (n - 1 + 127) // 128 if n > 1 else 0
+    if m > 1:
         mask = np.uint64(0xFFFFFFFF)
         d = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)) & mask
         half = np.uint64(1 << 31)
         ds = np.where(d >= half, d.astype(np.int64) - (1 << 32), d.astype(np.int64))
         nd = ds.size
-        nblocks = (nd + 127) // 128
-        padded = np.full(nblocks * 128, ds.max(), dtype=np.int64)
+        nb = (nd + 127) // 128
+        padded = np.full(nb * 128, ds.max(), dtype=np.int64)
         padded[:nd] = ds
-        blocks = padded.reshape(nblocks, 4, 32)
+        blocks = padded.reshape(nb, 4, 32)
         bmins = blocks.min(axis=(1, 2), keepdims=True)
-        widths = np.ceil(np.log2(np.maximum(blocks.max(axis=2) - bmins[:, :, 0], 0) + 1)).astype(int)
-        delta_bits = int(widths.sum() * 32)
+        widths = np.ceil(
+            np.log2(np.maximum(blocks.max(axis=2) - bmins[:, :, 0], 0) + 1)
+        ).astype(int)
+        delta_bits = int(widths.sum() * 32 * ((n - 1) / nd))
     return ChunkStats(
         n,
         cardinality,
         vmin,
         vmax,
-        int(lengths[long_mask].sum()),
-        int(long_mask.sum()),
+        int(lengths[long_mask].sum() * scale),
+        max(int(long_mask.sum() * scale), int(long_mask.any())),
         delta_bits,
         nblocks,
     )
@@ -149,7 +176,9 @@ def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = Non
     card = len(set(vals))
     if card <= max(2, sample // 4):
         return "dict_ba"
-    # FSST wins on shared-substring text; heuristic: average value length >= 6
-    if total / n >= 6:
+    # FSST's symbol table costs ~1-2KB; on tiny chunks it cannot pay for
+    # itself (observed ratio > 1 on <5KB chunks), so fall through to
+    # delta-length there. Otherwise FSST wins on shared-substring text.
+    if total >= 8192 and total / n >= 6:
         return "fsst"
     return "delta_length_ba"

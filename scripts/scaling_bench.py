@@ -38,7 +38,8 @@ def run(cpus: int, rows: int) -> dict:
 
 def main() -> None:
     rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
-    n, n4 = 8, 32
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    n4 = 4 * n
     r_n = run(n, rows)
     r_n4 = run(n4, rows)
     thr_n = r_n["extras"]["encode_tokens_per_sec"]

@@ -1,0 +1,100 @@
+"""Level coding (nullable/list shredding) + block compression codecs."""
+
+import numpy as np
+import pytest
+
+from engine import compression, levels
+from engine.codecs import rle
+
+
+@pytest.mark.parametrize("max_level", [1, 2, 3, 7])
+@pytest.mark.parametrize("n", [0, 1, 8, 100, 1024])
+def test_levels_v1_roundtrip(max_level, n):
+    rng = np.random.default_rng(max_level * 100 + n)
+    lv = rng.integers(0, max_level + 1, n).astype(np.uint64)
+    buf = levels.encode_v1(lv, max_level)
+    out, consumed = levels.decode_v1(buf, max_level, n)
+    assert consumed == len(buf)
+    np.testing.assert_array_equal(out, lv)
+
+
+def test_levels_v2_roundtrip():
+    lv = np.array([1, 1, 0, 1, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1], np.uint64)
+    buf = levels.encode_v2(lv, 1)
+    np.testing.assert_array_equal(levels.decode_v2(buf, 1, len(lv)), lv)
+
+
+def test_levels_v1_has_length_prefix():
+    # v1 framing: 4-byte LE payload length (src/encodings/levels.rs:134-141)
+    lv = np.ones(50, np.uint64)
+    buf = levels.encode_v1(lv, 1)
+    assert int.from_bytes(buf[:4], "little") == len(buf) - 4
+
+
+def test_shred_assemble_nullable():
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 100, 200).astype(np.int32)
+    valid = rng.integers(0, 2, 200).astype(bool)
+    def_levels, dense = levels.shred_nullable(vals, valid)
+    assert len(dense) == valid.sum()
+    out, out_valid = levels.assemble_nullable(def_levels, dense)
+    np.testing.assert_array_equal(out_valid, valid)
+    np.testing.assert_array_equal(out[valid], vals[valid])
+
+
+def test_shred_assemble_lists():
+    offsets = np.array([0, 3, 5, 5, 9], np.int64)  # one empty list
+    rep = levels.shred_lists(offsets)
+    assert len(rep) == 9
+    # 3 non-empty records -> 3 zeros
+    assert (rep == 0).sum() == 3
+
+
+def test_nullable_end_to_end_with_value_codec():
+    """Full nullable column path: def levels v1 + dense DICT values."""
+    from engine import chunk
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, 1000).astype(np.int32)
+    valid = rng.integers(0, 5, 1000) > 0
+    def_levels, dense = levels.shred_nullable(vals, valid)
+    lv_buf = levels.encode_v1(def_levels, 1)
+    val_blob = chunk.encode_chunk(dense, "dict", "int32")
+    # decode
+    out_levels, _ = levels.decode_v1(lv_buf, 1, 1000)
+    out_dense = chunk.decode_chunk(val_blob)
+    out, out_valid = levels.assemble_nullable(out_levels, out_dense)
+    np.testing.assert_array_equal(out_valid, valid)
+    np.testing.assert_array_equal(out[valid], vals[valid])
+
+
+def test_gzip_codec_roundtrip():
+    codec = compression.create_codec("gzip")
+    data = b"spark-graft " * 1000
+    comp = codec.compress(data)
+    assert len(comp) < len(data)
+    assert codec.decompress(comp) == data
+
+
+def test_uncompressed_is_none():
+    assert compression.create_codec(None) is None
+    assert compression.create_codec("uncompressed") is None
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(ValueError, match="unknown"):
+        compression.create_codec("lzo")  # unimplemented in reference too
+
+
+def test_available_codecs_contains_gzip():
+    avail = compression.available_codecs()
+    assert "gzip" in avail and "uncompressed" in avail
+
+
+def test_rle_bool_chunk():
+    from engine import chunk
+
+    v = np.repeat(np.arange(100) % 2 == 0, 37)
+    blob = chunk.encode_chunk(v, "rle_bool", "bool")
+    np.testing.assert_array_equal(chunk.decode_chunk(blob), v)
+    assert chunk.read_info(blob).codec == "rle_bool"
