@@ -85,21 +85,13 @@ def main() -> None:
     corpus.unpersist()
 
     # -- per-query timings at sf_dir ----------------------------------------
-    bench_queries = [
-        "rt_delta_sorted_partkeys",
-        "rt_dict_lowcard",
-        "rt_rle_linenumbers",
-        "rt_auto_documents",
-        "dedup_exact",
-        "minhash_pairs",
-        "knn_bruteforce",
-        "token_count",
-        "tpch_q1",
-    ]
-    qs = entry.queries()
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") == "0":
+        bench_queries = []
+    else:
+        bench_queries = _BENCH_QUERIES
     for name in bench_queries:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        entry.queries()[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -117,6 +109,19 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+_BENCH_QUERIES = [
+        "rt_delta_sorted_partkeys",
+        "rt_dict_lowcard",
+        "rt_rle_linenumbers",
+        "rt_auto_documents",
+        "dedup_exact",
+        "minhash_pairs",
+        "knn_bruteforce",
+        "token_count",
+        "tpch_q1",
+    ]
 
 
 if __name__ == "__main__":

@@ -6,9 +6,11 @@ write_batch -> close``, ``src/file/writer.rs:119-248`` /
 
 - one shuffle co-locates each deterministic ``chunk_id`` bucket
   (``engine.skew.plan_buckets``) on one task — the row-group boundary;
-- ``groupBy(chunk_id).applyInPandas`` encodes every column of the bucket with
-  numpy kernels (the column-chunk write loop,
-  ``src/file/writer.rs:339-357``) — zero per-row Python;
+- rows sort by (chunk_id, doc_id) in Tungsten (``sortWithinPartitions``),
+  then a streaming ``mapInPandas`` pass detects bucket boundaries and encodes
+  every column with numpy kernels (the column-chunk write loop,
+  ``src/file/writer.rs:339-357``) — zero per-row Python, no pandas sort, no
+  whole-group shuffle materialization;
 - each column emits one chunk row carrying the ``PageWriteSpec``-equivalent
   metrics (codec, n_values, raw/encoded bytes, crc32 —
   ``src/column/page.rs:151-158``) plus the framed payload;
@@ -57,23 +59,40 @@ DEFAULT_COLUMNS = {
 
 
 def _encode_group(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
+    """Encode one bucket (rows NOT yet sorted) — test/compat entry."""
     pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    return _encode_group_sorted(pdf, columns)
+
+
+def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
+    """Encode one bucket whose rows are already doc_id-sorted (the streaming
+    path sorts in Tungsten via sortWithinPartitions — no pandas sort)."""
     chunk_id = pdf["chunk_id"].iloc[0]
     n_docs = len(pdf)
     rows = []
-    for col, (kind, override) in columns.items():
+    for col, spec in columns.items():
+        kind, override = spec[0], spec[1]
+        # optional third element: candidate codec set (WriterProperties
+        # dictionary toggles narrow it, reference set_dictionary_enabled)
+        candidates = spec[2] if len(spec) > 2 and spec[2] else None
         if kind == "int32_list":
             arrays = [np.asarray(a, dtype=np.int32) for a in pdf[col]]
             flat = np.concatenate(arrays) if arrays else np.empty(0, np.int32)
-            codec, _, _ = selector.select_codec(flat, override=override)
+            codec, _, _ = selector.select_codec(
+                flat, override=override, candidates=candidates or selector.INT_CANDIDATES
+            )
             blob = chunk.encode_chunk(flat, codec, "int32")
         elif kind in ("int32", "int64"):
             vals = pdf[col].to_numpy(dtype=kind)
-            codec, _, _ = selector.select_codec(vals, override=override)
+            codec, _, _ = selector.select_codec(
+                vals, override=override, candidates=candidates or selector.INT_CANDIDATES
+            )
             blob = chunk.encode_chunk(vals, codec, kind)
         elif kind == "bytes":
             lengths, data = bytearrays.flat_from_values(pdf[col].tolist())
             codec = selector.select_ba_codec(lengths, data, override=override)
+            if candidates and codec not in candidates:
+                codec = "delta_length_ba"
             blob = chunk.encode_chunk((lengths, data), codec, "bytes")
         else:
             raise ValueError(f"unknown column kind {kind}")
@@ -99,14 +118,31 @@ def encode_table(
     columns: dict | None = None,
     rows_per_bucket: int = skew.DEFAULT_ROWS_PER_BUCKET,
     skip_chunk_ids: DataFrame | None = None,
+    props=None,
 ) -> DataFrame:
     """Encode a tokenized_sequences DataFrame into chunk rows.
 
     ``skip_chunk_ids``: single-column (chunk_id) DataFrame of already-committed
     chunks (checkpoint resume) — anti-joined *before* the encode shuffle so
     resumed runs never re-encode or even re-shuffle finished buckets.
+    ``props``: optional :class:`engine.properties.WriterProperties` — supplies
+    rows_per_bucket, per-column encoding overrides and dictionary toggles
+    (column > global precedence, reference src/file/properties.rs:154-160).
     """
-    columns = columns or DEFAULT_COLUMNS
+    columns = dict(columns or DEFAULT_COLUMNS)
+    if props is not None:
+        rows_per_bucket = props.rows_per_bucket
+        from .. import selector as _sel
+
+        for col, spec in list(columns.items()):
+            kind = spec[0]
+            override = props.encoding_for(col) or spec[1]
+            cands = None
+            if not props.dict_enabled_for(col):
+                cands = tuple(
+                    c for c in _sel.INT_CANDIDATES if c != "dict"
+                ) if kind != "bytes" else ("plain_ba", "delta_length_ba", "fsst")
+            columns[col] = (kind, override, cands)
     bucketed = skew.plan_buckets(df, rows_per_bucket=rows_per_bucket)
     if skip_chunk_ids is not None:
         bucketed = bucketed.join(
@@ -115,8 +151,38 @@ def encode_table(
             "left_anti",
         )
     cols = ["chunk_id"] + [c for c in columns]
+
+    def encode_stream(batches):
+        """Streaming bucket encoder over (chunk_id, doc_id)-sorted batches:
+        buckets are contiguous, so one pass with boundary detection replaces
+        the groupBy materialization, and the sort happened JVM-side."""
+        import numpy as np
+
+        pending: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["chunk_id"].to_numpy()
+            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            bounds = [0, *change.tolist(), len(pdf)]
+            for i in range(len(bounds) - 1):
+                seg = pdf.iloc[bounds[i] : bounds[i + 1]]
+                cid = ids[bounds[i]]
+                if cur is not None and cid != cur and pending:
+                    group = pd.concat(pending, ignore_index=True)
+                    pending = []
+                    yield _encode_group_sorted(group, columns)
+                cur = cid
+                pending.append(seg)
+        if pending:
+            yield _encode_group_sorted(pd.concat(pending, ignore_index=True), columns)
+
+    # one shuffle: co-locate buckets, sort (chunk_id, doc_id) in Tungsten,
+    # then a pure partition-parallel mapInPandas encode pass
     return (
         bucketed.select(*cols)
-        .groupBy("chunk_id")
-        .applyInPandas(lambda pdf: _encode_group(pdf, columns), CHUNK_SCHEMA)
+        .repartition(F.col("chunk_id"))
+        .sortWithinPartitions("chunk_id", "doc_id")
+        .mapInPandas(encode_stream, CHUNK_SCHEMA)
     )
