@@ -458,6 +458,32 @@ def _q_lang_id(spark, sf_dir) -> DataFrame:
     )
 
 
+def _lang_oracle() -> str:
+    from engine.ops.textstats import STOPWORDS
+
+    score_exprs = []
+    for lang in sorted(STOPWORDS):
+        stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"ROUND(len(list_filter(string_split(lower(text), ' '), "
+            f"w -> list_contains([{stops}], w))) "
+            f"/ GREATEST(len(string_split(lower(text), ' ')), 1), 6) AS s_{lang}"
+        )
+    # tie-break mirrors Spark's array_max over (score, lang) structs:
+    # lexicographically larger language code wins ties
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_fr = g THEN 'fr' WHEN s_es = g THEN 'es'
+            WHEN s_en = g THEN 'en' ELSE 'de' END AS lang_pred,
+       g AS lang_score
+FROM (SELECT doc_id, s_de, s_en, s_es, s_fr,
+             GREATEST(s_de, s_en, s_es, s_fr) AS g FROM scored)
+"""
+
+
 def _q_media_features(spark, sf_dir) -> DataFrame:
     from engine.ops import multimodal
 
@@ -525,4 +551,5 @@ def oracle_sql() -> dict[str, str]:
     o["knn_bruteforce"] = _ORACLE_KNN
     o["tpch_q1"] = _ORACLE_TPCH_Q1
     o["events_hourly"] = _ORACLE_EVENTS_HOURLY
+    o["lang_id"] = _lang_oracle()
     return o

@@ -119,6 +119,7 @@ def encode_table(
     rows_per_bucket: int = skew.DEFAULT_ROWS_PER_BUCKET,
     skip_chunk_ids: DataFrame | None = None,
     props=None,
+    chunk_suffix: str | None = None,
 ) -> DataFrame:
     """Encode a tokenized_sequences DataFrame into chunk rows.
 
@@ -143,7 +144,9 @@ def encode_table(
                     c for c in _sel.INT_CANDIDATES if c != "dict"
                 ) if kind != "bytes" else ("plain_ba", "delta_length_ba", "fsst")
             columns[col] = (kind, override, cands)
-    bucketed = skew.plan_buckets(df, rows_per_bucket=rows_per_bucket)
+    bucketed = skew.plan_buckets(
+        df, rows_per_bucket=rows_per_bucket, chunk_suffix=chunk_suffix
+    )
     if skip_chunk_ids is not None:
         bucketed = bucketed.join(
             F.broadcast(skip_chunk_ids.select("chunk_id").distinct()),

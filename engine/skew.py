@@ -31,11 +31,14 @@ def plan_buckets(
     key: str = "source",
     salt_col: str = "doc_id",
     rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET,
+    chunk_suffix: str | None = None,
 ) -> DataFrame:
-    """Add deterministic ``chunk_id`` = ``{key}#{salt}`` to ``df``.
+    """Add deterministic ``chunk_id`` = ``{key}#{salt}[#{suffix}]`` to ``df``.
 
     One small aggregation computes per-key counts; the per-key bucket counts
     come back as a broadcast join (never a data-row collect).
+    ``chunk_suffix`` scopes buckets to a window/micro-batch so incremental
+    ingest closes buckets instead of appending into committed ones.
     """
     counts = df.groupBy(key).agg(F.count("*").alias("_rows"))
     buckets = counts.select(
@@ -46,6 +49,7 @@ def plan_buckets(
     )
     out = df.join(F.broadcast(buckets), key, "left")
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.col("_n_buckets")).cast("int")
-    return out.withColumn(
-        "chunk_id", F.concat_ws("#", F.col(key), F.lpad(salt.cast("string"), 5, "0"))
-    ).drop("_n_buckets")
+    parts = [F.col(key), F.lpad(salt.cast("string"), 5, "0")]
+    if chunk_suffix:
+        parts.append(F.lit(chunk_suffix))
+    return out.withColumn("chunk_id", F.concat_ws("#", *parts)).drop("_n_buckets")
