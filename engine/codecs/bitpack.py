@@ -154,6 +154,25 @@ def zigzag_decode(value: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+def orbit_positions(nxt: np.ndarray, n: int) -> np.ndarray:
+    """Positions visited by the walk ``0 -> nxt[0] -> ...`` while < n, via
+    pointer doubling — O(n log n) vectorized resolution of a sequential
+    jump chain (used by the RLE header parser and FSST's greedy matcher)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    visited = np.zeros(n + 1, dtype=bool)
+    visited[0] = True
+    jump = np.concatenate((np.minimum(nxt[:n], n), [n])).astype(np.int64)
+    while True:
+        idx = np.flatnonzero(visited)
+        before = idx.size
+        visited[jump[idx]] = True
+        if visited.sum() == before:
+            break
+        jump = jump[jump]
+    return np.flatnonzero(visited[:n])
+
+
 class BitWriter:
     """Append-only bit writer with parquet LSB-first semantics.
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import delta_for
+from . import bitpack, delta_for
 
 ESCAPE = 255
 MAX_SYMBOLS = 255
@@ -96,24 +96,6 @@ def _match_table(symbols: list[bytes]):
     return by_len
 
 
-def _greedy_positions(nxt: np.ndarray, n: int) -> np.ndarray:
-    """Positions visited by the greedy walk 0 -> nxt[0] -> ... (< n), via
-    pointer doubling: O(n log n) vectorized instead of a per-byte loop."""
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    visited = np.zeros(n + 1, dtype=bool)
-    visited[0] = True
-    jump = np.concatenate((np.minimum(nxt, n), [n])).astype(np.int64)
-    while True:
-        idx = np.flatnonzero(visited)
-        before = idx.size
-        visited[jump[idx]] = True
-        if visited.sum() == before:
-            break
-        jump = jump[jump]  # double the jump distance
-    return np.flatnonzero(visited[:n])
-
-
 def encode_flat(lengths: np.ndarray, data: bytes, symbols: list[bytes] | None = None) -> bytes:
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     arr = np.frombuffer(data, np.uint8)
@@ -144,7 +126,7 @@ def encode_flat(lengths: np.ndarray, data: bytes, symbols: list[bytes] | None = 
             matchlen[hit] = L
             unset &= ~hit
 
-    emit = _greedy_positions(np.arange(n, dtype=np.int64) + matchlen, n)
+    emit = bitpack.orbit_positions(np.arange(n, dtype=np.int64) + matchlen, n)
     ecodes = code[emit]
     is_sym = ecodes >= 0
     out_sizes = np.where(is_sym, 1, 2)

@@ -128,7 +128,16 @@ def decode(buf: bytes | np.ndarray, bit_width: int, n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     vbytes = (bit_width + 7) // 8
-    parts: list[np.ndarray] = []
+
+    # pass 1: walk run headers (scalar parses, one per run — bounded by run
+    # count; a fully vectorized chain resolution was tried and lost: it must
+    # consider every byte position while this loop touches only real headers)
+    rle_vals = []
+    rle_counts = []
+    rle_outs = []
+    bp_slices = []
+    bp_counts = []
+    bp_outs = []
     got = 0
     pos = 0
     while got < n:
@@ -136,16 +145,52 @@ def decode(buf: bytes | np.ndarray, bit_width: int, n: int) -> np.ndarray:
         if header & 1:  # bit-packed run
             count = (header >> 1) * 8
             nbytes = count * bit_width // 8
-            parts.append(bitpack.unpack(raw[pos : pos + nbytes], bit_width, count))
+            bp_slices.append((pos, nbytes))
+            bp_counts.append(count)
+            bp_outs.append(got)
             pos += nbytes
         else:  # rle run
             count = header >> 1
-            value = int.from_bytes(raw[pos : pos + vbytes].tobytes(), "little") if vbytes else 0
+            value = (
+                int.from_bytes(raw[pos : pos + vbytes].tobytes(), "little")
+                if vbytes
+                else 0
+            )
             pos += vbytes
-            parts.append(np.full(count, value, dtype=np.uint64))
+            rle_vals.append(value)
+            rle_counts.append(count)
+            rle_outs.append(got)
         got += count
-    result = parts[0] if len(parts) == 1 else np.concatenate(parts)
-    return result[:n]
+
+    # pass 2: batch materialization (the batch analogue of the reference's
+    # get_batch, src/encodings/rle.rs:398-434). Runs cover contiguous output
+    # intervals, so one interval mask (bincount + cumsum) routes a single
+    # np.repeat of RLE values and a single batch unpack of all bit-packed
+    # bytes into place — no per-run ops, no explicit index arrays.
+    out = np.empty(got, dtype=np.uint64)
+    if len(rle_vals) and bp_counts:
+        starts = np.asarray(rle_outs, dtype=np.int64)
+        counts = np.asarray(rle_counts, dtype=np.int64)
+        diff = np.bincount(starts, minlength=got + 1) - np.bincount(
+            starts + counts, minlength=got + 1
+        )
+        mask = np.cumsum(diff)[:got] > 0
+        out[mask] = np.repeat(np.asarray(rle_vals, dtype=np.uint64), counts)
+        allbytes = np.concatenate([raw[s : s + nb] for s, nb in bp_slices])
+        out[~mask] = bitpack.unpack(allbytes, bit_width, int(sum(bp_counts)))
+    elif len(rle_vals):
+        out = np.repeat(
+            np.asarray(rle_vals, dtype=np.uint64),
+            np.asarray(rle_counts, dtype=np.int64),
+        )
+    elif bp_counts:
+        if len(bp_slices) == 1:
+            s, nb = bp_slices[0]
+            allbytes = raw[s : s + nb]
+        else:
+            allbytes = np.concatenate([raw[s : s + nb] for s, nb in bp_slices])
+        out = bitpack.unpack(allbytes, bit_width, int(sum(bp_counts)))
+    return out[:n]
 
 
 # --- length-prefixed form (levels v1 / boolean RLE value encoding) ---------
