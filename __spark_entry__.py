@@ -218,6 +218,37 @@ FROM documents GROUP BY source
 """
 
 
+def _q_pruned_scan(spark, sf_dir) -> DataFrame:
+    """Statistics-based chunk pruning: decode only chunks whose [vmin, vmax]
+    intersects the predicate range, then apply the row filter — must equal a
+    full scan + filter (pruning is transparent)."""
+    encode_job, decode_job = _engine(spark)
+    seq = _seq_from_documents(spark, sf_dir)
+    chunks = encode_job.encode_table(seq, rows_per_bucket=64)
+    decoded = decode_job.decode_chunks_pruned(chunks, "tokens", 8, 1_000_000)
+    ex = decoded.select("doc_id", F.explode("tokens").alias("tok"))
+    return (
+        ex.where(F.col("tok") >= 8)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_long"),
+            F.sum(F.col("tok").cast("long")).alias("long_sum"),
+        )
+    )
+
+
+_ORACLE_PRUNED_SCAN = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       COUNT(*) AS n_long,
+       CAST(SUM(CAST(tok AS BIGINT)) AS BIGINT) AS long_sum
+FROM (SELECT doc_id, UNNEST(list_transform(string_split(text, ' '),
+                                           w -> length(w))) AS tok
+      FROM documents)
+WHERE tok >= 8
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops
 # --------------------------------------------------------------------------
@@ -517,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     for g in _GOLDEN_HEX:
         q[g] = lambda spark, sf_dir, name=g: _golden_df(spark, name)
+    q["pruned_scan"] = _q_pruned_scan
     q["chunk_plan"] = _q_chunk_plan
     q["chunk_metrics"] = _q_chunk_metrics
     q["dedup_exact"] = _q_dedup_exact
@@ -542,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_auto_documents"] = _RT_ORACLE_DOCUMENTS
     for g, hexval in _GOLDEN_HEX.items():
         o[g] = f"SELECT '{g}' AS case, '{hexval}' AS encoded_hex"
+    o["pruned_scan"] = _ORACLE_PRUNED_SCAN
     o["chunk_plan"] = _ORACLE_CHUNK_PLAN
     o["chunk_metrics"] = _ORACLE_CHUNK_METRICS
     o["dedup_exact"] = _ORACLE_DEDUP_EXACT

@@ -72,3 +72,30 @@ def decode_chunks(chunks_df: DataFrame) -> DataFrame:
     return chunks_df.groupBy("chunk_id").applyInPandas(
         lambda pdf: _decode_group(pdf), DECODED_SCHEMA
     )
+
+
+def decode_chunks_pruned(
+    chunks_df: DataFrame, column: str, lo: int, hi: int
+) -> DataFrame:
+    """Decode only chunks whose [vmin, vmax] statistics for ``column``
+    intersect [lo, hi] — the engine-level analog of parquet row-group
+    predicate pushdown. The reference carries these statistics in metadata
+    for *future* filtering (``src/file/statistics.rs:246-340``, pushdown is
+    an unchecked roadmap item, README.md:79); here they actually prune:
+    non-qualifying chunks are dropped BEFORE any payload is deserialized.
+
+    The caller still applies the row-level predicate afterwards; pruning is
+    transparent (it only skips chunks that can contain no qualifying value).
+    """
+    from pyspark.sql import functions as F
+
+    keep = (
+        chunks_df.where(
+            (F.col("column") == column)
+            & (F.col("vmax") >= lo)
+            & (F.col("vmin") <= hi)
+        )
+        .select("chunk_id")
+        .distinct()
+    )
+    return decode_chunks(chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"))

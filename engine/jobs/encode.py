@@ -13,7 +13,11 @@ write_batch -> close``, ``src/file/writer.rs:119-248`` /
   whole-group shuffle materialization;
 - each column emits one chunk row carrying the ``PageWriteSpec``-equivalent
   metrics (codec, n_values, raw/encoded bytes, crc32 —
-  ``src/column/page.rs:151-158``) plus the framed payload;
+  ``src/column/page.rs:151-158``) plus min/max statistics for integer
+  columns (the reference's chunk ``Statistics``,
+  ``src/file/statistics.rs:246-340``, which it only plans to use for
+  pruning — we actually prune, see ``decode.decode_chunks_pruned``) and the
+  framed payload;
 - rows inside a bucket are sorted by doc_id, so chunk bytes are a pure
   function of the bucket *set*, independent of upstream partitioning — this
   is what makes checkpoint/resume byte-stable.
@@ -45,6 +49,8 @@ CHUNK_SCHEMA = StructType(
         StructField("raw_bytes", LongType(), False),
         StructField("enc_bytes", LongType(), False),
         StructField("checksum", LongType(), False),
+        StructField("vmin", LongType(), True),
+        StructField("vmax", LongType(), True),
         StructField("payload", BinaryType(), False),
     ]
 )
@@ -75,6 +81,7 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
         # optional third element: candidate codec set (WriterProperties
         # dictionary toggles narrow it, reference set_dictionary_enabled)
         candidates = spec[2] if len(spec) > 2 and spec[2] else None
+        vmin = vmax = None
         if kind == "int32_list":
             arrays = [np.asarray(a, dtype=np.int32) for a in pdf[col]]
             flat = np.concatenate(arrays) if arrays else np.empty(0, np.int32)
@@ -82,12 +89,16 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
                 flat, override=override, candidates=candidates or selector.INT_CANDIDATES
             )
             blob = chunk.encode_chunk(flat, codec, "int32")
+            if flat.size:
+                vmin, vmax = int(flat.min()), int(flat.max())
         elif kind in ("int32", "int64"):
             vals = pdf[col].to_numpy(dtype=kind)
             codec, _, _ = selector.select_codec(
                 vals, override=override, candidates=candidates or selector.INT_CANDIDATES
             )
             blob = chunk.encode_chunk(vals, codec, kind)
+            if vals.size:
+                vmin, vmax = int(vals.min()), int(vals.max())
         elif kind == "bytes":
             lengths, data = bytearrays.flat_from_values(pdf[col].tolist())
             codec = selector.select_ba_codec(lengths, data, override=override)
@@ -107,6 +118,8 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
                 "raw_bytes": info.raw_bytes,
                 "enc_bytes": info.enc_bytes,
                 "checksum": info.checksum,
+                "vmin": vmin,
+                "vmax": vmax,
                 "payload": blob,
             }
         )
