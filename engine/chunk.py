@@ -85,6 +85,7 @@ class ChunkInfo:
     raw_bytes: int
     enc_bytes: int
     checksum: int
+    flags: int = 0
 
 
 # --- integer value payloads -------------------------------------------------
@@ -186,14 +187,33 @@ def _decode_ba_payload(raw: np.ndarray, codec: int, n: int) -> tuple[np.ndarray,
 # --- public framing API -------------------------------------------------------
 
 
-def encode_chunk(values, codec: str, dtype: str = "int32") -> bytes:
+FLAG_NULLABLE = 1
+
+
+def encode_chunk(values, codec: str, dtype: str = "int32", valid=None) -> bytes:
     """Encode one column slice into a framed chunk blob.
 
     ``values``: numpy array for numeric dtypes; ``(lengths, data)`` tuple for
-    dtype='bytes'.
+    dtype='bytes'. ``valid``: optional boolean validity mask — nulls are
+    shredded out of the value stream and a def-level section (RLE v1, width 1)
+    precedes the payload, exactly the reference's nullable write path
+    (``src/column/writer.rs:304-322``; levels ``src/encodings/levels.rs``).
     """
     cid = CODEC_IDS[codec]
-    if dtype == "bytes":
+    flags = 0
+    levels_buf = b""
+    if valid is not None:
+        from . import levels as levels_mod
+
+        flags |= FLAG_NULLABLE
+        def_levels, dense = levels_mod.shred_nullable(
+            np.ascontiguousarray(values), np.ascontiguousarray(valid, dtype=bool)
+        )
+        levels_buf = levels_mod.encode_v1(def_levels, 1)
+        n = len(def_levels)
+        raw_bytes = n * _DTYPE_SIZE[dtype]
+        payload = levels_buf + _encode_int_payload(dense, cid, dtype)
+    elif dtype == "bytes":
         lengths, data = values
         n = len(lengths)
         raw_bytes = int(np.asarray(lengths, dtype=np.int64).sum()) + 4 * n
@@ -206,7 +226,7 @@ def encode_chunk(values, codec: str, dtype: str = "int32") -> bytes:
     crc = zlib.crc32(payload) & 0xFFFFFFFF
     header = (
         MAGIC
-        + bytes([VERSION, cid, _DTYPES[dtype], 0])
+        + bytes([VERSION, cid, _DTYPES[dtype], flags])
         + n.to_bytes(8, "little")
         + raw_bytes.to_bytes(8, "little")
         + crc.to_bytes(4, "little")
@@ -223,11 +243,12 @@ def read_info(blob: bytes | np.ndarray) -> ChunkInfo:
         raise ValueError(f"unsupported chunk version {raw[4]}")
     cid = int(raw[5])
     dtype = _DTYPE_NAMES[int(raw[6])]
+    flags = int(raw[7])
     n = int.from_bytes(raw[8:16].tobytes(), "little")
     raw_bytes = int.from_bytes(raw[16:24].tobytes(), "little")
     crc = int.from_bytes(raw[24:28].tobytes(), "little")
     plen = int.from_bytes(raw[28:36].tobytes(), "little")
-    return ChunkInfo(CODEC_NAMES[cid], dtype, n, raw_bytes, _HEADER_LEN + plen, crc)
+    return ChunkInfo(CODEC_NAMES[cid], dtype, n, raw_bytes, _HEADER_LEN + plen, crc, flags)
 
 
 def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
@@ -242,6 +263,13 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
                 f"chunk checksum mismatch: stored {info.checksum:#x}, actual {actual:#x}"
             )
     cid = CODEC_IDS[info.codec]
+    if info.flags & FLAG_NULLABLE:
+        from . import levels as levels_mod
+
+        def_levels, consumed = levels_mod.decode_v1(payload, 1, info.n_values)
+        n_dense = int(def_levels.sum())
+        dense = _decode_int_payload(payload[consumed:], cid, n_dense, info.dtype)
+        return levels_mod.assemble_nullable(def_levels, dense)
     if info.dtype == "bytes":
         return _decode_ba_payload(payload, cid, info.n_values)
     return _decode_int_payload(payload, cid, info.n_values, info.dtype)

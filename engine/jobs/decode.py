@@ -24,14 +24,14 @@ from pyspark.sql.types import (
 
 from .. import chunk
 
-DECODED_SCHEMA = StructType(
-    [
-        StructField("doc_id", StringType(), False),
-        StructField("tokens", ArrayType(IntegerType(), False), False),
-        StructField("n_tok", IntegerType(), False),
-        StructField("source", StringType(), False),
-    ]
-)
+_FIELDS = {
+    "doc_id": StructField("doc_id", StringType(), False),
+    "tokens": StructField("tokens", ArrayType(IntegerType(), False), False),
+    "n_tok": StructField("n_tok", IntegerType(), False),
+    "source": StructField("source", StringType(), False),
+}
+ALL_COLUMNS = list(_FIELDS)
+DECODED_SCHEMA = StructType(list(_FIELDS.values()))
 
 
 def _strings_from_flat(lengths: np.ndarray, data: bytes) -> pd.Series:
@@ -46,31 +46,48 @@ def _strings_from_flat(lengths: np.ndarray, data: bytes) -> pd.Series:
     return arr.to_pandas()
 
 
-def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _decode_group(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
     blobs = {r["column"]: r["payload"] for _, r in pdf.iterrows()}
     n_docs = int(pdf["n_docs"].iloc[0])
 
-    lens_arr = chunk.decode_chunk(blobs["n_tok"]).astype(np.int64)
-    flat = chunk.decode_chunk(blobs["tokens"])
-    did_lens, did_data = chunk.decode_chunk(blobs["doc_id"])
-    src_lens, src_data = chunk.decode_chunk(blobs["source"])
+    out = {}
+    lens_arr = None
+    if "n_tok" in blobs:
+        lens_arr = chunk.decode_chunk(blobs["n_tok"]).astype(np.int64)
+    if "tokens" in columns:
+        flat = chunk.decode_chunk(blobs["tokens"])
+        offsets = np.concatenate(([0], np.cumsum(lens_arr)))
+        out["tokens"] = pd.Series(
+            [flat[offsets[i] : offsets[i + 1]] for i in range(n_docs)], dtype=object
+        )
+    if "doc_id" in columns:
+        out["doc_id"] = _strings_from_flat(*chunk.decode_chunk(blobs["doc_id"]))
+    if "n_tok" in columns:
+        out["n_tok"] = lens_arr.astype(np.int32)
+    if "source" in columns:
+        out["source"] = _strings_from_flat(*chunk.decode_chunk(blobs["source"]))
+    return pd.DataFrame({c: out[c] for c in columns})
 
-    offsets = np.concatenate(([0], np.cumsum(lens_arr)))
-    tokens = [flat[offsets[i] : offsets[i + 1]] for i in range(n_docs)]
-    return pd.DataFrame(
-        {
-            "doc_id": _strings_from_flat(did_lens, did_data),
-            "tokens": pd.Series(tokens, dtype=object),
-            "n_tok": lens_arr.astype(np.int32),
-            "source": _strings_from_flat(src_lens, src_data),
-        }
-    )
 
+def decode_chunks(chunks_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Decode chunk rows back into (doc_id, tokens, n_tok, source).
 
-def decode_chunks(chunks_df: DataFrame) -> DataFrame:
-    """Decode chunk rows back into (doc_id, tokens, n_tok, source)."""
-    return chunks_df.groupBy("chunk_id").applyInPandas(
-        lambda pdf: _decode_group(pdf), DECODED_SCHEMA
+    ``columns``: optional projection — only the requested columns' payloads
+    are shuffled and deserialized (the reference's only projection operator
+    is ``RowIter`` with a projected schema, ``src/record/reader.rs:588-686``;
+    this is its chunk-level equivalent, and the upstream parquet scan of the
+    chunk store prunes the payload column reads via Catalyst as usual).
+    """
+    from pyspark.sql import functions as F
+
+    columns = columns or ALL_COLUMNS
+    needed = set(columns)
+    if "tokens" in needed:
+        needed.add("n_tok")  # offsets required to rebuild arrays
+    schema = StructType([_FIELDS[c] for c in columns])
+    pruned = chunks_df.where(F.col("column").isin(list(needed)))
+    return pruned.groupBy("chunk_id").applyInPandas(
+        lambda pdf: _decode_group(pdf, columns), schema
     )
 
 
