@@ -437,6 +437,40 @@ def _q_events_hourly(spark, sf_dir) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark, sf_dir) -> DataFrame:
+    """Join demo: revenue per order for urgent orders (broadcast-able dims)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("decimal(18,4)").cast("string").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(18,4)) AS VARCHAR) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_orderkey
+"""
+
+
 _ORACLE_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
@@ -477,6 +511,21 @@ def _q_knn_lsh(spark, sf_dir) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return simsearch.cosine_topk_lsh(emb, queries, dim=dim, k=10, nbits=8)
+
+
+def _q_knn_ivf(spark, sf_dir) -> DataFrame:
+    """IVF ANN: train coarse centroids on a sample, probe nearest cells."""
+    from engine.ops import simsearch
+
+    _engine(spark)
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = simsearch.train_centroids(emb, k=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ivf_topk(emb, queries, cents, k=10, nprobe=3)
 
 
 def _q_lang_id(spark, sf_dir) -> DataFrame:
@@ -557,11 +606,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = _q_fingerprint
     q["knn_bruteforce"] = _q_knn
     q["tpch_q1"] = _q_tpch_q1
+    q["tpch_q3"] = _q_tpch_q3
     q["events_hourly"] = _q_events_hourly
     # rows-only (non-SQL-expressible)
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
     q["knn_lsh"] = _q_knn_lsh
+    q["knn_ivf"] = _q_knn_ivf
     q["lang_id"] = _q_lang_id
     q["media_features"] = _q_media_features
     return q
@@ -583,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
     o["fingerprint"] = _ORACLE_FINGERPRINT
     o["knn_bruteforce"] = _ORACLE_KNN
     o["tpch_q1"] = _ORACLE_TPCH_Q1
+    o["tpch_q3"] = _ORACLE_TPCH_Q3
     o["events_hourly"] = _ORACLE_EVENTS_HOURLY
     o["lang_id"] = _lang_oracle()
     return o

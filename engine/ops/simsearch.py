@@ -134,6 +134,77 @@ def cosine_topk_lsh(
     )
 
 
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic mini k-means on a bounded sample (the coarse quantizer
+    training step of IVF). The sample is tiny by construction — only it is
+    collected; assignment/refinement of the full table stays distributed."""
+    pdf = vectors.orderBy(id_col).limit(sample).select(vec_col).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy())
+    cents = X[:k].copy()  # deterministic init: first k by id
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: score only vectors in each query's ``nprobe`` nearest
+    cells. The big side joins on its precomputed cell id — per-task candidate
+    count drops to ~nprobe/k of the table at any scale."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    assigned = ivf_assign(vectors, centroids, vec_col)
+    qpdf = queries.toPandas()  # queries are small by definition
+    Q = np.stack(qpdf[vec_col].to_numpy())
+    d = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d, axis=1)[:, :nprobe]
+    probe_rows = [
+        {query_id_col: int(qpdf[query_id_col].iloc[i]), "_qvec": list(map(float, Q[i])), "ivf_cell": int(c)}
+        for i in range(len(qpdf))
+        for c in probes[i]
+    ]
+    qdf = vectors.sparkSession.createDataFrame(pd.DataFrame(probe_rows))
+    sim = (
+        assigned.join(F.broadcast(qdf), "ivf_cell")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                6,
+            ),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: np.ndarray,

@@ -125,3 +125,20 @@ def test_selector_ba():
     assert selector.select_ba_codec(lens, data) == "dict_ba"
     lens, data = bytearrays.flat_from_values([f"doc-{i:09d}-suffix" for i in range(500)])
     assert selector.select_ba_codec(lens, data) == "fsst"
+
+
+def test_truncated_payload_fails_loudly():
+    import pytest as _pytest
+
+    blob = chunk.encode_chunk(np.arange(1000, dtype=np.int32), "delta")
+    with _pytest.raises(ValueError):
+        chunk.decode_chunk(blob[: len(blob) // 2])
+
+
+def test_unknown_codec_id_fails_loudly():
+    import pytest as _pytest
+
+    blob = bytearray(chunk.encode_chunk(np.arange(10, dtype=np.int32), "plain"))
+    blob[5] = 200  # nonexistent codec id
+    with _pytest.raises(KeyError):
+        chunk.decode_chunk(bytes(blob))

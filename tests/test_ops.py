@@ -129,3 +129,17 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(media, every_n=25).toPandas()
     per_video = plan.groupby("media_id").size()
     assert (per_video == 4).all()  # frames 0,25,50,75 of 100
+
+
+def test_ivf_topk_contains_self(spark, vectors):
+    from engine.ops.simsearch import ivf_topk, train_centroids
+
+    cents = train_centroids(vectors, k=4, iters=2)
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(vectors, queries, cents, k=5, nprobe=2).toPandas()
+    rank1 = out[out["rank"] == 1]
+    # self's cell is always among its own nearest cells
+    assert (rank1["vec_id"] == rank1["query_id"]).all()
+    assert (rank1["cosine"] == 1.0).all()
