@@ -271,6 +271,40 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _q_near_dup_verified(spark, sf_dir) -> DataFrame:
+    """Full dedup pipeline: MinHash-LSH candidates -> exact n-gram Jaccard
+    verification at threshold 1.0. Identical texts collide on EVERY band, so
+    the J=1.0 result set is deterministic and equals the SQL exact-dup pairs
+    (the oracle); lower thresholds exercise the same pipeline approximately."""
+    from engine.ops import dedup
+
+    _engine(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant one duplicate per document (id + 10_000_000) so the pipeline has
+    # known ground truth; identical texts collide on every LSH band, so the
+    # J=1.0 result is deterministic, not probabilistic
+    planted = docs.union(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    cand = dedup.minhash_lsh_pairs(planted, num_hashes=32, bands=16)
+    pairs = dedup.ngram_jaccard_pairs(planted, cand, threshold=1.0)
+    return pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+
+
+_ORACLE_NEAR_DUP = """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM planted a JOIN planted b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+"""
+
+
 def _q_token_count(spark, sf_dir) -> DataFrame:
     from engine.ops import textstats
 
@@ -601,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_plan"] = _q_chunk_plan
     q["chunk_metrics"] = _q_chunk_metrics
     q["dedup_exact"] = _q_dedup_exact
+    q["near_dup_verified"] = _q_near_dup_verified
     q["token_count"] = _q_token_count
     q["quality_score"] = _q_quality
     q["fingerprint"] = _q_fingerprint
@@ -629,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_plan"] = _ORACLE_CHUNK_PLAN
     o["chunk_metrics"] = _ORACLE_CHUNK_METRICS
     o["dedup_exact"] = _ORACLE_DEDUP_EXACT
+    o["near_dup_verified"] = _ORACLE_NEAR_DUP
     o["token_count"] = _ORACLE_TOKEN_COUNT
     o["quality_score"] = _ORACLE_QUALITY
     o["fingerprint"] = _ORACLE_FINGERPRINT
