@@ -218,6 +218,47 @@ FROM documents GROUP BY source
 """
 
 
+def _q_rt_events_table(spark, sf_dir) -> DataFrame:
+    """Generic-table path: encode the events table (longs, timestamps as
+    micros, strings, doubles) with event_type buckets, decode generically,
+    re-aggregate — proves the engine encodes arbitrary tables, not just the
+    tokenized corpus."""
+    encode_job, decode_job = _engine(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+    cols = encode_job.derive_columns(ev)
+    chunks = encode_job.encode_table(
+        ev, columns=cols, rows_per_bucket=2048,
+        bucket_key="event_type", salt_col="event_id", sort_col="event_id",
+    )
+    dec = decode_job.decode_table(chunks, cols)
+    return dec.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.sum("ts_us").cast("long").alias("sum_ts"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+_ORACLE_RT_EVENTS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user,
+       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def _q_pruned_scan(spark, sf_dir) -> DataFrame:
     """Statistics-based chunk pruning: decode only chunks whose [vmin, vmax]
     intersects the predicate range, then apply the row filter — must equal a
@@ -631,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     for g in _GOLDEN_HEX:
         q[g] = lambda spark, sf_dir, name=g: _golden_df(spark, name)
+    q["rt_events_table"] = _q_rt_events_table
     q["pruned_scan"] = _q_pruned_scan
     q["chunk_plan"] = _q_chunk_plan
     q["chunk_metrics"] = _q_chunk_metrics
@@ -660,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_auto_documents"] = _RT_ORACLE_DOCUMENTS
     for g, hexval in _GOLDEN_HEX.items():
         o[g] = f"SELECT '{g}' AS case, '{hexval}' AS encoded_hex"
+    o["rt_events_table"] = _ORACLE_RT_EVENTS
     o["pruned_scan"] = _ORACLE_PRUNED_SCAN
     o["chunk_plan"] = _ORACLE_CHUNK_PLAN
     o["chunk_metrics"] = _ORACLE_CHUNK_METRICS

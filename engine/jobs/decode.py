@@ -91,6 +91,46 @@ def decode_chunks(chunks_df: DataFrame, columns: list[str] | None = None) -> Dat
     )
 
 
+_SPARK_TYPES = {
+    "int32": "int",
+    "int64": "long",
+    "float32": "float",
+    "float64": "double",
+    "bytes": "string",
+    "bool": "boolean",
+}
+
+
+def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
+    """Generic decode for any table encoded via ``encode_table`` with a
+    ``columns`` spec (name -> (kind, ...)). The inverse of the generic
+    ``derive_columns`` path: list columns are only supported through the
+    specialized tokenized-sequences decoder."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = []
+    for name, spec in columns.items():
+        kind = spec[0]
+        if kind == "int32_list":
+            raise ValueError("list columns: use decode_chunks (corpus decoder)")
+        fields.append(f"{name} {_SPARK_TYPES[kind]}")
+    schema = _parse_datatype_string(", ".join(fields))
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = {r["column"]: r["payload"] for _, r in pdf.iterrows()}
+        out = {}
+        for name, spec in columns.items():
+            kind = spec[0]
+            decoded = chunk.decode_chunk(blobs[name])
+            if kind == "bytes":
+                out[name] = _strings_from_flat(*decoded)
+            else:
+                out[name] = decoded
+        return pd.DataFrame(out)
+
+    return chunks_df.groupBy("chunk_id").applyInPandas(lambda p: gen(p), schema)
+
+
 def decode_chunks_pruned(
     chunks_df: DataFrame, column: str, lo: int, hi: int
 ) -> DataFrame:

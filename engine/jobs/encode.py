@@ -66,7 +66,8 @@ DEFAULT_COLUMNS = {
 
 def _encode_group(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
     """Encode one bucket (rows NOT yet sorted) — test/compat entry."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    sort_col = "doc_id" if "doc_id" in pdf.columns else pdf.columns[1]
+    pdf = pdf.sort_values(sort_col, kind="mergesort").reset_index(drop=True)
     return _encode_group_sorted(pdf, columns)
 
 
@@ -99,6 +100,14 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
             blob = chunk.encode_chunk(vals, codec, kind)
             if vals.size:
                 vmin, vmax = int(vals.min()), int(vals.max())
+        elif kind in ("float32", "float64"):
+            vals = pdf[col].to_numpy(dtype=kind)
+            codec = selector.select_float_codec(vals, override=override)
+            blob = chunk.encode_chunk(vals, codec, kind)
+        elif kind == "bool":
+            vals = pdf[col].to_numpy(dtype=bool)
+            codec = selector.select_bool_codec(vals, override=override)
+            blob = chunk.encode_chunk(vals, codec, "bool")
         elif kind == "bytes":
             lengths, data = bytearrays.flat_from_values(pdf[col].tolist())
             codec = selector.select_ba_codec(lengths, data, override=override)
@@ -126,6 +135,35 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def derive_columns(df: DataFrame) -> dict:
+    """Generic schema -> encode spec: any table becomes encodable (the
+    "switch your table to this engine" path). Timestamps/decimals should be
+    cast to long/string by the caller first."""
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.IntegerType(): "int32",
+        T.LongType(): "int64",
+        T.FloatType(): "float32",
+        T.DoubleType(): "float64",
+        T.StringType(): "bytes",
+        T.BooleanType(): "bool",
+    }
+    out = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.IntegerType
+        ):
+            out[f.name] = ("int32_list", None)
+        elif f.dataType in mapping:
+            out[f.name] = (mapping[f.dataType], None)
+        else:
+            raise ValueError(
+                f"column {f.name}: {f.dataType} not encodable; cast first"
+            )
+    return out
+
+
 def encode_table(
     df: DataFrame,
     columns: dict | None = None,
@@ -133,6 +171,9 @@ def encode_table(
     skip_chunk_ids: DataFrame | None = None,
     props=None,
     chunk_suffix: str | None = None,
+    bucket_key: str = "source",
+    salt_col: str = "doc_id",
+    sort_col: str | None = None,
 ) -> DataFrame:
     """Encode a tokenized_sequences DataFrame into chunk rows.
 
@@ -143,7 +184,16 @@ def encode_table(
     rows_per_bucket, per-column encoding overrides and dictionary toggles
     (column > global precedence, reference src/file/properties.rs:154-160).
     """
-    columns = dict(columns or DEFAULT_COLUMNS)
+    if columns is None:
+        names = set(df.columns)
+        columns = (
+            dict(DEFAULT_COLUMNS)
+            if set(DEFAULT_COLUMNS) <= names
+            else derive_columns(df)
+        )
+    else:
+        columns = dict(columns)
+    sort_col = sort_col or (salt_col if salt_col in columns else next(iter(columns)))
     if props is not None:
         rows_per_bucket = props.rows_per_bucket
         from .. import selector as _sel
@@ -158,7 +208,11 @@ def encode_table(
                 ) if kind != "bytes" else ("plain_ba", "delta_length_ba", "fsst")
             columns[col] = (kind, override, cands)
     bucketed = skew.plan_buckets(
-        df, rows_per_bucket=rows_per_bucket, chunk_suffix=chunk_suffix
+        df,
+        key=bucket_key,
+        salt_col=salt_col,
+        rows_per_bucket=rows_per_bucket,
+        chunk_suffix=chunk_suffix,
     )
     if skip_chunk_ids is not None:
         bucketed = bucketed.join(
@@ -199,6 +253,6 @@ def encode_table(
     return (
         bucketed.select(*cols)
         .repartition(F.col("chunk_id"))
-        .sortWithinPartitions("chunk_id", "doc_id")
+        .sortWithinPartitions("chunk_id", sort_col)
         .mapInPandas(encode_stream, CHUNK_SCHEMA)
     )

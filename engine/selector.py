@@ -160,6 +160,31 @@ def select_codec(
     return choice, stats, sizes
 
 
+def select_float_codec(values: np.ndarray, override: str | None = None) -> str:
+    """Floats: dictionary when low-cardinality (sensor/price-like columns),
+    else PLAIN (floats have no delta/bit-pack analog in the reference either)."""
+    if override is not None:
+        return override
+    n = len(values)
+    if n == 0:
+        return "plain"
+    sample = np.asarray(values[: min(n, 4096)])
+    card = len(pd.unique(sample))
+    return "dict" if card <= len(sample) // 4 else "plain"
+
+
+def select_bool_codec(values: np.ndarray, override: str | None = None) -> str:
+    """Booleans: RLE value encoding when run-structured, else bit-packed PLAIN
+    (the reference's v2 default for BOOLEAN is RLE, src/column/writer.rs:731-792)."""
+    if override is not None:
+        return override
+    v = np.asarray(values[: min(len(values), 8192)], dtype=bool)
+    if v.size == 0:
+        return "plain"
+    runs = int((v[1:] != v[:-1]).sum()) + 1
+    return "rle_bool" if runs < v.size // 16 else "plain"
+
+
 def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = None) -> str:
     """Codec choice for byte-array chunks: dictionary when repetitive,
     FSST when symbol-compressible, else delta-length."""
