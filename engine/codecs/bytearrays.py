@@ -65,6 +65,11 @@ def _common_prefix_lengths(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
 
 def encode_delta_byte_array(lengths: np.ndarray, data: bytes) -> bytes:
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if lengths.size == 0:
+        pre_enc = delta_for.encode(np.empty(0, np.int32), "int32")
+        return len(pre_enc).to_bytes(4, "little") + pre_enc + encode_delta_length(
+            lengths, b""
+        )
     arr = np.frombuffer(data, np.uint8)
     prefix = _common_prefix_lengths(lengths, arr)
     suffix_lens = lengths - prefix

@@ -66,6 +66,8 @@ def decode_strings(dict_page: bytes, indices: bytes, n: int) -> tuple[np.ndarray
     Stays in flat (lengths, data) form — the Arrow string layout — so the
     caller can build an Arrow/pandas column with zero per-value Python.
     """
+    if n == 0:
+        return np.empty(0, dtype=np.uint32), b""
     raw = np.frombuffer(indices, dtype=np.uint8)
     width = int(raw[0]) if len(raw) else 0
     codes = rle.decode(raw[1:], width, n).astype(np.int64)

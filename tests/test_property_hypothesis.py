@@ -1,0 +1,113 @@
+"""Property-based round-trips (hypothesis): adversarial inputs the fixed
+regimes may miss — random run/alignment structures for the RLE state
+machine, arbitrary int32 (incl. boundary values) for delta wrapping,
+arbitrary byte strings for FSST/byte-array codecs."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from engine import chunk
+from engine.codecs import bitpack, bytearrays, delta_for, dictionary, fsst, rle
+
+settings.register_profile("engine", max_examples=60, deadline=None)
+settings.load_profile("engine")
+
+
+# random run-structured sequences: list of (value, run_length)
+runs_strategy = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(1, 40)), min_size=0, max_size=60
+)
+
+
+@given(runs=runs_strategy, width=st.sampled_from([1, 2, 4, 8, 12, 16]))
+def test_rle_roundtrip_arbitrary_runs(runs, width):
+    vals = (
+        np.repeat(
+            np.array([v % (1 << width) for v, _ in runs], np.uint64),
+            np.array([r for _, r in runs], np.int64),
+        )
+        if runs
+        else np.empty(0, np.uint64)
+    )
+    buf = rle.encode(vals, width)
+    np.testing.assert_array_equal(rle.decode(buf, width, len(vals)), vals)
+
+
+int32s = st.integers(-(2**31), 2**31 - 1)
+
+
+@given(vals=st.lists(int32s, min_size=0, max_size=400))
+def test_delta_roundtrip_arbitrary_i32(vals):
+    arr = np.array(vals, np.int32)
+    buf = delta_for.encode(arr, "int32")
+    np.testing.assert_array_equal(delta_for.decode(buf, len(arr), "int32"), arr)
+
+
+@given(vals=st.lists(int32s, min_size=0, max_size=300))
+def test_dict_roundtrip_arbitrary_i32(vals):
+    arr = np.array(vals, np.int32)
+    dict_page, idx = dictionary.encode(arr, "int32")
+    np.testing.assert_array_equal(
+        dictionary.decode(dict_page, idx, len(arr), "int32"), arr
+    )
+
+
+@given(
+    vals=st.lists(int32s, min_size=0, max_size=300),
+    codec=st.sampled_from(["plain", "dict", "delta", "bitpack", "rle"]),
+)
+def test_chunk_roundtrip_arbitrary(vals, codec):
+    arr = np.array(vals, np.int32)
+    blob = chunk.encode_chunk(arr, codec, "int32")
+    np.testing.assert_array_equal(chunk.decode_chunk(blob), arr)
+
+
+@given(strings=st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=40))
+def test_fsst_roundtrip_arbitrary_bytes(strings):
+    lengths, data = bytearrays.flat_from_values(strings)
+    enc = fsst.encode_flat(lengths, data)
+    out_lens, out_data = fsst.decode_flat(enc, len(strings))
+    np.testing.assert_array_equal(out_lens, lengths)
+    assert out_data == data
+
+
+@given(strings=st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=40))
+def test_delta_byte_array_roundtrip_arbitrary(strings):
+    lengths, data = bytearrays.flat_from_values(strings)
+    enc = bytearrays.encode_delta_byte_array(lengths, data)
+    out_lens, out_data = bytearrays.decode_delta_byte_array(enc, len(strings))
+    np.testing.assert_array_equal(out_lens, lengths)
+    assert out_data == data
+
+
+@given(
+    vals=st.lists(st.integers(0, (1 << 64) - 1), min_size=0, max_size=200),
+    width=st.integers(1, 64),
+)
+def test_pack_roundtrip_arbitrary(vals, width):
+    arr = np.array([v & ((1 << width) - 1) for v in vals], np.uint64)
+    buf = bitpack.pack(arr, width)
+    np.testing.assert_array_equal(bitpack.unpack(buf, width, len(arr)), arr)
+
+
+@given(vals=st.lists(st.integers(0, (1 << 63) - 1), min_size=0, max_size=100))
+def test_uleb_array_roundtrip(vals):
+    arr = np.array(vals, np.uint64)
+    out, lens = bitpack.uleb128_encode_array(arr)
+    raw = np.frombuffer(out.tobytes(), np.uint8)
+    pos = 0
+    for v in vals:
+        got, pos = bitpack.uleb128_decode(raw, pos)
+        assert got == v
+
+
+@given(
+    strings=st.lists(st.binary(min_size=0, max_size=30), min_size=0, max_size=30),
+    codec=st.sampled_from(["plain_ba", "dict_ba", "delta_length_ba", "delta_ba", "fsst"]),
+)
+def test_string_chunk_roundtrip_arbitrary(strings, codec):
+    lengths, data = bytearrays.flat_from_values(strings)
+    blob = chunk.encode_chunk((lengths, data), codec, "bytes")
+    out_lens, out_data = chunk.decode_chunk(blob)
+    np.testing.assert_array_equal(out_lens, lengths)
+    assert out_data == data
