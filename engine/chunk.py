@@ -49,6 +49,7 @@ DELTA = 2
 BITPACK = 3
 RLE = 4
 RLE_BOOL = 5
+PAGED = 6  # container: per-page sub-chunks, each with its own codec
 PLAIN_BA = 16
 DICT_BA = 17
 DELTA_LENGTH_BA = 18
@@ -58,6 +59,7 @@ FSST = 20
 CODEC_NAMES = {
     PLAIN: "plain",
     RLE_BOOL: "rle_bool",
+    PAGED: "paged",
     DICT: "dict",
     DELTA: "delta",
     BITPACK: "bitpack",
@@ -235,6 +237,58 @@ def encode_chunk(values, codec: str, dtype: str = "int32", valid=None) -> bytes:
     return header + payload
 
 
+DEFAULT_PAGE_VALUES = 1 << 22  # 4M values (16MB raw int32) per page
+
+
+def encode_chunk_paged(
+    values: np.ndarray,
+    dtype: str = "int32",
+    page_values: int = DEFAULT_PAGE_VALUES,
+    override: str | None = None,
+) -> bytes:
+    """Cut a large integer column slice into pages, each auto-selecting its
+    own codec — the reference's page-within-column-chunk layer
+    (``should_add_data_page`` at the 1MB estimate, ``src/column/writer.rs:
+    407-410``; ``SerializedPageWriter`` framing ``src/file/writer.rs:389-515``).
+    Pages bound decode memory and let codec choice track regime shifts inside
+    one chunk. Payload: u32 n_pages, then per page u64 length + framed
+    sub-chunk."""
+    from . import selector
+
+    arr = np.ascontiguousarray(values)
+    n = arr.size
+    pages = []
+    for off in range(0, max(n, 1), page_values):
+        part = arr[off : off + page_values]
+        codec, _, _ = selector.select_codec(part, override=override)
+        pages.append(encode_chunk(part, codec, dtype))
+    payload = len(pages).to_bytes(4, "little") + b"".join(
+        len(p).to_bytes(8, "little") + p for p in pages
+    )
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    header = (
+        MAGIC
+        + bytes([VERSION, PAGED, _DTYPES[dtype], 0])
+        + n.to_bytes(8, "little")
+        + (n * _DTYPE_SIZE[dtype]).to_bytes(8, "little")
+        + crc.to_bytes(4, "little")
+        + len(payload).to_bytes(8, "little")
+    )
+    return header + payload
+
+
+def _decode_paged(payload: np.ndarray, dtype: str) -> np.ndarray:
+    n_pages = int.from_bytes(payload[:4].tobytes(), "little")
+    pos = 4
+    parts = []
+    for _ in range(n_pages):
+        plen = int.from_bytes(payload[pos : pos + 8].tobytes(), "little")
+        pos += 8
+        parts.append(decode_chunk(payload[pos : pos + plen], verify_checksum=False))
+        pos += plen
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.dtype(dtype))
+
+
 def read_info(blob: bytes | np.ndarray) -> ChunkInfo:
     raw = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) else blob
     if raw[:4].tobytes() != MAGIC:
@@ -263,6 +317,8 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
                 f"chunk checksum mismatch: stored {info.checksum:#x}, actual {actual:#x}"
             )
     cid = CODEC_IDS[info.codec]
+    if cid == PAGED:
+        return _decode_paged(payload, info.dtype)
     if info.flags & FLAG_NULLABLE:
         from . import levels as levels_mod
 

@@ -86,10 +86,19 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
         if kind == "int32_list":
             arrays = [np.asarray(a, dtype=np.int32) for a in pdf[col]]
             flat = np.concatenate(arrays) if arrays else np.empty(0, np.int32)
-            codec, _, _ = selector.select_codec(
-                flat, override=override, candidates=candidates or selector.INT_CANDIDATES
-            )
-            blob = chunk.encode_chunk(flat, codec, "int32")
+            if override is None and flat.size > chunk.DEFAULT_PAGE_VALUES:
+                # oversized stream: page it so codec choice tracks regime
+                # shifts and decode memory stays bounded (reference page
+                # cutting, src/column/writer.rs:407-410)
+                codec = "paged"
+                blob = chunk.encode_chunk_paged(flat, "int32")
+            else:
+                codec, _, _ = selector.select_codec(
+                    flat,
+                    override=override,
+                    candidates=candidates or selector.INT_CANDIDATES,
+                )
+                blob = chunk.encode_chunk(flat, codec, "int32")
             if flat.size:
                 vmin, vmax = int(flat.min()), int(flat.max())
         elif kind in ("int32", "int64"):

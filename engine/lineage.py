@@ -81,6 +81,57 @@ class ChunkStore:
         )
 
 
+def lookup_docs(store: ChunkStore, doc_ids: list[str]) -> DataFrame:
+    """Point lookup: fetch full rows for specific doc_ids by decoding ONLY the
+    chunks that can contain them.
+
+    Bucket assignment is a pure function of (doc_id, bucket plan), so each
+    requested id maps to exactly one candidate chunk per (source, suffix)
+    bucket group — recovered from lineage (tiny), recomputed with the same
+    xxhash64 expression as ``skew.plan_buckets``, and semi-joined against the
+    chunk store. At 10^12-sequence scale this reads a handful of chunks
+    instead of scanning the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from .jobs import decode as decode_job
+
+    spark = store.spark
+    parts = F.split(F.col("chunk_id"), "#")
+    plan = (
+        store.read_lineage()
+        .select("chunk_id")
+        .distinct()
+        .select(
+            parts.getItem(0).alias("source"),
+            parts.getItem(1).cast("int").alias("salt"),
+            F.when(F.size(parts) > 2, parts.getItem(2)).alias("suffix"),
+        )
+        .groupBy("source", "suffix")
+        .agg((F.max("salt") + 1).alias("_n_buckets"))
+    )
+    ids = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.col("_n_buckets")).cast("int")
+    cand = (
+        ids.crossJoin(F.broadcast(plan))
+        .withColumn(
+            "chunk_id",
+            F.when(
+                F.col("suffix").isNotNull(),
+                F.concat_ws(
+                    "#", "source", F.lpad(salt.cast("string"), 5, "0"), "suffix"
+                ),
+            ).otherwise(
+                F.concat_ws("#", "source", F.lpad(salt.cast("string"), 5, "0"))
+            ),
+        )
+        .select("chunk_id")
+        .distinct()
+    )
+    hits = store.read_chunks().join(F.broadcast(cand), "chunk_id", "left_semi")
+    return decode_job.decode_chunks(hits).where(F.col("doc_id").isin(doc_ids))
+
+
 def encode_with_resume(
     spark: SparkSession,
     df: DataFrame,

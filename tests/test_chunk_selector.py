@@ -142,3 +142,28 @@ def test_unknown_codec_id_fails_loudly():
     blob[5] = 200  # nonexistent codec id
     with _pytest.raises(KeyError):
         chunk.decode_chunk(bytes(blob))
+
+
+def test_paged_chunk_roundtrip_and_regime_tracking():
+    from engine import datagen
+
+    a = datagen._tokens_for("monotone", 200_000, np.random.default_rng(1))
+    b = datagen._tokens_for("lowcard10", 200_000, np.random.default_rng(2))
+    vals = np.concatenate([a, b])
+    blob = chunk.encode_chunk_paged(vals, page_values=200_000)
+    np.testing.assert_array_equal(chunk.decode_chunk(blob), vals)
+    info = chunk.read_info(blob)
+    assert info.codec == "paged" and info.n_values == 400_000
+    # pages choose different codecs -> beats any single codec
+    best_single = min(
+        len(chunk.encode_chunk(vals, c, "int32")) for c in selector.INT_CANDIDATES
+    )
+    assert info.enc_bytes < best_single
+
+
+def test_paged_empty_and_single_page():
+    blob = chunk.encode_chunk_paged(np.empty(0, np.int32))
+    np.testing.assert_array_equal(chunk.decode_chunk(blob), np.empty(0, np.int32))
+    vals = np.arange(1000, dtype=np.int32)
+    blob = chunk.encode_chunk_paged(vals)
+    np.testing.assert_array_equal(chunk.decode_chunk(blob), vals)
