@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -116,6 +116,12 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
         fields.append(f"{name} {_SPARK_TYPES[kind]}")
     schema = _parse_datatype_string(", ".join(fields))
 
+    logical = {
+        name: spec[3]
+        for name, spec in columns.items()
+        if len(spec) > 3 and spec[3]
+    }
+
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = {r["column"]: r["payload"] for _, r in pdf.iterrows()}
         out = {}
@@ -128,7 +134,13 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
                 out[name] = decoded
         return pd.DataFrame(out)
 
-    return chunks_df.groupBy("chunk_id").applyInPandas(lambda p: gen(p), schema)
+    out = chunks_df.groupBy("chunk_id").applyInPandas(lambda p: gen(p), schema)
+    if logical:
+        from ..jobs.encode import _LOGICAL
+
+        for name, kind in logical.items():
+            out = out.withColumn(name, F.expr(_LOGICAL[kind][2].format(c=name)))
+    return out
 
 
 def decode_chunks_pruned(

@@ -144,10 +144,43 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+class ColumnSpec(tuple):
+    """(kind, override, candidates, logical) — tuple-compatible with the
+    legacy (kind, override) pairs used throughout. ``logical`` annotates the
+    physical kind the way the reference's converted types ride physical types
+    (DATE on INT32, TIMESTAMP_MICROS on INT64 — src/basic.rs:87-104)."""
+
+    def __new__(cls, kind, override=None, candidates=None, logical=None):
+        return super().__new__(cls, (kind, override, candidates, logical))
+
+    def __getnewargs__(self):
+        # tuple subclasses otherwise unpickle as cls((k, o, c, l)) — the whole
+        # tuple lands in ``kind`` and executors see an unknown column kind
+        return tuple(self)
+
+    @property
+    def logical(self):
+        return self[3]
+
+
+# logical type -> (physical kind, encode cast, decode cast)
+_LOGICAL = {
+    "date": ("int32", "unix_date({c})", "date_from_unix_date({c})"),
+    "timestamp": ("int64", "unix_micros({c})", "timestamp_micros({c})"),
+    "timestamp_ntz": (
+        "int64",
+        "unix_micros(cast({c} as timestamp))",
+        "cast(timestamp_micros({c}) as timestamp_ntz)",
+    ),
+}
+
+
 def derive_columns(df: DataFrame) -> dict:
     """Generic schema -> encode spec: any table becomes encodable (the
-    "switch your table to this engine" path). Timestamps/decimals should be
-    cast to long/string by the caller first."""
+    "switch your table to this engine" path). DATE/TIMESTAMP columns are
+    annotated logical types riding int32 days / int64 micros — the engine
+    casts on encode and restores the original type on decode (the reference's
+    converted-type mechanism, src/basic.rs:56-146)."""
     from pyspark.sql import types as T
 
     mapping = {
@@ -158,19 +191,36 @@ def derive_columns(df: DataFrame) -> dict:
         T.StringType(): "bytes",
         T.BooleanType(): "bool",
     }
+    logical_map = {
+        T.DateType(): "date",
+        T.TimestampType(): "timestamp",
+        T.TimestampNTZType(): "timestamp_ntz",
+    }
     out = {}
     for f in df.schema.fields:
         if isinstance(f.dataType, T.ArrayType) and isinstance(
             f.dataType.elementType, T.IntegerType
         ):
-            out[f.name] = ("int32_list", None)
+            out[f.name] = ColumnSpec("int32_list")
         elif f.dataType in mapping:
-            out[f.name] = (mapping[f.dataType], None)
+            out[f.name] = ColumnSpec(mapping[f.dataType])
+        elif f.dataType in logical_map:
+            logical = logical_map[f.dataType]
+            out[f.name] = ColumnSpec(_LOGICAL[logical][0], logical=logical)
         else:
             raise ValueError(
                 f"column {f.name}: {f.dataType} not encodable; cast first"
             )
     return out
+
+
+def apply_logical_casts(df: DataFrame, columns: dict) -> DataFrame:
+    """Cast logical-typed columns to their physical representation."""
+    for name, spec in columns.items():
+        logical = spec[3] if len(spec) > 3 else None
+        if logical:
+            df = df.withColumn(name, F.expr(_LOGICAL[logical][1].format(c=name)))
+    return df
 
 
 def encode_table(
@@ -203,6 +253,7 @@ def encode_table(
     else:
         columns = dict(columns)
     sort_col = sort_col or (salt_col if salt_col in columns else next(iter(columns)))
+    df = apply_logical_casts(df, columns)
     if props is not None:
         rows_per_bucket = props.rows_per_bucket
         from .. import selector as _sel

@@ -29,7 +29,7 @@ def table(spark):
 
 def test_derive_columns(spark, table):
     cols = encode_job.derive_columns(table)
-    assert cols == {
+    assert {k: (v[0], v[1]) for k, v in cols.items()} == {
         "id": ("int64", None),
         "category": ("bytes", None),
         "count32": ("int32", None),
@@ -55,6 +55,34 @@ def test_generic_roundtrip(spark, table):
 
 
 def test_unencodable_type_raises(spark):
-    df = spark.range(5).select(F.col("id"), F.current_timestamp().alias("ts"))
+    df = spark.range(5).select(
+        F.col("id"), F.col("id").cast("decimal(10,2)").alias("dec")
+    )
     with pytest.raises(ValueError, match="not encodable"):
         encode_job.derive_columns(df)
+
+
+def test_logical_types_roundtrip(spark):
+    import datetime
+
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(200, dtype=np.int64),
+            "d": [datetime.date(2026, 1, 1) + datetime.timedelta(days=int(i % 90)) for i in range(200)],
+            "ts": [datetime.datetime(2026, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=int(i * 61)) for i in range(200)],
+            "grp": ["a" if i % 2 else "b" for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cols = encode_job.derive_columns(df)
+    assert cols["d"].logical == "date"
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="grp", salt_col="id", sort_col="id",
+    )
+    dec = decode_job.decode_table(chunks, cols)
+    assert dict(dec.dtypes)["d"] == "date"
+    a = df.toPandas().sort_values("id").reset_index(drop=True)
+    b = dec.toPandas().sort_values("id").reset_index(drop=True)[a.columns]
+    assert (a["d"] == b["d"]).all()
+    assert (a["ts"] == b["ts"]).all()
