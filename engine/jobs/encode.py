@@ -175,6 +175,16 @@ _LOGICAL = {
 }
 
 
+def _decimal_logical(p: int, s: int):
+    """DECIMAL(p<=18, s) rides int64 as the unscaled value — exactly the
+    reference's int32/int64-backed Decimal (src/data_type.rs:144-235,
+    src/basic.rs:74-85). Conversions stay in decimal arithmetic end to end
+    (a double round-trip would corrupt high-precision values)."""
+    enc = f"cast({{c}} * cast({10**s} as decimal(38,0)) as long)"
+    dec = f"cast(cast({{c}} as decimal(38,0)) / cast({10**s} as decimal(38,0)) as decimal({p},{s}))"
+    return ("int64", enc, dec)
+
+
 def derive_columns(df: DataFrame) -> dict:
     """Generic schema -> encode spec: any table becomes encodable (the
     "switch your table to this engine" path). DATE/TIMESTAMP columns are
@@ -207,6 +217,12 @@ def derive_columns(df: DataFrame) -> dict:
         elif f.dataType in logical_map:
             logical = logical_map[f.dataType]
             out[f.name] = ColumnSpec(_LOGICAL[logical][0], logical=logical)
+        elif isinstance(f.dataType, T.DecimalType) and f.dataType.precision <= 18:
+            logical = f"decimal({f.dataType.precision},{f.dataType.scale})"
+            _LOGICAL.setdefault(
+                logical, _decimal_logical(f.dataType.precision, f.dataType.scale)
+            )
+            out[f.name] = ColumnSpec("int64", logical=logical)
         else:
             raise ValueError(
                 f"column {f.name}: {f.dataType} not encodable; cast first"

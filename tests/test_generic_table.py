@@ -56,7 +56,7 @@ def test_generic_roundtrip(spark, table):
 
 def test_unencodable_type_raises(spark):
     df = spark.range(5).select(
-        F.col("id"), F.col("id").cast("decimal(10,2)").alias("dec")
+        F.col("id"), F.col("id").cast("decimal(38,10)").alias("dec")  # p>18: unsupported
     )
     with pytest.raises(ValueError, match="not encodable"):
         encode_job.derive_columns(df)
@@ -86,3 +86,23 @@ def test_logical_types_roundtrip(spark):
     b = dec.toPandas().sort_values("id").reset_index(drop=True)[a.columns]
     assert (a["d"] == b["d"]).all()
     assert (a["ts"] == b["ts"]).all()
+
+
+def test_decimal_logical_roundtrip(spark):
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") * 1234567 + 89).cast("decimal(15,4)").alias("amount"),
+        F.lit("g").alias("grp"),
+    ).withColumn("amount", F.col("amount") / 7)
+    cols = encode_job.derive_columns(df)
+    amount_type = dict(df.dtypes)["amount"]  # division widens (p,s)
+    assert cols["amount"][3] == amount_type
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="grp", salt_col="id", sort_col="id",
+    )
+    dec = decode_job.decode_table(chunks, cols)
+    assert dict(dec.dtypes)["amount"] == amount_type
+    a = df.toPandas().sort_values("id").reset_index(drop=True)
+    b = dec.toPandas().sort_values("id").reset_index(drop=True)
+    assert (a["amount"] == b["amount"]).all()
