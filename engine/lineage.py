@@ -13,6 +13,12 @@ Storage: parquet datasets by default (this sandbox has no Iceberg runtime
 jars). On a real cluster, set ``table_format='iceberg'`` and the writes go
 through ``writeTo(...).append()`` — ACID commits make chunk visibility
 atomic; the layout and logic are identical.
+
+Concurrency: two writers racing the same store can both encode the same
+missing bucket (parquet append has no commit coordination) — the chunks are
+byte-identical so reads stay correct, but storage duplicates. Run one writer
+per store, or use the Iceberg backend where snapshot isolation makes the
+second commit a detectable conflict.
 """
 
 from __future__ import annotations
