@@ -65,7 +65,9 @@ def shred_nullable(values: np.ndarray, valid: np.ndarray) -> tuple[np.ndarray, n
 def assemble_nullable(def_levels: np.ndarray, dense: np.ndarray, fill=0) -> tuple[np.ndarray, np.ndarray]:
     """Inverse: scatter dense values back; returns (values, validity mask)."""
     valid = def_levels.astype(bool)
-    out = np.full(len(def_levels), fill, dtype=dense.dtype if len(dense) else np.int32)
+    # dense.dtype unconditionally: an empty numpy array still carries its
+    # dtype, and an all-null float64 chunk must not decode as int32.
+    out = np.full(len(def_levels), fill, dtype=dense.dtype)
     out[valid] = dense
     return out, valid
 

@@ -114,19 +114,21 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (zlib-compressed noise payloads)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
+    # Typed tuples, NOT a pandas frame: pandas upcasts int+None columns to
+    # float64, which IntegerType rejects (64.0 is not an int).
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         payload = zlib.compress(rng.integers(0, 256, 512).astype(np.uint8).tobytes())
         rows.append(
-            {
-                "media_id": f"m-{i:06d}",
-                "kind": kind,
-                "content": payload,
-                "width": 64 if kind == "image" else None,
-                "height": 64 if kind == "image" else None,
-                "sample_rate": 16000 if kind == "audio" else None,
-                "n_frames": 100 if kind == "video" else None,
-            }
+            (
+                f"m-{i:06d}",
+                kind,
+                payload,
+                64 if kind == "image" else None,
+                64 if kind == "image" else None,
+                16000 if kind == "audio" else None,
+                100 if kind == "video" else None,
+            )
         )
-    return spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
