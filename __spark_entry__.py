@@ -201,7 +201,7 @@ def _q_chunk_metrics(spark, sf_dir) -> DataFrame:
     chunks = encode_job.encode_table(seq, rows_per_bucket=128)
     return (
         chunks.where(F.col("column") == "tokens")
-        .withColumn("source", F.split("chunk_id", "#")[0])
+        .withColumn("source", F.col("bucket_key"))
         .groupBy("source")
         .agg(
             F.sum("n_values").cast("long").alias("total_tokens"),

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -42,6 +43,12 @@ from ..codecs import bytearrays
 CHUNK_SCHEMA = StructType(
     [
         StructField("chunk_id", StringType(), False),
+        # bucket metadata (persisted so lineage consumers never re-parse
+        # chunk_id; point lookups read bucket_n back instead of inferring it)
+        StructField("bucket_key", StringType(), True),
+        StructField("bucket_salt", IntegerType(), True),
+        StructField("bucket_n", IntegerType(), True),
+        StructField("bucket_suffix", StringType(), True),
         StructField("column", StringType(), False),
         StructField("codec", StringType(), False),
         StructField("n_values", LongType(), False),
@@ -76,6 +83,10 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
     path sorts in Tungsten via sortWithinPartitions — no pandas sort)."""
     chunk_id = pdf["chunk_id"].iloc[0]
     n_docs = len(pdf)
+    meta = {
+        c: (pdf[c].iloc[0] if c in pdf.columns else None)
+        for c in skew.BUCKET_META_COLS
+    }
     rows = []
     for col, spec in columns.items():
         kind, override = spec[0], spec[1]
@@ -129,6 +140,7 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
         rows.append(
             {
                 "chunk_id": chunk_id,
+                **meta,
                 "column": col,
                 "codec": codec,
                 "n_values": info.n_values,
@@ -296,7 +308,9 @@ def encode_table(
             "chunk_id",
             "left_anti",
         )
-    cols = ["chunk_id"] + [c for c in columns]
+    cols = ["chunk_id", *skew.BUCKET_META_COLS] + [
+        c for c in columns if c not in skew.BUCKET_META_COLS
+    ]
 
     def encode_stream(batches):
         """Streaming bucket encoder over (chunk_id, doc_id)-sorted batches:

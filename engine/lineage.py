@@ -100,36 +100,25 @@ def lookup_docs(store: ChunkStore, doc_ids: list[str]) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from . import skew
     from .jobs import decode as decode_job
 
     spark = store.spark
-    parts = F.split(F.col("chunk_id"), "#")
+    # bucket plan straight from persisted lineage metadata — bucket_n was
+    # recorded at encode time, never inferred from observed salts (an empty
+    # highest-salt bucket would corrupt a max(salt)+1 reconstruction)
     plan = (
         store.read_lineage()
-        .select("chunk_id")
+        .select("bucket_key", "bucket_suffix", "bucket_n")
         .distinct()
-        .select(
-            parts.getItem(0).alias("source"),
-            parts.getItem(1).cast("int").alias("salt"),
-            F.when(F.size(parts) > 2, parts.getItem(2)).alias("suffix"),
-        )
-        .groupBy("source", "suffix")
-        .agg((F.max("salt") + 1).alias("_n_buckets"))
     )
     ids = spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
-    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.col("_n_buckets")).cast("int")
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.col("bucket_n")).cast("int")
     cand = (
         ids.crossJoin(F.broadcast(plan))
         .withColumn(
             "chunk_id",
-            F.when(
-                F.col("suffix").isNotNull(),
-                F.concat_ws(
-                    "#", "source", F.lpad(salt.cast("string"), 5, "0"), "suffix"
-                ),
-            ).otherwise(
-                F.concat_ws("#", "source", F.lpad(salt.cast("string"), 5, "0"))
-            ),
+            skew.chunk_id_expr(F.col("bucket_key"), salt, F.col("bucket_suffix")),
         )
         .select("chunk_id")
         .distinct()

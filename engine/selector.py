@@ -45,12 +45,15 @@ class ChunkStats:
     n_long_runs: int
     delta_bits_total: int  # sum over miniblocks of width * 32
     n_blocks: int
+    elem_bits: int = 32  # physical element width (int32 vs int64 sizing)
 
 
 SAMPLE_CAP = 1 << 16  # 64k values: keeps stats one cheap pass at any chunk size
 
 
-def compute_stats(values: np.ndarray, sample_cap: int = SAMPLE_CAP) -> ChunkStats:
+def compute_stats(
+    values: np.ndarray, sample_cap: int = SAMPLE_CAP, elem_bits: int = 32
+) -> ChunkStats:
     """Chunk statistics from a leading sample, extrapolated to the chunk.
 
     min/max are exact (single cheap pass); run structure, cardinality and
@@ -58,11 +61,14 @@ def compute_stats(values: np.ndarray, sample_cap: int = SAMPLE_CAP) -> ChunkStat
     the selector only needs size *estimates* (the reference's own
     ``estimated_data_encoded_size`` is a heuristic too), and sampling keeps
     selection O(sample) instead of a second full pass over every chunk.
+
+    ``elem_bits`` is the column's physical width: delta wrap arithmetic and
+    downstream size models (plain/dict bytes per value) depend on it.
     """
     full = np.ascontiguousarray(values, dtype=np.int64)
     n = full.size
     if n == 0:
-        return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0)
+        return ChunkStats(0, 0, 0, 0, 0, 0, 0, 0, elem_bits)
     vmin, vmax = int(full.min()), int(full.max())
     v = full[:sample_cap]
     m = v.size
@@ -89,19 +95,26 @@ def compute_stats(values: np.ndarray, sample_cap: int = SAMPLE_CAP) -> ChunkStat
     delta_bits = 0
     nblocks = (n - 1 + 127) // 128 if n > 1 else 0
     if m > 1:
-        mask = np.uint64(0xFFFFFFFF)
-        d = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)) & mask
-        half = np.uint64(1 << 31)
-        ds = np.where(d >= half, d.astype(np.int64) - (1 << 32), d.astype(np.int64))
+        if elem_bits == 32:
+            mask = np.uint64(0xFFFFFFFF)
+            d = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)) & mask
+            half = np.uint64(1 << 31)
+            ds = np.where(d >= half, d.astype(np.int64) - (1 << 32), d.astype(np.int64))
+        else:
+            # int64: deltas wrap mod 2^64 (matching delta_for's wrapping i64)
+            ds = (v[1:].view(np.uint64) - v[:-1].view(np.uint64)).view(np.int64)
         nd = ds.size
         nb = (nd + 127) // 128
         padded = np.full(nb * 128, ds.max(), dtype=np.int64)
         padded[:nd] = ds
         blocks = padded.reshape(nb, 4, 32)
         bmins = blocks.min(axis=(1, 2), keepdims=True)
-        widths = np.ceil(
-            np.log2(np.maximum(blocks.max(axis=2) - bmins[:, :, 0], 0) + 1)
-        ).astype(int)
+        # width via float log2 of the unsigned span (int64 spans can exceed
+        # the signed range; precision loss of float is fine for an estimate)
+        span = (
+            blocks.max(axis=2).view(np.uint64) - bmins[:, :, 0].view(np.uint64)
+        ).astype(np.float64)
+        widths = np.minimum(np.ceil(np.log2(span + 1)), elem_bits).astype(int)
         delta_bits = int(widths.sum() * 32 * ((n - 1) / nd))
     return ChunkStats(
         n,
@@ -112,6 +125,7 @@ def compute_stats(values: np.ndarray, sample_cap: int = SAMPLE_CAP) -> ChunkStat
         max(int(long_mask.sum() * scale), int(long_mask.any())),
         delta_bits,
         nblocks,
+        elem_bits,
     )
 
 
@@ -131,13 +145,14 @@ def estimate_sizes(stats: ChunkStats) -> dict[str, int]:
     n = stats.n
     if n == 0:
         return {c: 0 for c in INT_CANDIDATES}
+    eb = stats.elem_bits // 8  # bytes per plain/dict-page value
     range_width = bitpack.num_required_bits(stats.vmax - stats.vmin)
     dict_width = bitpack.dict_bit_width(stats.cardinality)
     return {
-        "plain": 4 * n,
+        "plain": eb * n,
         "bitpack": 6 + (n * range_width + 7) // 8,
         "rle": 6 + _hybrid_size(stats, range_width),
-        "dict": 4 + 4 * stats.cardinality + 1 + _hybrid_size(stats, dict_width),
+        "dict": 4 + eb * stats.cardinality + 1 + _hybrid_size(stats, dict_width),
         "delta": 10 + stats.n_blocks * 9 + (stats.delta_bits_total + 7) // 8,
     }
 
@@ -147,12 +162,16 @@ def select_codec(
     override: str | None = None,
     candidates: tuple[str, ...] = INT_CANDIDATES,
 ) -> tuple[str, ChunkStats, dict[str, int]]:
-    """Pick the smallest-estimate codec for an int32 chunk.
+    """Pick the smallest-estimate codec for an integer chunk.
 
     ``override`` short-circuits selection (per-column user override,
-    reference ``src/file/properties.rs:351-354``).
+    reference ``src/file/properties.rs:351-354``). Element width is inferred
+    from the array dtype so int64 columns get 8-byte plain/dict cost models
+    and 64-bit delta wrap.
     """
-    stats = compute_stats(values)
+    arr = np.asarray(values)
+    elem_bits = 64 if arr.dtype.itemsize == 8 else 32
+    stats = compute_stats(arr, elem_bits=elem_bits)
     sizes = estimate_sizes(stats)
     if override is not None:
         return override, stats, sizes

@@ -25,6 +25,32 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_ROWS_PER_BUCKET = 65_536
 
+# metadata columns added by plan_buckets and carried into chunk/lineage rows
+# (consumers read these instead of re-parsing chunk_id — a key containing the
+# '#' delimiter must not corrupt bucket recovery)
+BUCKET_META_COLS = ("bucket_key", "bucket_salt", "bucket_n", "bucket_suffix")
+
+
+def _escape_key(col):
+    """chunk_id-safe key: escape '%' then '#' so the id segments stay
+    unambiguous for any key value (ids are opaque to consumers, but two
+    distinct (key, salt) pairs must never collide on one chunk_id)."""
+    return F.regexp_replace(
+        F.regexp_replace(col.cast("string"), "%", "%25"), "#", "%23"
+    )
+
+
+def chunk_id_expr(key_col, salt_col, suffix_col):
+    """The ONE way a chunk_id is built: ``esc(key)#{salt:05d}[#suffix]``.
+    Shared by the encode planner and lineage point-lookup recomputation so
+    the two can never drift."""
+    base = F.concat_ws(
+        "#", _escape_key(key_col), F.lpad(salt_col.cast("string"), 5, "0")
+    )
+    return F.when(
+        suffix_col.isNotNull(), F.concat_ws("#", base, suffix_col)
+    ).otherwise(base)
+
 
 def plan_buckets(
     df: DataFrame,
@@ -33,7 +59,11 @@ def plan_buckets(
     rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET,
     chunk_suffix: str | None = None,
 ) -> DataFrame:
-    """Add deterministic ``chunk_id`` = ``{key}#{salt}[#{suffix}]`` to ``df``.
+    """Add deterministic ``chunk_id`` plus bucket metadata columns
+    (``bucket_key``, ``bucket_salt``, ``bucket_n``, ``bucket_suffix``) to
+    ``df``. The metadata rides into chunk/lineage rows so point lookups can
+    recompute bucket assignment exactly — never inferred from observed salts
+    (an empty highest-salt bucket would corrupt a max(salt)+1 guess).
 
     One small aggregation computes per-key counts; the per-key bucket counts
     come back as a broadcast join (never a data-row collect).
@@ -45,11 +75,17 @@ def plan_buckets(
         F.col(key),
         F.greatest(
             F.lit(1), F.ceil(F.col("_rows") / F.lit(rows_per_bucket))
-        ).cast("int").alias("_n_buckets"),
+        ).cast("int").alias("bucket_n"),
     )
     out = df.join(F.broadcast(buckets), key, "left")
-    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.col("_n_buckets")).cast("int")
-    parts = [F.col(key), F.lpad(salt.cast("string"), 5, "0")]
-    if chunk_suffix:
-        parts.append(F.lit(chunk_suffix))
-    return out.withColumn("chunk_id", F.concat_ws("#", *parts)).drop("_n_buckets")
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.col("bucket_n")).cast("int")
+    suffix = F.lit(chunk_suffix) if chunk_suffix else F.lit(None).cast("string")
+    return (
+        out.withColumn("bucket_key", F.col(key).cast("string"))
+        .withColumn("bucket_salt", salt)
+        .withColumn("bucket_suffix", suffix)
+        .withColumn(
+            "chunk_id",
+            chunk_id_expr(F.col(key), F.col("bucket_salt"), F.col("bucket_suffix")),
+        )
+    )

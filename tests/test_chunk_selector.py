@@ -167,3 +167,44 @@ def test_paged_empty_and_single_page():
     vals = np.arange(1000, dtype=np.int32)
     blob = chunk.encode_chunk_paged(vals)
     np.testing.assert_array_equal(chunk.decode_chunk(blob), vals)
+
+
+def test_selector_int64_size_models():
+    """int64 chunks use 8-byte plain/dict cost models and 64-bit delta wrap
+    (ADVICE r1: int32-specific estimators made dict/plain look too cheap)."""
+    import numpy as np
+
+    from engine import selector
+
+    rng = np.random.default_rng(7)
+    # high-cardinality random int64: plain must be estimated at 8*n, and the
+    # estimate should be within 2x of the real encoded size
+    v64 = rng.integers(-(1 << 62), 1 << 62, 4096, dtype=np.int64)
+    codec, stats, sizes = selector.select_codec(v64)
+    assert stats.elem_bits == 64
+    assert sizes["plain"] == 8 * len(v64)
+    from engine import chunk
+
+    blob = chunk.encode_chunk(v64, codec, "int64")
+    assert np.array_equal(chunk.decode_chunk(blob), v64)
+
+    # sorted int64 with big base but tiny deltas: delta must win (with the
+    # 32-bit wrap bug, delta widths were computed from wrapped garbage)
+    base = np.int64(1 << 40)
+    sorted64 = base + np.cumsum(rng.integers(0, 8, 65536, dtype=np.int64))
+    codec2, stats2, sizes2 = selector.select_codec(sorted64)
+    assert codec2 == "delta", (codec2, sizes2)
+    blob2 = chunk.encode_chunk(sorted64, "delta", "int64")
+    assert np.array_equal(chunk.decode_chunk(blob2), sorted64)
+    assert len(blob2) < 8 * len(sorted64) // 8  # >8x better than plain
+
+
+def test_selector_int32_unchanged():
+    import numpy as np
+
+    from engine import selector
+
+    v = np.arange(1000, dtype=np.int32)
+    _, stats, sizes = selector.select_codec(v)
+    assert stats.elem_bits == 32
+    assert sizes["plain"] == 4 * len(v)
