@@ -259,6 +259,59 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_rt_nullable_table(spark, sf_dir) -> DataFrame:
+    """Nullable generic-table path: plant NULLs into long/double/string
+    columns of events, encode (def-level shredding), decode, and aggregate
+    non-null counts + exact sums — proves nulls survive the job layer
+    bit-faithfully (reference nullable write path src/column/writer.rs:304-322)."""
+    encode_job, decode_job = _engine(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.when(F.col("event_id") % 7 != 0, F.col("user_id").cast("long")).alias("user_id_n"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value").cast("double")).alias("value_n"),
+        F.when(F.col("event_id") % 3 != 0, F.col("event_type")).alias("etype_n"),
+        "event_type",
+    )
+    cols = encode_job.derive_columns(ev)
+    chunks = encode_job.encode_table(
+        ev, columns=cols, rows_per_bucket=2048,
+        bucket_key="event_type", salt_col="event_id", sort_col="event_id",
+    )
+    dec = decode_job.decode_table(chunks, cols)
+    return dec.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("user_id_n").cast("long").alias("nn_user"),
+        F.sum("user_id_n").cast("long").alias("sum_user"),
+        F.count("value_n").cast("long").alias("nn_value"),
+        F.round(F.min("value_n"), 6).alias("min_value"),
+        F.round(F.max("value_n"), 6).alias("max_value"),
+        F.count("etype_n").cast("long").alias("nn_etype"),
+        F.min("etype_n").alias("min_etype"),
+    )
+
+
+_ORACLE_RT_NULLABLE = """
+WITH planted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 != 0 THEN user_id END AS user_id_n,
+         CASE WHEN event_id % 5 != 0 THEN value END AS value_n,
+         CASE WHEN event_id % 3 != 0 THEN event_type END AS etype_n,
+         event_type
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(user_id_n) AS nn_user,
+       CAST(SUM(user_id_n) AS BIGINT) AS sum_user,
+       COUNT(value_n) AS nn_value,
+       ROUND(MIN(value_n), 6) AS min_value,
+       ROUND(MAX(value_n), 6) AS max_value,
+       COUNT(etype_n) AS nn_etype,
+       MIN(etype_n) AS min_etype
+FROM planted GROUP BY event_type
+"""
+
+
 def _q_pruned_scan(spark, sf_dir) -> DataFrame:
     """Statistics-based chunk pruning: decode only chunks whose [vmin, vmax]
     intersects the predicate range, then apply the row filter — must equal a
@@ -287,6 +340,72 @@ FROM (SELECT doc_id, UNNEST(list_transform(string_split(text, ' '),
       FROM documents)
 WHERE tok >= 8
 GROUP BY doc_id
+"""
+
+
+def _q_pruned_scan_strings(spark, sf_dir) -> DataFrame:
+    """String-statistics pruning: source buckets are homogeneous, so a
+    BETWEEN predicate on the source column keeps exactly the matching
+    sources' chunks (vmin_s == vmax_s == source) — no other payload is
+    deserialized."""
+    encode_job, decode_job = _engine(spark)
+    seq = _seq_from_documents(spark, sf_dir)
+    chunks = encode_job.encode_table(seq, rows_per_bucket=64)
+    decoded = decode_job.decode_chunks_pruned(chunks, "source", "src10", "src15")
+    return (
+        decoded.where(F.col("source").between("src10", "src15"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+_ORACLE_PRUNED_STRINGS = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+WHERE source BETWEEN 'src10' AND 'src15'
+GROUP BY source
+"""
+
+
+def _q_pruned_scan_floats(spark, sf_dir) -> DataFrame:
+    """Float-statistics pruning through the generic table path: decode only
+    chunks whose [vmin_d, vmax_d] intersects the value predicate."""
+    encode_job, decode_job = _engine(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        "event_type",
+        F.col("value").cast("double"),
+    )
+    cols = encode_job.derive_columns(ev)
+    chunks = encode_job.encode_table(
+        ev, columns=cols, rows_per_bucket=1024,
+        bucket_key="event_type", salt_col="event_id", sort_col="event_id",
+    )
+    dec = decode_job.decode_table_pruned(chunks, cols, "value", 0.5, 2.5)
+    return (
+        dec.where((F.col("value") >= 0.5) & (F.col("value") <= 2.5))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+_ORACLE_PRUNED_FLOATS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id,
+       ROUND(MIN(value), 6) AS min_v,
+       ROUND(MAX(value), 6) AS max_v
+FROM events
+WHERE value >= 0.5 AND value <= 2.5
+GROUP BY event_type
 """
 
 
@@ -673,7 +792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for g in _GOLDEN_HEX:
         q[g] = lambda spark, sf_dir, name=g: _golden_df(spark, name)
     q["rt_events_table"] = _q_rt_events_table
+    q["rt_nullable_table"] = _q_rt_nullable_table
     q["pruned_scan"] = _q_pruned_scan
+    q["pruned_scan_strings"] = _q_pruned_scan_strings
+    q["pruned_scan_floats"] = _q_pruned_scan_floats
     q["chunk_plan"] = _q_chunk_plan
     q["chunk_metrics"] = _q_chunk_metrics
     q["dedup_exact"] = _q_dedup_exact
@@ -703,7 +825,10 @@ def oracle_sql() -> dict[str, str]:
     for g, hexval in _GOLDEN_HEX.items():
         o[g] = f"SELECT '{g}' AS case, '{hexval}' AS encoded_hex"
     o["rt_events_table"] = _ORACLE_RT_EVENTS
+    o["rt_nullable_table"] = _ORACLE_RT_NULLABLE
     o["pruned_scan"] = _ORACLE_PRUNED_SCAN
+    o["pruned_scan_strings"] = _ORACLE_PRUNED_STRINGS
+    o["pruned_scan_floats"] = _ORACLE_PRUNED_FLOATS
     o["chunk_plan"] = _ORACLE_CHUNK_PLAN
     o["chunk_metrics"] = _ORACLE_CHUNK_METRICS
     o["dedup_exact"] = _ORACLE_DEDUP_EXACT

@@ -200,21 +200,42 @@ def encode_chunk(values, codec: str, dtype: str = "int32", valid=None) -> bytes:
     shredded out of the value stream and a def-level section (RLE v1, width 1)
     precedes the payload, exactly the reference's nullable write path
     (``src/column/writer.rs:304-322``; levels ``src/encodings/levels.rs``).
+
+    With ``valid``, numeric ``values`` may be either full-length (nulls will
+    be shredded out) or already dense (``len(values) == valid.sum()`` — the
+    job layer passes dense arrays because pandas cannot represent null ints
+    in a typed numpy array). Byte arrays with ``valid`` are always dense:
+    ``(lengths, data)`` describe only the non-null values.
     """
     cid = CODEC_IDS[codec]
     flags = 0
-    levels_buf = b""
     if valid is not None:
         from . import levels as levels_mod
 
         flags |= FLAG_NULLABLE
-        def_levels, dense = levels_mod.shred_nullable(
-            np.ascontiguousarray(values), np.ascontiguousarray(valid, dtype=bool)
-        )
+        mask = np.ascontiguousarray(valid, dtype=bool)
+        n = len(mask)
+        def_levels = mask.astype(np.uint64)
         levels_buf = levels_mod.encode_v1(def_levels, 1)
-        n = len(def_levels)
-        raw_bytes = n * _DTYPE_SIZE[dtype]
-        payload = levels_buf + _encode_int_payload(dense, cid, dtype)
+        if dtype == "bytes":
+            lengths, data = values
+            if len(lengths) != int(mask.sum()):
+                raise ValueError("nullable bytes: (lengths, data) must be dense")
+            raw_bytes = int(np.asarray(lengths, dtype=np.int64).sum()) + 4 * n
+            payload = levels_buf + _encode_ba_payload(np.asarray(lengths), data, cid)
+        else:
+            arr = np.ascontiguousarray(values)
+            if arr.size == n:
+                dense = arr[mask]
+            elif arr.size == int(mask.sum()):
+                dense = arr  # already shredded by the caller
+            else:
+                raise ValueError(
+                    f"values length {arr.size} matches neither mask length {n} "
+                    f"nor non-null count {int(mask.sum())}"
+                )
+            raw_bytes = n * _DTYPE_SIZE[dtype]
+            payload = levels_buf + _encode_int_payload(dense, cid, dtype)
     elif dtype == "bytes":
         lengths, data = values
         n = len(lengths)
@@ -324,6 +345,9 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
 
         def_levels, consumed = levels_mod.decode_v1(payload, 1, info.n_values)
         n_dense = int(def_levels.sum())
+        if info.dtype == "bytes":
+            lens, data = _decode_ba_payload(payload[consumed:], cid, n_dense)
+            return lens, data, def_levels.astype(bool)
         dense = _decode_int_payload(payload[consumed:], cid, n_dense, info.dtype)
         return levels_mod.assemble_nullable(def_levels, dense)
     if info.dtype == "bytes":

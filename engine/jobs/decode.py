@@ -101,11 +101,27 @@ _SPARK_TYPES = {
 }
 
 
+def _nullable_series(vals: np.ndarray, valid: np.ndarray, kind: str) -> pd.Series:
+    """Dense-decoded values + validity -> pandas series with real nulls.
+    All families use pandas masked extension arrays so Arrow carries a true
+    validity bitmap — a NaN stand-in would make Spark see non-null NaN."""
+    if kind in ("int32", "int64"):
+        arr = pd.arrays.IntegerArray(vals.astype(kind), mask=~valid)
+    elif kind in ("float32", "float64"):
+        arr = pd.arrays.FloatingArray(vals.astype(kind), mask=~valid)
+    elif kind == "bool":
+        arr = pd.arrays.BooleanArray(vals.astype(bool), mask=~valid)
+    else:
+        raise ValueError(f"no nullable family for kind {kind}")
+    return pd.Series(arr)
+
+
 def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     """Generic decode for any table encoded via ``encode_table`` with a
     ``columns`` spec (name -> (kind, ...)). The inverse of the generic
     ``derive_columns`` path: list columns are only supported through the
-    specialized tokenized-sequences decoder."""
+    specialized tokenized-sequences decoder. Nullable chunks (FLAG_NULLABLE)
+    come back with their nulls restored from the def-level section."""
     from pyspark.sql.types import _parse_datatype_string
 
     fields = []
@@ -123,13 +139,22 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     }
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        blobs = {r["column"]: r["payload"] for _, r in pdf.iterrows()}
+        blobs = dict(zip(pdf["column"], pdf["payload"]))
         out = {}
         for name, spec in columns.items():
             kind = spec[0]
             decoded = chunk.decode_chunk(blobs[name])
             if kind == "bytes":
-                out[name] = _strings_from_flat(*decoded)
+                if isinstance(decoded, tuple) and len(decoded) == 3:
+                    lens, data, valid = decoded
+                    dense = _strings_from_flat(lens, data)
+                    s = pd.Series(np.full(len(valid), None, dtype=object))
+                    s[valid] = dense.to_numpy()
+                    out[name] = s
+                else:
+                    out[name] = _strings_from_flat(*decoded)
+            elif isinstance(decoded, tuple):
+                out[name] = _nullable_series(decoded[0], decoded[1], kind)
             else:
                 out[name] = decoded
         return pd.DataFrame(out)
@@ -143,10 +168,35 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     return out
 
 
-def decode_chunks_pruned(
-    chunks_df: DataFrame, column: str, lo: int, hi: int
-) -> DataFrame:
-    """Decode only chunks whose [vmin, vmax] statistics for ``column``
+def _pruned_chunk_ids(chunks_df: DataFrame, column: str, lo, hi) -> DataFrame:
+    """chunk_ids whose typed [min, max] statistics for ``column`` intersect
+    [lo, hi]. The stat family follows the bound type: int -> (vmin, vmax),
+    float -> (vmin_d, vmax_d), str -> (vmin_s, vmax_s) — matching the
+    reference's per-type Statistics with sort-order rules
+    (``src/file/statistics.rs:246-440``). Chunks whose stats are NULL for the
+    family (e.g. all-null chunks) cannot contain qualifying values and drop.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(lo, str):
+        vmin_c, vmax_c = "vmin_s", "vmax_s"
+    elif isinstance(lo, float) or isinstance(hi, float):
+        vmin_c, vmax_c = "vmin_d", "vmax_d"
+    else:
+        vmin_c, vmax_c = "vmin", "vmax"
+    return (
+        chunks_df.where(
+            (F.col("column") == column)
+            & (F.col(vmax_c) >= lo)
+            & (F.col(vmin_c) <= hi)
+        )
+        .select("chunk_id")
+        .distinct()
+    )
+
+
+def decode_chunks_pruned(chunks_df: DataFrame, column: str, lo, hi) -> DataFrame:
+    """Decode only chunks whose [min, max] statistics for ``column``
     intersect [lo, hi] — the engine-level analog of parquet row-group
     predicate pushdown. The reference carries these statistics in metadata
     for *future* filtering (``src/file/statistics.rs:246-340``, pushdown is
@@ -158,13 +208,18 @@ def decode_chunks_pruned(
     """
     from pyspark.sql import functions as F
 
-    keep = (
-        chunks_df.where(
-            (F.col("column") == column)
-            & (F.col("vmax") >= lo)
-            & (F.col("vmin") <= hi)
-        )
-        .select("chunk_id")
-        .distinct()
-    )
+    keep = _pruned_chunk_ids(chunks_df, column, lo, hi)
     return decode_chunks(chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"))
+
+
+def decode_table_pruned(
+    chunks_df: DataFrame, columns: dict, column: str, lo, hi
+) -> DataFrame:
+    """Generic-table variant of :func:`decode_chunks_pruned` — string and
+    float predicates prune too (vmin_s/vmax_s, vmin_d/vmax_d)."""
+    from pyspark.sql import functions as F
+
+    keep = _pruned_chunk_ids(chunks_df, column, lo, hi)
+    return decode_table(
+        chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"), columns
+    )

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -56,11 +57,22 @@ CHUNK_SCHEMA = StructType(
         StructField("raw_bytes", LongType(), False),
         StructField("enc_bytes", LongType(), False),
         StructField("checksum", LongType(), False),
+        # typed chunk statistics (reference Statistics carries min/max +
+        # null_count for every type with sort-order rules,
+        # src/file/statistics.rs:246-440; we carry one column per family and
+        # actually prune on them — decode.decode_chunks_pruned*)
         StructField("vmin", LongType(), True),
         StructField("vmax", LongType(), True),
+        StructField("vmin_d", DoubleType(), True),
+        StructField("vmax_d", DoubleType(), True),
+        StructField("vmin_s", StringType(), True),
+        StructField("vmax_s", StringType(), True),
+        StructField("null_count", LongType(), False),
         StructField("payload", BinaryType(), False),
     ]
 )
+
+_STAT_TRUNC = 64  # string min/max are truncated like parquet's column index
 
 # column name -> (kind, per-column codec override or None for auto-select)
 DEFAULT_COLUMNS = {
@@ -78,6 +90,24 @@ def _encode_group(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
     return _encode_group_sorted(pdf, columns)
 
 
+def _scalar_dense(ser: pd.Series, kind: str):
+    """(dense ndarray of ``kind``, valid mask or None, null_count).
+
+    Arrow->pandas hands null ints/bools over as NaN/None-bearing object or
+    float columns, so a typed full-length numpy array cannot exist — the
+    dense (non-null) values plus a validity mask are the honest shape (the
+    reference shreds exactly this way, src/column/writer.rs:304-322). For
+    float columns NaN means NULL (Arrow validity is lost in the pandas hop).
+    """
+    na = ser.isna()
+    nc = int(na.sum())
+    if nc == 0:
+        return ser.to_numpy(dtype=kind), None, 0
+    valid = (~na).to_numpy()
+    dense = ser[~na].to_numpy(dtype=kind)
+    return dense, valid, nc
+
+
 def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
     """Encode one bucket whose rows are already doc_id-sorted (the streaming
     path sorts in Tungsten via sortWithinPartitions — no pandas sort)."""
@@ -93,7 +123,8 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
         # optional third element: candidate codec set (WriterProperties
         # dictionary toggles narrow it, reference set_dictionary_enabled)
         candidates = spec[2] if len(spec) > 2 and spec[2] else None
-        vmin = vmax = None
+        vmin = vmax = vmin_d = vmax_d = vmin_s = vmax_s = None
+        null_count = 0
         if kind == "int32_list":
             arrays = [np.asarray(a, dtype=np.int32) for a in pdf[col]]
             flat = np.concatenate(arrays) if arrays else np.empty(0, np.int32)
@@ -113,27 +144,49 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
             if flat.size:
                 vmin, vmax = int(flat.min()), int(flat.max())
         elif kind in ("int32", "int64"):
-            vals = pdf[col].to_numpy(dtype=kind)
+            vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec, _, _ = selector.select_codec(
                 vals, override=override, candidates=candidates or selector.INT_CANDIDATES
             )
-            blob = chunk.encode_chunk(vals, codec, kind)
+            blob = chunk.encode_chunk(vals, codec, kind, valid=valid)
             if vals.size:
                 vmin, vmax = int(vals.min()), int(vals.max())
         elif kind in ("float32", "float64"):
-            vals = pdf[col].to_numpy(dtype=kind)
+            vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec = selector.select_float_codec(vals, override=override)
-            blob = chunk.encode_chunk(vals, codec, kind)
+            blob = chunk.encode_chunk(vals, codec, kind, valid=valid)
+            if vals.size:
+                vmin_d, vmax_d = float(vals.min()), float(vals.max())
         elif kind == "bool":
-            vals = pdf[col].to_numpy(dtype=bool)
+            vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec = selector.select_bool_codec(vals, override=override)
-            blob = chunk.encode_chunk(vals, codec, "bool")
+            blob = chunk.encode_chunk(vals, codec, "bool", valid=valid)
         elif kind == "bytes":
-            lengths, data = bytearrays.flat_from_values(pdf[col].tolist())
+            ser = pdf[col]
+            na = ser.isna()
+            null_count = int(na.sum())
+            valid = (~na).to_numpy() if null_count else None
+            dense_vals = ser[~na].tolist() if null_count else ser.tolist()
+            lengths, data = bytearrays.flat_from_values(dense_vals)
             codec = selector.select_ba_codec(lengths, data, override=override)
             if candidates and codec not in candidates:
                 codec = "delta_length_ba"
-            blob = chunk.encode_chunk((lengths, data), codec, "bytes")
+            blob = chunk.encode_chunk((lengths, data), codec, "bytes", valid=valid)
+            if dense_vals:
+                # truncated like parquet's column-index bounds: a prefix of
+                # min is still a valid lower bound; for max a bare prefix
+                # would be a WRONG upper bound, so only truncate when the
+                # remaining prefix can be bumped (last char < U+10FFFF)
+                vmin_s = str(min(dense_vals))[:_STAT_TRUNC]
+                mx = str(max(dense_vals))
+                if len(mx) > _STAT_TRUNC:
+                    cut = mx[:_STAT_TRUNC]
+                    if ord(cut[-1]) < 0x10FFFF:
+                        vmax_s = cut[:-1] + chr(ord(cut[-1]) + 1)
+                    else:
+                        vmax_s = mx  # cannot bump: keep the exact bound
+                else:
+                    vmax_s = mx
         else:
             raise ValueError(f"unknown column kind {kind}")
         info = chunk.read_info(blob)
@@ -150,6 +203,11 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
                 "checksum": info.checksum,
                 "vmin": vmin,
                 "vmax": vmax,
+                "vmin_d": vmin_d,
+                "vmax_d": vmax_d,
+                "vmin_s": vmin_s,
+                "vmax_s": vmax_s,
+                "null_count": null_count,
                 "payload": blob,
             }
         )

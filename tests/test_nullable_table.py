@@ -1,0 +1,105 @@
+"""Nulls through the JOB layer (VERDICT r1 #2): a real table with NULL
+int/float/string/bool columns must encode and decode losslessly.
+
+The chunk layer shreds nulls into def levels (reference write path
+``src/column/writer.rs:304-322``); these tests pin that ``encode_table`` /
+``decode_table`` actually drive it: validity masks are detected per bucket,
+dense values only hit the codecs, and decode restores a true Arrow validity
+bitmap (NULL, not NaN/fill).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import chunk
+from engine.jobs import decode as decode_job
+from engine.jobs import encode as encode_job
+
+
+def _nullable_df(spark, n=2000):
+    return spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 7 != 0, F.col("id") * 3).alias("user_id"),
+        F.when(F.col("id") % 5 != 0, (F.col("id") % 97).cast("double") / 7).alias("value"),
+        F.when(F.col("id") % 11 != 0, F.concat(F.lit("u-"), F.col("id"))).alias("tag"),
+        F.when(F.col("id") % 3 != 0, (F.col("id") % 2 == 0)).alias("flag"),
+        F.when(F.col("id") % 13 != 0, (F.col("id") % 1000).cast("int")).alias("code"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark):
+    df = _nullable_df(spark)
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=256,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    out = decode_job.decode_table(chunks, cols)
+    return df, chunks, out
+
+
+def test_nullable_roundtrip_values(spark, roundtrip):
+    df, _, out = roundtrip
+    a = df.orderBy("event_id").toPandas().reset_index(drop=True)
+    b = out.orderBy("event_id").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_nullable_roundtrip_null_positions(spark, roundtrip):
+    df, _, out = roundtrip
+    for c in ["user_id", "value", "tag", "flag", "code"]:
+        na = df.where(F.col(c).isNull()).count()
+        nb = out.where(F.col(c).isNull()).count()
+        assert na == nb and na > 0, (c, na, nb)
+
+
+def test_null_count_statistic(spark, roundtrip):
+    df, chunks, _ = roundtrip
+    got = {
+        r["column"]: r["nc"]
+        for r in chunks.groupBy("column").agg(F.sum("null_count").alias("nc")).collect()
+    }
+    for c in ["user_id", "value", "tag", "flag", "code"]:
+        assert got[c] == df.where(F.col(c).isNull()).count()
+    assert got["event_id"] == 0 and got["grp"] == 0
+
+
+def test_all_null_column_roundtrip(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit("g").alias("grp"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    out = decode_job.decode_table(chunks, cols)
+    assert out.where(F.col("value").isNull()).count() == 100
+    assert out.schema["value"].dataType.typeName() == "double"
+
+
+def test_nullable_bytes_chunk_layer():
+    lengths = np.array([2, 3], dtype=np.int64)
+    data = b"ab" + b"cde"
+    valid = np.array([True, False, True, False, False], dtype=bool)
+    blob = chunk.encode_chunk((lengths, data), "delta_length_ba", "bytes", valid=valid)
+    lens, dat, v = chunk.decode_chunk(blob)
+    assert np.array_equal(v, valid)
+    assert np.array_equal(lens, lengths) and dat == data
+    info = chunk.read_info(blob)
+    assert info.n_values == 5 and info.flags & chunk.FLAG_NULLABLE
+
+
+def test_dense_mismatch_rejected():
+    lengths = np.array([2], dtype=np.int64)
+    with pytest.raises(ValueError, match="dense"):
+        chunk.encode_chunk(
+            (lengths, b"ab"), "delta_length_ba", "bytes",
+            valid=np.array([True, True], dtype=bool),
+        )

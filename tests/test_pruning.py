@@ -65,3 +65,75 @@ def test_pruned_decode_skips_chunks_and_stays_correct(spark, banded_corpus):
 def test_prune_empty_range(spark, banded_corpus):
     chunks = encode_job.encode_table(banded_corpus, rows_per_bucket=64)
     assert decode_job.decode_chunks_pruned(chunks, "tokens", 500, 800).count() == 0
+
+
+def test_string_pruning_skips_chunks(spark):
+    """vmin_s/vmax_s actually prune: fewer chunks decode than a full scan,
+    and the result equals full-scan + filter."""
+    from pyspark.sql import functions as F
+
+    from engine import datagen
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.createDataFrame(datagen.generate_pandas(400, seed=11))
+    chunks = encode_job.encode_table(df, rows_per_bucket=32).persist()
+    total = chunks.select("chunk_id").distinct().count()
+    kept = decode_job._pruned_chunk_ids(chunks, "source", "web", "web").count()
+    assert 0 < kept < total
+    pruned = decode_job.decode_chunks_pruned(chunks, "source", "web", "web")
+    got = pruned.where(F.col("source") == "web").count()
+    want = df.where(F.col("source") == "web").count()
+    assert got == want > 0
+
+
+def test_float_pruning_generic_table(spark):
+    from pyspark.sql import functions as F
+
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    # two value regimes in separate bucket keys -> prunable float stats
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("lo")).otherwise(F.lit("hi")).alias("grp"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 10).cast("double"))
+        .otherwise((F.col("id") % 10 + 1000).cast("double"))
+        .alias("value"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    total = chunks.select("chunk_id").distinct().count()
+    kept = decode_job._pruned_chunk_ids(chunks, "value", 0.0, 100.0).count()
+    assert 0 < kept < total
+    out = decode_job.decode_table_pruned(chunks, cols, "value", 0.0, 100.0)
+    got = out.where(F.col("value") <= 100.0).count()
+    assert got == 500
+
+
+def test_all_null_chunk_pruned_away(spark):
+    from pyspark.sql import functions as F
+
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 100, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+        # grp 'b' rows are ALL NULL for value -> its chunks have no float stats
+        F.when(F.col("id") < 100, F.col("id").cast("double")).alias("value"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=512,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    kept = decode_job._pruned_chunk_ids(chunks, "value", 0.0, 1e9)
+    keys = {
+        r["bucket_key"]
+        for r in chunks.join(kept, "chunk_id", "left_semi").select("bucket_key").collect()
+    }
+    assert keys == {"a"}  # the all-null bucket can't qualify and is skipped
