@@ -343,6 +343,68 @@ GROUP BY doc_id
 """
 
 
+def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
+    """Nested generic-table path: array<string>, nullable array<string>,
+    array<int>, struct and map columns derived from documents, encoded via
+    flatten -> LIST/leaf chunks -> decode -> rebuild, then re-aggregated
+    (reference record assembly src/record/reader.rs:303-520; SchemaDescriptor
+    leaf flattening src/schema/types.rs:652-735)."""
+    _engine(spark)
+    from engine.jobs import decode as decode_job
+    from engine.jobs import nested
+
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    df = docs.select(
+        F.col("doc_id").cast("long"),
+        "source",
+        words.alias("words"),
+        F.when(F.col("doc_id") % 7 != 0, words).alias("words_n"),
+        F.transform(words, lambda w: F.length(w).cast("int")).alias("lens"),
+        F.struct(
+            F.length("text").cast("long").alias("n_chars"),
+            F.col("source").alias("src"),
+        ).alias("st"),
+        F.create_map(
+            F.lit("len"), F.length("text").cast("long"),
+            F.lit("id"), F.col("doc_id").cast("long"),
+        ).alias("m"),
+    )
+    chunks, cols, plan = nested.encode_nested_table(
+        df, rows_per_bucket=128, bucket_key="source",
+        salt_col="doc_id", sort_col="doc_id",
+    )
+    out = nested.rebuild(decode_job.decode_table(chunks, cols), plan)
+    return out.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.element_at("words", 1).alias("first_word"),
+        F.element_at("words", -1).alias("last_word"),
+        F.col("words_n").isNull().alias("words_dropped"),
+        F.aggregate(
+            "lens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("sum_lens"),
+        F.col("st.n_chars").alias("n_chars"),
+        F.col("st.src").alias("src"),
+        F.col("m").getItem("len").alias("m_len"),
+    )
+
+
+_ORACLE_RT_NESTED = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       string_split(text, ' ')[1] AS first_word,
+       string_split(text, ' ')[-1] AS last_word,
+       (doc_id % 7 = 0) AS words_dropped,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> length(w))) AS BIGINT) AS sum_lens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       source AS src,
+       CAST(length(text) AS BIGINT) AS m_len
+FROM documents
+"""
+
+
 def _q_pruned_scan_strings(spark, sf_dir) -> DataFrame:
     """String-statistics pruning: source buckets are homogeneous, so a
     BETWEEN predicate on the source column keeps exactly the matching
@@ -793,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[g] = lambda spark, sf_dir, name=g: _golden_df(spark, name)
     q["rt_events_table"] = _q_rt_events_table
     q["rt_nullable_table"] = _q_rt_nullable_table
+    q["rt_nested_table"] = _q_rt_nested_table
     q["pruned_scan"] = _q_pruned_scan
     q["pruned_scan_strings"] = _q_pruned_scan_strings
     q["pruned_scan_floats"] = _q_pruned_scan_floats
@@ -826,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         o[g] = f"SELECT '{g}' AS case, '{hexval}' AS encoded_hex"
     o["rt_events_table"] = _ORACLE_RT_EVENTS
     o["rt_nullable_table"] = _ORACLE_RT_NULLABLE
+    o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["pruned_scan"] = _ORACLE_PRUNED_SCAN
     o["pruned_scan_strings"] = _ORACLE_PRUNED_STRINGS
     o["pruned_scan_floats"] = _ORACLE_PRUNED_FLOATS

@@ -50,6 +50,7 @@ BITPACK = 3
 RLE = 4
 RLE_BOOL = 5
 PAGED = 6  # container: per-page sub-chunks, each with its own codec
+LIST = 7  # container: lengths sub-chunk + element-values sub-chunk
 PLAIN_BA = 16
 DICT_BA = 17
 DELTA_LENGTH_BA = 18
@@ -60,6 +61,7 @@ CODEC_NAMES = {
     PLAIN: "plain",
     RLE_BOOL: "rle_bool",
     PAGED: "paged",
+    LIST: "list",
     DICT: "dict",
     DELTA: "delta",
     BITPACK: "bitpack",
@@ -298,6 +300,110 @@ def encode_chunk_paged(
     return header + payload
 
 
+def auto_codec(values, dtype: str, override: str | None = None) -> str:
+    """Auto-select a codec for one value stream of any supported dtype
+    (the per-type default dispatch of the reference's writer,
+    ``src/column/writer.rs:721-792``, as an explicit selector call)."""
+    from . import selector
+
+    if dtype in ("int32", "int64"):
+        return selector.select_codec(values, override=override)[0]
+    if dtype in ("float32", "float64"):
+        return selector.select_float_codec(values, override=override)
+    if dtype == "bool":
+        return selector.select_bool_codec(values, override=override)
+    if dtype == "bytes":
+        lengths, data = values
+        return selector.select_ba_codec(lengths, data, override=override)
+    raise ValueError(f"no codec family for dtype {dtype}")
+
+
+def encode_chunk_list(
+    lengths: np.ndarray,
+    values,
+    elem_dtype: str,
+    codec: str | None = None,
+    valid: np.ndarray | None = None,
+    elem_valid: np.ndarray | None = None,
+) -> bytes:
+    """Encode a list column slice: the record-shredding container (Dremel
+    lists, reference record assembly ``src/record/reader.rs:159-240``).
+
+    ``lengths``: element count per NON-NULL record (dense). ``values``: flat
+    element stream — ndarray for numeric elements, ``(ba_lengths, data)`` for
+    string elements; when ``elem_valid`` is given the stream is dense
+    non-null elements and lengths count ALL element slots.
+    ``valid``: record-level validity (null lists). Frame::
+
+        header(codec=LIST, dtype=elem_dtype, flags)
+        [record def levels]                 -- if FLAG_NULLABLE
+        u64 lengths_blob_len | lengths_blob -- framed int32 chunk, auto codec
+        values_blob                         -- framed chunk, auto codec
+                                               (element nulls ride its own
+                                                FLAG_NULLABLE section)
+    """
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    flags = 0
+    head = b""
+    if valid is not None:
+        from . import levels as levels_mod
+
+        mask = np.ascontiguousarray(valid, dtype=bool)
+        if len(lengths) != int(mask.sum()):
+            raise ValueError("list chunk: lengths must be dense (non-null records)")
+        flags |= FLAG_NULLABLE
+        n = len(mask)
+        head = levels_mod.encode_v1(mask.astype(np.uint64), 1)
+    else:
+        n = len(lengths)
+    len_codec = auto_codec(lengths, "int32")
+    lengths_blob = encode_chunk(lengths, len_codec, "int32")
+    vcodec = codec or auto_codec(values, elem_dtype)
+    values_blob = encode_chunk(values, vcodec, elem_dtype, valid=elem_valid)
+    payload = (
+        head + len(lengths_blob).to_bytes(8, "little") + lengths_blob + values_blob
+    )
+    if elem_dtype == "bytes":
+        ba_lengths, data = values
+        raw_bytes = int(np.asarray(ba_lengths, dtype=np.int64).sum()) + 4 * n
+    else:
+        nvals = int(lengths.sum()) if elem_valid is None else len(
+            np.ascontiguousarray(elem_valid)
+        )
+        raw_bytes = nvals * _DTYPE_SIZE[elem_dtype] + 4 * n
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    header = (
+        MAGIC
+        + bytes([VERSION, LIST, _DTYPES[elem_dtype], flags])
+        + n.to_bytes(8, "little")
+        + raw_bytes.to_bytes(8, "little")
+        + crc.to_bytes(4, "little")
+        + len(payload).to_bytes(8, "little")
+    )
+    return header + payload
+
+
+def _decode_list(payload: np.ndarray, flags: int, n: int):
+    """-> (lengths, values[, record_valid]); ``values`` is whatever the
+    element chunk decodes to (ndarray, (lens, data), or nullable tuples)."""
+    pos = 0
+    record_valid = None
+    if flags & FLAG_NULLABLE:
+        from . import levels as levels_mod
+
+        def_levels, consumed = levels_mod.decode_v1(payload, 1, n)
+        record_valid = def_levels.astype(bool)
+        pos = consumed
+    llen = int.from_bytes(payload[pos : pos + 8].tobytes(), "little")
+    pos += 8
+    lengths = decode_chunk(payload[pos : pos + llen], verify_checksum=False)
+    pos += llen
+    values = decode_chunk(payload[pos:], verify_checksum=False)
+    if record_valid is not None:
+        return lengths, values, record_valid
+    return lengths, values
+
+
 def _decode_paged(payload: np.ndarray, dtype: str) -> np.ndarray:
     n_pages = int.from_bytes(payload[:4].tobytes(), "little")
     pos = 4
@@ -340,6 +446,8 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
     cid = CODEC_IDS[info.codec]
     if cid == PAGED:
         return _decode_paged(payload, info.dtype)
+    if cid == LIST:
+        return _decode_list(payload, info.flags, info.n_values)
     if info.flags & FLAG_NULLABLE:
         from . import levels as levels_mod
 

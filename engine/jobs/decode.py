@@ -34,16 +34,68 @@ ALL_COLUMNS = list(_FIELDS)
 DECODED_SCHEMA = StructType(list(_FIELDS.values()))
 
 
-def _strings_from_flat(lengths: np.ndarray, data: bytes) -> pd.Series:
+def _string_array_from_flat(lengths: np.ndarray, data: bytes):
     import pyarrow as pa
 
     offsets = np.concatenate(([0], np.cumsum(np.asarray(lengths, dtype=np.int64))))
-    arr = pa.StringArray.from_buffers(
+    return pa.StringArray.from_buffers(
         len(lengths),
         pa.py_buffer(offsets.astype(np.int32).tobytes()),
         pa.py_buffer(data),
     )
-    return arr.to_pandas()
+
+
+def _strings_from_flat(lengths: np.ndarray, data: bytes) -> pd.Series:
+    return _string_array_from_flat(lengths, data).to_pandas()
+
+
+def _list_array(lengths: np.ndarray, values_pa, record_valid=None):
+    """Arrow ListArray from per-record lengths + flat element array —
+    zero-copy record assembly (no per-row Python slicing). Null lists ride a
+    null offset (pa interprets a null offset as a null list)."""
+    import pyarrow as pa
+
+    if record_valid is not None:
+        full = np.zeros(len(record_valid), dtype=np.int64)
+        full[record_valid] = np.asarray(lengths, dtype=np.int64)
+        # a null at offsets[i] (the list's START) marks list i null; the
+        # final offset must stay non-null
+        mask = np.concatenate((~record_valid, [False]))
+    else:
+        full = np.asarray(lengths, dtype=np.int64)
+        mask = None
+    offsets = np.concatenate(([0], np.cumsum(full)))
+    if offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError("list chunk exceeds 2^31 elements; page the column")
+    off_pa = pa.array(offsets.astype(np.int32), type=pa.int32(), mask=mask)
+    return pa.ListArray.from_arrays(off_pa, values_pa)
+
+
+def _list_series(decoded, elem: str) -> pd.Series:
+    """Decoded LIST chunk tuple -> pandas series of arrays (with null lists
+    and null elements restored)."""
+    import pyarrow as pa
+
+    if len(decoded) == 3:
+        lengths, values, record_valid = decoded
+    else:
+        (lengths, values), record_valid = decoded, None
+    if elem == "bytes":
+        if isinstance(values, tuple) and len(values) == 3:
+            balens, data, elem_valid = values
+            dense = _string_array_from_flat(balens, data).to_numpy(zero_copy_only=False)
+            out = np.full(len(elem_valid), None, dtype=object)
+            out[elem_valid] = dense
+            values_pa = pa.array(out, type=pa.string())
+        else:
+            values_pa = _string_array_from_flat(*values)
+    else:
+        if isinstance(values, tuple):
+            vals, elem_valid = values  # full-length with fill + mask
+            values_pa = pa.array(vals, mask=~elem_valid)
+        else:
+            values_pa = pa.array(values)
+    return _list_array(lengths, values_pa, record_valid).to_pandas()
 
 
 def _decode_group(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
@@ -55,11 +107,12 @@ def _decode_group(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
     if "n_tok" in blobs:
         lens_arr = chunk.decode_chunk(blobs["n_tok"]).astype(np.int64)
     if "tokens" in columns:
+        import pyarrow as pa
+
         flat = chunk.decode_chunk(blobs["tokens"])
-        offsets = np.concatenate(([0], np.cumsum(lens_arr)))
-        out["tokens"] = pd.Series(
-            [flat[offsets[i] : offsets[i + 1]] for i in range(n_docs)], dtype=object
-        )
+        # Arrow-native record assembly: one C pass builds the list array from
+        # (offsets, flat) — no 65k-slice Python loop in the decode hot path
+        out["tokens"] = _list_array(lens_arr, pa.array(flat)).to_pandas()
     if "doc_id" in columns:
         out["doc_id"] = _strings_from_flat(*chunk.decode_chunk(blobs["doc_id"]))
     if "n_tok" in columns:
@@ -122,15 +175,21 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     ``derive_columns`` path: list columns are only supported through the
     specialized tokenized-sequences decoder. Nullable chunks (FLAG_NULLABLE)
     come back with their nulls restored from the def-level section."""
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import ArrayType, StructType, _parse_datatype_string
 
     fields = []
     for name, spec in columns.items():
         kind = spec[0]
         if kind == "int32_list":
             raise ValueError("list columns: use decode_chunks (corpus decoder)")
-        fields.append(f"{name} {_SPARK_TYPES[kind]}")
-    schema = _parse_datatype_string(", ".join(fields))
+        # programmatic StructField: flattened struct leaves carry literal
+        # dots in their names, which a DDL string would misparse
+        if kind.startswith("list:"):
+            dt = ArrayType(_parse_datatype_string(_SPARK_TYPES[kind[5:]]))
+        else:
+            dt = _parse_datatype_string(_SPARK_TYPES[kind])
+        fields.append(StructField(name, dt, True))
+    schema = StructType(fields)
 
     logical = {
         name: spec[3]
@@ -144,7 +203,9 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
         for name, spec in columns.items():
             kind = spec[0]
             decoded = chunk.decode_chunk(blobs[name])
-            if kind == "bytes":
+            if kind.startswith("list:"):
+                out[name] = _list_series(decoded, kind[5:])
+            elif kind == "bytes":
                 if isinstance(decoded, tuple) and len(decoded) == 3:
                     lens, data, valid = decoded
                     dense = _strings_from_flat(lens, data)

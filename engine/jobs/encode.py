@@ -161,6 +161,62 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
             vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec = selector.select_bool_codec(vals, override=override)
             blob = chunk.encode_chunk(vals, codec, "bool", valid=valid)
+        elif kind.startswith("list:"):
+            elem = kind[5:]
+            ser = pdf[col]
+            na = ser.isna()
+            null_count = int(na.sum())
+            valid = (~na).to_numpy() if null_count else None
+            items = (ser[~na] if null_count else ser).tolist()
+            lengths = np.fromiter(
+                (len(a) for a in items), dtype=np.int32, count=len(items)
+            )
+            codec = "list"
+            if elem == "bytes":
+                flat_vals = [v for a in items for v in a]
+                elem_na = np.fromiter(
+                    (v is None for v in flat_vals), dtype=bool, count=len(flat_vals)
+                )
+                elem_valid = ~elem_na if elem_na.any() else None
+                dense_vals = (
+                    [v for v in flat_vals if v is not None]
+                    if elem_valid is not None
+                    else flat_vals
+                )
+                ba = bytearrays.flat_from_values(dense_vals)
+                blob = chunk.encode_chunk_list(
+                    lengths, ba, "bytes", valid=valid, elem_valid=elem_valid
+                )
+            else:
+                np_elem = np.dtype(bool) if elem == "bool" else np.dtype(elem)
+                flat0 = (
+                    np.concatenate([np.asarray(a) for a in items])
+                    if items
+                    else np.empty(0, np_elem)
+                )
+                if flat0.dtype == object:
+                    elem_na = pd.isna(flat0)
+                elif np.issubdtype(flat0.dtype, np.floating):
+                    # int lists with nulls arrive as float+NaN from Arrow;
+                    # for float lists NaN means NULL (same convention as
+                    # scalar float columns)
+                    elem_na = np.isnan(flat0.astype("float64"))
+                else:
+                    elem_na = None
+                if elem_na is not None and elem_na.any():
+                    elem_valid = ~elem_na
+                    dense = flat0[elem_valid].astype(np_elem)
+                else:
+                    elem_valid = None
+                    dense = flat0.astype(np_elem)
+                blob = chunk.encode_chunk_list(
+                    lengths, dense, elem, valid=valid, elem_valid=elem_valid
+                )
+                if dense.size:
+                    if elem in ("int32", "int64"):
+                        vmin, vmax = int(dense.min()), int(dense.max())
+                    elif elem in ("float32", "float64"):
+                        vmin_d, vmax_d = float(dense.min()), float(dense.max())
         elif kind == "bytes":
             ser = pdf[col]
             na = ser.isna()
@@ -278,10 +334,11 @@ def derive_columns(df: DataFrame) -> dict:
     }
     out = {}
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.ArrayType) and isinstance(
-            f.dataType.elementType, T.IntegerType
-        ):
-            out[f.name] = ColumnSpec("int32_list")
+        if isinstance(f.dataType, T.ArrayType) and f.dataType.elementType in mapping:
+            # generic list of scalars -> LIST container chunks (lengths
+            # sub-chunk + element sub-chunk; Dremel record shredding,
+            # reference src/record/reader.rs:159-240)
+            out[f.name] = ColumnSpec(f"list:{mapping[f.dataType.elementType]}")
         elif f.dataType in mapping:
             out[f.name] = ColumnSpec(mapping[f.dataType])
         elif f.dataType in logical_map:
@@ -366,8 +423,9 @@ def encode_table(
             "chunk_id",
             "left_anti",
         )
-    cols = ["chunk_id", *skew.BUCKET_META_COLS] + [
-        c for c in columns if c not in skew.BUCKET_META_COLS
+    # backtick-quote: flattened struct leaves carry literal dots ("s.a")
+    cols = [F.col(f"`{c}`") for c in ("chunk_id", *skew.BUCKET_META_COLS)] + [
+        F.col(f"`{c}`") for c in columns if c not in skew.BUCKET_META_COLS
     ]
 
     def encode_stream(batches):
@@ -401,6 +459,6 @@ def encode_table(
     return (
         bucketed.select(*cols)
         .repartition(F.col("chunk_id"))
-        .sortWithinPartitions("chunk_id", sort_col)
+        .sortWithinPartitions(F.col("chunk_id"), F.col(f"`{sort_col}`"))
         .mapInPandas(encode_stream, CHUNK_SCHEMA)
     )

@@ -1,0 +1,133 @@
+"""Struct/map flattening for the generic encode path.
+
+The reference assembles nested records from flat column readers — structs
+are just groups of leaf columns (``SchemaDescriptor`` leaf flattening,
+``src/schema/types.rs:652-735``), maps are repeated (key, value) groups
+(``KeyValueReader``, ``src/record/reader.rs:241-302``). The Spark-native
+equivalent: project nested columns to leaf columns *declaratively* before
+encoding (Catalyst does the shredding; no Python touches rows), then rebuild
+the nested shape with ``F.struct`` / ``F.map_from_arrays`` after decode.
+
+- struct ``s`` -> leaves ``s.a``, ``s.b`` (+ ``s.__valid`` bool when the
+  struct itself is nullable — def-level semantics distinguishing a null
+  struct from a struct of nulls);
+- map ``m`` -> ``m.__keys`` / ``m.__vals`` array leaves (a null map rides
+  the arrays' own null-list encoding);
+- nested structs flatten recursively (inner structs rebuilt first).
+
+Usage::
+
+    flat, plan = nested.flatten(df)
+    cols = encode.derive_columns(flat)
+    chunks = encode.encode_table(flat, columns=cols, ...)
+    out = nested.rebuild(decode.decode_table(chunks, cols), plan)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+VALID_LEAF = "__valid"
+KEYS_LEAF = "__keys"
+VALS_LEAF = "__vals"
+
+# leaf-name separator: NOT '.' — PySpark's mapInPandas resolves columns with
+# df[name], which parses dots as struct access and cannot be quoted there
+SEP = "$"
+
+
+def _q(name: str):
+    """Column ref that tolerates special characters in the flattened name."""
+    return F.col(f"`{name}`")
+
+
+def flatten(df: DataFrame) -> tuple[DataFrame, list]:
+    """Project struct/map columns down to scalar/array leaves.
+
+    Returns ``(flat_df, plan)``; feed ``plan`` to :func:`rebuild` after
+    decoding. Raises for shapes with no leaf mapping (arrays of structs).
+    """
+    for f in df.schema.fields:
+        if SEP in f.name and not isinstance(
+            f.dataType, (T.StructType, T.MapType)
+        ):
+            raise ValueError(
+                f"column {f.name!r} contains the reserved flatten separator {SEP!r}"
+            )
+    plan: list = []
+    changed = True
+    while changed:
+        changed = False
+        fields = df.schema.fields
+        cols = []
+        for f in fields:
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                changed = True
+                leaves = []
+                for sub in dt.fields:
+                    leaf = f"{f.name}{SEP}{sub.name}"
+                    cols.append(_q(f.name).getField(sub.name).alias(leaf))
+                    leaves.append((sub.name, leaf))
+                valid_leaf = None
+                if f.nullable:
+                    valid_leaf = f"{f.name}{SEP}{VALID_LEAF}"
+                    cols.append(_q(f.name).isNotNull().alias(valid_leaf))
+                plan.append(("struct", f.name, leaves, valid_leaf))
+            elif isinstance(dt, T.MapType):
+                if isinstance(dt.valueType, (T.StructType, T.MapType, T.ArrayType)):
+                    raise ValueError(
+                        f"column {f.name}: map values of type {dt.valueType} "
+                        "not encodable; flatten to entries first"
+                    )
+                changed = True
+                k_leaf = f"{f.name}{SEP}{KEYS_LEAF}"
+                v_leaf = f"{f.name}{SEP}{VALS_LEAF}"
+                cols.append(F.map_keys(_q(f.name)).alias(k_leaf))
+                cols.append(F.map_values(_q(f.name)).alias(v_leaf))
+                plan.append(("map", f.name, k_leaf, v_leaf))
+            elif isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.StructType, T.MapType, T.ArrayType)
+            ):
+                raise ValueError(
+                    f"column {f.name}: array of {dt.elementType} not encodable; "
+                    "explode to rows first"
+                )
+            else:
+                cols.append(_q(f.name))
+        if changed:
+            df = df.select(*cols)
+    return df, plan
+
+
+def rebuild(df: DataFrame, plan: list) -> DataFrame:
+    """Inverse of :func:`flatten`: reassemble structs/maps from decoded
+    leaves (inner-most steps were appended last, so apply in reverse)."""
+    for step in reversed(plan):
+        if step[0] == "struct":
+            _, name, leaves, valid_leaf = step
+            built = F.struct(*[_q(leaf).alias(sub) for sub, leaf in leaves])
+            if valid_leaf is not None:
+                built = F.when(_q(valid_leaf), built)
+            drop = [leaf for _, leaf in leaves] + (
+                [valid_leaf] if valid_leaf else []
+            )
+            df = df.withColumn(name, built).drop(*drop)
+        else:
+            _, name, k_leaf, v_leaf = step
+            df = df.withColumn(
+                name, F.map_from_arrays(_q(k_leaf), _q(v_leaf))
+            ).drop(k_leaf, v_leaf)
+    return df
+
+
+def encode_nested_table(df: DataFrame, **encode_kwargs):
+    """Convenience: flatten -> derive -> encode. Returns (chunks, cols, plan);
+    decode with ``nested.rebuild(decode.decode_table(chunks, cols), plan)``."""
+    from . import encode as encode_job
+
+    flat, plan = flatten(df)
+    cols = encode_job.derive_columns(flat)
+    chunks = encode_job.encode_table(flat, columns=cols, **encode_kwargs)
+    return chunks, cols, plan
