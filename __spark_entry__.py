@@ -755,7 +755,37 @@ def _q_simhash_pairs(spark, sf_dir) -> DataFrame:
     return dedup.simhash_near_dup_pairs(docs, max_hamming=8)
 
 
+def _recall_vs_bruteforce(emb, queries, approx, floor: float) -> DataFrame:
+    """(query_id, n_exact, meets_floor): recall@k of an ANN result against
+    the exact top-k, computed Spark-side (VERDICT r1 #4: an approximate op
+    without a recall number is unshippable). The oracle pins every query at
+    meets_floor = true, so a recall regression is a hash mismatch."""
+    from engine.ops import simsearch
+
+    exact = simsearch.cosine_topk_bruteforce(emb, queries, k=10)
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("n_exact").cast("long"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                >= F.ceil(F.col("n_exact") * floor)
+            ).alias("meets_floor"),
+        )
+    )
+
+
 def _q_knn_lsh(spark, sf_dir) -> DataFrame:
+    """Multi-table multiprobe LSH ANN, oracled by recall@10 >= 0.3 against
+    brute force (the embeddings are near-random unit vectors — top-10
+    cosine ~0.28-0.37 vs random mean 0.004 — so 0.3 is ~15x better than the
+    27%-of-corpus candidate rate would give at random; measured 0.4-0.5)."""
     from engine.ops import simsearch
 
     _engine(spark)
@@ -766,11 +796,15 @@ def _q_knn_lsh(spark, sf_dir) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return simsearch.cosine_topk_lsh(emb, queries, dim=dim, k=10, nbits=8)
+    approx = simsearch.cosine_topk_lsh(
+        emb, queries, dim=dim, k=10, nbits=8, ntables=8, multiprobe=True
+    )
+    return _recall_vs_bruteforce(emb, queries, approx, floor=0.3)
 
 
 def _q_knn_ivf(spark, sf_dir) -> DataFrame:
-    """IVF ANN: train coarse centroids on a sample, probe nearest cells."""
+    """IVF ANN (8 coarse centroids, nprobe=3), oracled by recall@10 >= 0.8
+    against brute force (measured 0.9-1.0 at sf0.01)."""
     from engine.ops import simsearch
 
     _engine(spark)
@@ -781,7 +815,51 @@ def _q_knn_ivf(spark, sf_dir) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return simsearch.ivf_topk(emb, queries, cents, k=10, nprobe=3)
+    approx = simsearch.ivf_topk(emb, queries, cents, k=10, nprobe=3)
+    return _recall_vs_bruteforce(emb, queries, approx, floor=0.8)
+
+
+_ORACLE_KNN_RECALL = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact, true AS meets_floor
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _q_simhash_planted(spark, sf_dir) -> DataFrame:
+    """SimHash pipeline oracle: plant one exact duplicate per document
+    (identical text -> identical 64-bit signature -> same-signature star
+    edge, deterministically); every planted pair must come back."""
+    from engine.ops import dedup
+
+    _engine(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.union(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    pairs = dedup.simhash_near_dup_pairs(planted, max_hamming=3)
+    # hamming-0 edges are the same-signature star: member -> its group's
+    # min-id rep (unique per member). Two docs are same-signature iff their
+    # reps agree — covers planted pairs whose group absorbed other docs.
+    rep_map = pairs.where(F.col("hamming") == 0).select(
+        F.col("id_b").alias("node"), F.col("id_a").alias("rep")
+    )
+    expected = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10_000_000).alias("id_b"),
+    )
+    ra = rep_map.withColumnRenamed("node", "id_a").withColumnRenamed("rep", "rep_a")
+    rb = rep_map.withColumnRenamed("node", "id_b").withColumnRenamed("rep", "rep_b")
+    joined = expected.join(ra, "id_a", "left").join(rb, "id_b", "left")
+    found = joined.where(
+        F.coalesce(F.col("rep_a"), F.col("id_a"))
+        == F.coalesce(F.col("rep_b"), F.col("id_b"))
+    )
+    return found.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+_ORACLE_SIMHASH_PLANTED = """
+SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents
+"""
 
 
 def _q_lang_id(spark, sf_dir) -> DataFrame:
@@ -870,11 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q1"] = _q_tpch_q1
     q["tpch_q3"] = _q_tpch_q3
     q["events_hourly"] = _q_events_hourly
+    q["knn_lsh"] = _q_knn_lsh
+    q["knn_ivf"] = _q_knn_ivf
+    q["simhash_planted"] = _q_simhash_planted
     # rows-only (non-SQL-expressible)
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
-    q["knn_lsh"] = _q_knn_lsh
-    q["knn_ivf"] = _q_knn_ivf
     q["lang_id"] = _q_lang_id
     q["media_features"] = _q_media_features
     return q
@@ -904,5 +983,8 @@ def oracle_sql() -> dict[str, str]:
     o["tpch_q1"] = _ORACLE_TPCH_Q1
     o["tpch_q3"] = _ORACLE_TPCH_Q3
     o["events_hourly"] = _ORACLE_EVENTS_HOURLY
+    o["knn_lsh"] = _ORACLE_KNN_RECALL
+    o["knn_ivf"] = _ORACLE_KNN_RECALL
+    o["simhash_planted"] = _ORACLE_SIMHASH_PLANTED
     o["lang_id"] = _lang_oracle()
     return o

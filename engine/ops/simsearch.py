@@ -97,38 +97,60 @@ def cosine_topk_lsh(
     k: int = 10,
     nbits: int = 12,
     seed: int = 42,
+    ntables: int = 1,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: only vectors in the query's LSH bucket are scored.
+    """Approximate top-k: only vectors sharing an LSH bucket with the query
+    (in any of ``ntables`` independent hyperplane tables) are scored.
 
-    At scale this turns the broadcast crossJoin into a bucket-equality join:
-    each task scores ~n/2^nbits candidates instead of n.
+    At scale this turns the broadcast crossJoin into bucket-equality joins:
+    each task scores ~ntables * n/2^nbits candidates instead of n.
+    ``multiprobe`` additionally probes every bucket at Hamming distance 1
+    from the query's signature (nbits extra buckets per table) — the
+    standard recall/probe-count trade for random-hyperplane LSH; probing is
+    a broadcast-side explode, the big table is still touched once per table.
     """
-    v = hyperplane_signatures(vectors, dim, nbits, seed, vec_col)
-    q = hyperplane_signatures(
-        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
-        dim,
-        nbits,
-        seed,
-        "_qvec",
-    )
-    sim = (
-        v.join(F.broadcast(q), "lsh_bucket")
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                6,
-            ),
+    scored = None
+    for t in range(ntables):
+        v = hyperplane_signatures(vectors, dim, nbits, seed + t, vec_col)
+        q = hyperplane_signatures(
+            queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+            dim,
+            nbits,
+            seed + t,
+            "_qvec",
         )
-        .select(query_id_col, id_col, "cosine")
-    )
+        if multiprobe:
+            probes = F.explode(
+                F.array(
+                    F.col("lsh_bucket"),
+                    *[
+                        F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(nbits)
+                    ],
+                )
+            )
+            q = q.select(query_id_col, "_qvec", probes.alias("lsh_bucket"))
+        sim = (
+            v.join(F.broadcast(q), "lsh_bucket")
+            .withColumn(
+                "cosine",
+                F.round(
+                    _dot(F.col(vec_col), F.col("_qvec"))
+                    / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                    6,
+                ),
+            )
+            .select(query_id_col, id_col, "cosine")
+        )
+        scored = sim if scored is None else scored.union(sim)
+    sim_all = scored.distinct()  # a pair found by several tables scores once
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        sim_all.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cosine")
     )

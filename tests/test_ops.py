@@ -143,3 +143,55 @@ def test_ivf_topk_contains_self(spark, vectors):
     # self's cell is always among its own nearest cells
     assert (rank1["vec_id"] == rank1["query_id"]).all()
     assert (rank1["cosine"] == 1.0).all()
+
+
+def test_lsh_viral_duplicate_no_blowup(spark):
+    """A 10k-copy planted document must produce LINEAR star edges (one per
+    copy), not O(k^2) bucket pairs (VERDICT r1 #6)."""
+    base = spark.range(0, 10_001).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the viral document that everyone copied verbatim again").alias("text"),
+    )
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [20_000, 20_001, 20_002],
+                "text": [
+                    "completely different text one",
+                    "another unrelated document two",
+                    "third distinct content three",
+                ],
+            }
+        )
+    )
+    docs = base.union(extra)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).toPandas()
+    viral = pairs[pairs["id_a"] == 0]
+    assert len(viral) == 10_000  # one star edge per copy, rep = min id 0
+    assert len(pairs) < 10_050  # no quadratic pair set anywhere
+
+
+def test_simhash_vectorized_no_python_loop(spark, docs):
+    """simhash is pure built-ins now: the plan must contain no Python eval
+    (BatchEvalPython / ArrowEvalPython / FlatMapsInPandas nodes)."""
+    sig = dedup.simhash(docs)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    rows = sig.collect()
+    assert len(rows) == 6
+    by_id = {r["doc_id"]: r["simhash"] for r in rows}
+    assert by_id[1] == by_id[2]  # identical texts -> identical signature
+    assert by_id[1] != by_id[5]
+
+
+def test_simhash_near_dup_tolerance(spark):
+    """Flip one word in a 40-word doc: the pair must survive a generous
+    hamming threshold through the block-bucket candidate stage."""
+    words = [f"word{i}" for i in range(40)]
+    orig = " ".join(words)
+    mutated = " ".join(["zzqx"] + words[1:])
+    docs2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [orig, mutated]})
+    )
+    pairs = dedup.simhash_near_dup_pairs(docs2, max_hamming=16).toPandas()
+    assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
