@@ -405,6 +405,57 @@ FROM documents
 """
 
 
+def _q_rt_delta_ba_sorted_ids(spark, sf_dir) -> DataFrame:
+    """Front coding (DELTA_BYTE_ARRAY) chosen BY THE SELECTOR: sorted keys
+    with long group prefixes (md5 of a 97-way group + padded counter) defeat
+    FSST's 255-symbol table but front-code to ~25% (reference
+    src/encodings/encoding.rs:866-952). The query asserts the auto-selected
+    codec AND the decoded values."""
+    encode_job, decode_job = _engine(spark)
+    docs = _read(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat(
+            F.md5((F.col("doc_id") % 97).cast("string")),
+            F.lit("-"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("key"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("d").alias("grp"),
+    )
+    cols = encode_job.derive_columns(keyed)
+    chunks = encode_job.encode_table(
+        keyed, columns=cols, rows_per_bucket=1_000_000,
+        bucket_key="grp", salt_col="key", sort_col="key",
+    ).persist()
+    dec = decode_job.decode_table(chunks, cols)
+    agg = dec.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.sum(F.length("key").cast("long")).alias("sum_len"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+    )
+    codec = chunks.where(F.col("column") == "key").agg(
+        F.array_join(F.sort_array(F.collect_set("codec")), ",").alias("key_codec")
+    )
+    return agg.crossJoin(codec)
+
+
+_ORACLE_DELTA_BA = """
+SELECT COUNT(*) AS n,
+       MIN(key) AS min_key,
+       MAX(key) AS max_key,
+       CAST(SUM(length(key)) AS BIGINT) AS sum_len,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       'delta_ba' AS key_codec
+FROM (
+  SELECT md5(CAST(doc_id % 97 AS VARCHAR)) || '-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+         doc_id
+  FROM documents
+)
+"""
+
+
 def _q_pruned_scan_strings(spark, sf_dir) -> DataFrame:
     """String-statistics pruning: source buckets are homogeneous, so a
     BETWEEN predicate on the source column keeps exactly the matching
@@ -934,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_events_table"] = _q_rt_events_table
     q["rt_nullable_table"] = _q_rt_nullable_table
     q["rt_nested_table"] = _q_rt_nested_table
+    q["rt_delta_ba_sorted_ids"] = _q_rt_delta_ba_sorted_ids
     q["pruned_scan"] = _q_pruned_scan
     q["pruned_scan_strings"] = _q_pruned_scan_strings
     q["pruned_scan_floats"] = _q_pruned_scan_floats
@@ -969,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_events_table"] = _ORACLE_RT_EVENTS
     o["rt_nullable_table"] = _ORACLE_RT_NULLABLE
     o["rt_nested_table"] = _ORACLE_RT_NESTED
+    o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["pruned_scan"] = _ORACLE_PRUNED_SCAN
     o["pruned_scan_strings"] = _ORACLE_PRUNED_STRINGS
     o["pruned_scan_floats"] = _ORACLE_PRUNED_FLOATS

@@ -204,8 +204,28 @@ def select_bool_codec(values: np.ndarray, override: str | None = None) -> str:
     return "rle_bool" if runs < v.size // 16 else "plain"
 
 
+def _mean_adjacent_prefix(vals: list[bytes], cap: int = 512) -> float:
+    """Mean common-prefix length of adjacent values over a bounded sample —
+    the sortedness signal that makes front coding (DELTA_BYTE_ARRAY,
+    reference src/encodings/encoding.rs:866-952) pay off."""
+    m = min(len(vals), cap)
+    if m < 2:
+        return 0.0
+    tot = 0
+    for i in range(m - 1):
+        a, b = vals[i], vals[i + 1]
+        k = 0
+        lim = min(len(a), len(b))
+        while k < lim and a[k] == b[k]:
+            k += 1
+        tot += k
+    return tot / (m - 1)
+
+
 def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = None) -> str:
     """Codec choice for byte-array chunks: dictionary when repetitive,
+    front coding (delta_ba) when adjacent values share long prefixes
+    (sorted keys/URLs — prefixes longer than FSST's 8-byte symbols),
     FSST when symbol-compressible, else delta-length."""
     if override is not None:
         return override
@@ -220,9 +240,25 @@ def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = Non
     card = len(set(vals))
     if card <= max(2, sample // 4):
         return "dict_ba"
-    # FSST's symbol table costs ~1-2KB; on tiny chunks it cannot pay for
-    # itself (observed ratio > 1 on <5KB chunks), so fall through to
-    # delta-length there. Otherwise FSST wins on shared-substring text.
-    if total >= 8192 and total / n >= 6:
-        return "fsst"
-    return "delta_length_ba"
+    mean_len = total / n
+    est = {"delta_length_ba": total + 2 * n}
+    # front coding pays when most of each value is a shared prefix of its
+    # predecessor (chunk rows arrive sorted by the bucket sort key, so a
+    # sorted key column sees its true adjacency here): per value, the
+    # unshared suffix plus ~2 bytes of varints survive
+    pbar = _mean_adjacent_prefix(vals)
+    if mean_len >= 8 and pbar / mean_len >= 0.3:
+        est["delta_ba"] = int(total - n * pbar + 2.2 * n)
+    # FSST: a trial encode of a ~16KB sample gives the real ratio (symbol
+    # table amortization included — conservative for larger chunks). The
+    # table costs ~1-2KB, so tiny chunks skip the trial entirely.
+    if total >= 8192 and mean_len >= 6:
+        from .codecs import fsst as fsst_codec
+
+        slens = np.asarray(lengths[:sample], dtype=np.int64)
+        j = int(np.searchsorted(np.cumsum(slens), 16384)) + 1
+        j = min(j, sample)
+        trial_raw = int(slens[:j].sum())
+        trial = fsst_codec.encode_flat(slens[:j], bytes(data[:trial_raw]))
+        est["fsst"] = int(len(trial) / max(trial_raw, 1) * total)
+    return min(est, key=est.get)

@@ -208,3 +208,36 @@ def test_selector_int32_unchanged():
     _, stats, sizes = selector.select_codec(v)
     assert stats.elem_bits == 32
     assert sizes["plain"] == 4 * len(v)
+
+
+def test_selector_picks_delta_ba_for_sorted_grouped_keys():
+    """Front coding must be reachable by AUTO selection (ADVICE r1: it was
+    dead code): sorted group-prefixed keys front-code far below FSST."""
+    import hashlib
+
+    import numpy as np
+
+    from engine import chunk, selector
+    from engine.codecs import bytearrays
+
+    keys = sorted(
+        hashlib.md5(str(i % 97).encode()).hexdigest() + f"-{i:08d}"
+        for i in range(4000)
+    )
+    lens, data = bytearrays.flat_from_values(keys)
+    assert selector.select_ba_codec(lens, data) == "delta_ba"
+    blob = chunk.encode_chunk((lens, data), "delta_ba", "bytes")
+    out_lens, out_data = chunk.decode_chunk(blob)
+    assert np.array_equal(out_lens, lens) and out_data == data
+    assert len(blob) < int(np.sum(lens)) // 4  # >4x on this shape
+
+
+def test_selector_keeps_fsst_for_structured_ids():
+    """FSST still wins where it is genuinely smaller (trial-based estimate,
+    not a cascade)."""
+    from engine import selector
+    from engine.codecs import bytearrays
+
+    ids = sorted(f"doc-books-{i:08d}-s{i % 40:05d}" for i in range(4000))
+    lens, data = bytearrays.flat_from_values(ids)
+    assert selector.select_ba_codec(lens, data) == "fsst"
