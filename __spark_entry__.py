@@ -405,6 +405,49 @@ FROM documents
 """
 
 
+def _q_rt_binary_table(spark, sf_dir) -> DataFrame:
+    """BinaryType + DECIMAL(38,6) through the generic path: binary columns
+    ride BYTE_ARRAY chunks and come back as BinaryType (md5-checked); wide
+    decimals ride exact decimal strings (reference byte-array-backed
+    Decimal, src/data_type.rs:144-235)."""
+    encode_job, decode_job = _engine(spark)
+    docs = _read(spark, sf_dir, "documents")
+    df = docs.select(
+        F.col("doc_id").cast("long"),
+        "source",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.when(F.col("doc_id") % 4 != 0, F.encode(F.col("source"), "utf-8")).alias("tag_b"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".123456"))
+        .cast("decimal(38,6)")
+        .alias("big"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="source", salt_col="doc_id", sort_col="doc_id",
+    )
+    out = decode_job.decode_table(chunks, cols)
+    return out.select(
+        "doc_id",
+        F.md5("content").alias("md5c"),
+        F.length("content").cast("long").alias("len_c"),
+        F.col("tag_b").isNull().alias("tag_dropped"),
+        F.coalesce(F.md5("tag_b"), F.lit("none")).alias("md5t"),
+        F.col("big").cast("string").alias("big_s"),
+    )
+
+
+_ORACLE_RT_BINARY = """
+SELECT doc_id,
+       md5(text) AS md5c,
+       CAST(strlen(text) AS BIGINT) AS len_c,
+       (doc_id % 4 = 0) AS tag_dropped,
+       CASE WHEN doc_id % 4 = 0 THEN 'none' ELSE md5(source) END AS md5t,
+       CAST(CAST(CAST(doc_id AS VARCHAR) || '.123456' AS DECIMAL(38,6)) AS VARCHAR) AS big_s
+FROM documents
+"""
+
+
 def _q_rt_delta_ba_sorted_ids(spark, sf_dir) -> DataFrame:
     """Front coding (DELTA_BYTE_ARRAY) chosen BY THE SELECTOR: sorted keys
     with long group prefixes (md5 of a 97-way group + padded counter) defeat
@@ -986,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_nullable_table"] = _q_rt_nullable_table
     q["rt_nested_table"] = _q_rt_nested_table
     q["rt_delta_ba_sorted_ids"] = _q_rt_delta_ba_sorted_ids
+    q["rt_binary_table"] = _q_rt_binary_table
     q["pruned_scan"] = _q_pruned_scan
     q["pruned_scan_strings"] = _q_pruned_scan_strings
     q["pruned_scan_floats"] = _q_pruned_scan_floats
@@ -1022,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_nullable_table"] = _ORACLE_RT_NULLABLE
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
+    o["rt_binary_table"] = _ORACLE_RT_BINARY
     o["pruned_scan"] = _ORACLE_PRUNED_SCAN
     o["pruned_scan_strings"] = _ORACLE_PRUNED_STRINGS
     o["pruned_scan_floats"] = _ORACLE_PRUNED_FLOATS

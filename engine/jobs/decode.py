@@ -34,14 +34,18 @@ ALL_COLUMNS = list(_FIELDS)
 DECODED_SCHEMA = StructType(list(_FIELDS.values()))
 
 
-def _string_array_from_flat(lengths: np.ndarray, data: bytes):
+def _string_array_from_flat(lengths: np.ndarray, data: bytes, binary: bool = False):
     import pyarrow as pa
 
     offsets = np.concatenate(([0], np.cumsum(np.asarray(lengths, dtype=np.int64))))
-    return pa.StringArray.from_buffers(
+    return pa.Array.from_buffers(
+        pa.binary() if binary else pa.utf8(),
         len(lengths),
-        pa.py_buffer(offsets.astype(np.int32).tobytes()),
-        pa.py_buffer(data),
+        [
+            None,
+            pa.py_buffer(offsets.astype(np.int32).tobytes()),
+            pa.py_buffer(data),
+        ],
     )
 
 
@@ -80,15 +84,18 @@ def _list_series(decoded, elem: str) -> pd.Series:
         lengths, values, record_valid = decoded
     else:
         (lengths, values), record_valid = decoded, None
-    if elem == "bytes":
+    if elem in ("bytes", "binary"):
+        binary = elem == "binary"
         if isinstance(values, tuple) and len(values) == 3:
             balens, data, elem_valid = values
-            dense = _string_array_from_flat(balens, data).to_numpy(zero_copy_only=False)
+            dense = _string_array_from_flat(balens, data, binary).to_numpy(
+                zero_copy_only=False
+            )
             out = np.full(len(elem_valid), None, dtype=object)
             out[elem_valid] = dense
-            values_pa = pa.array(out, type=pa.string())
+            values_pa = pa.array(out, type=pa.binary() if binary else pa.string())
         else:
-            values_pa = _string_array_from_flat(*values)
+            values_pa = _string_array_from_flat(*values, binary=binary)
     else:
         if isinstance(values, tuple):
             vals, elem_valid = values  # full-length with fill + mask
@@ -150,6 +157,7 @@ _SPARK_TYPES = {
     "float32": "float",
     "float64": "double",
     "bytes": "string",
+    "binary": "binary",
     "bool": "boolean",
 }
 
@@ -205,15 +213,16 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
             decoded = chunk.decode_chunk(blobs[name])
             if kind.startswith("list:"):
                 out[name] = _list_series(decoded, kind[5:])
-            elif kind == "bytes":
+            elif kind in ("bytes", "binary"):
+                binary = kind == "binary"
                 if isinstance(decoded, tuple) and len(decoded) == 3:
                     lens, data, valid = decoded
-                    dense = _strings_from_flat(lens, data)
+                    dense = _string_array_from_flat(lens, data, binary).to_pandas()
                     s = pd.Series(np.full(len(valid), None, dtype=object))
                     s[valid] = dense.to_numpy()
                     out[name] = s
                 else:
-                    out[name] = _strings_from_flat(*decoded)
+                    out[name] = _string_array_from_flat(*decoded, binary=binary).to_pandas()
             elif isinstance(decoded, tuple):
                 out[name] = _nullable_series(decoded[0], decoded[1], kind)
             else:

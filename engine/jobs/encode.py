@@ -172,7 +172,7 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
                 (len(a) for a in items), dtype=np.int32, count=len(items)
             )
             codec = "list"
-            if elem == "bytes":
+            if elem in ("bytes", "binary"):
                 flat_vals = [v for a in items for v in a]
                 elem_na = np.fromiter(
                     (v is None for v in flat_vals), dtype=bool, count=len(flat_vals)
@@ -217,7 +217,7 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
                         vmin, vmax = int(dense.min()), int(dense.max())
                     elif elem in ("float32", "float64"):
                         vmin_d, vmax_d = float(dense.min()), float(dense.max())
-        elif kind == "bytes":
+        elif kind in ("bytes", "binary"):
             ser = pdf[col]
             na = ser.isna()
             null_count = int(na.sum())
@@ -228,7 +228,7 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
             if candidates and codec not in candidates:
                 codec = "delta_length_ba"
             blob = chunk.encode_chunk((lengths, data), codec, "bytes", valid=valid)
-            if dense_vals:
+            if dense_vals and kind == "bytes":
                 # truncated like parquet's column-index bounds: a prefix of
                 # min is still a valid lower bound; for max a bare prefix
                 # would be a WRONG upper bound, so only truncate when the
@@ -325,6 +325,7 @@ def derive_columns(df: DataFrame) -> dict:
         T.FloatType(): "float32",
         T.DoubleType(): "float64",
         T.StringType(): "bytes",
+        T.BinaryType(): "binary",  # BYTE_ARRAY on the wire, BinaryType back
         T.BooleanType(): "bool",
     }
     logical_map = {
@@ -350,6 +351,17 @@ def derive_columns(df: DataFrame) -> dict:
                 logical, _decimal_logical(f.dataType.precision, f.dataType.scale)
             )
             out[f.name] = ColumnSpec("int64", logical=logical)
+        elif isinstance(f.dataType, T.DecimalType):
+            # p > 18: unscaled value exceeds int64; ride BYTE_ARRAY as the
+            # exact decimal string (reference byte-array-backed Decimal,
+            # src/data_type.rs:144-235). String<->decimal casts are exact.
+            p, s = f.dataType.precision, f.dataType.scale
+            logical = f"decimal_str({p},{s})"
+            _LOGICAL.setdefault(
+                logical,
+                ("bytes", "cast({c} as string)", f"cast({{c}} as decimal({p},{s}))"),
+            )
+            out[f.name] = ColumnSpec("bytes", logical=logical)
         else:
             raise ValueError(
                 f"column {f.name}: {f.dataType} not encodable; cast first"

@@ -128,3 +128,68 @@ def test_list_stats_recorded(spark):
     )
     row = chunks.where(F.col("column") == "xs").first()
     assert row["vmin"] == 5 and row["vmax"] == 9
+
+
+def test_binary_and_wide_decimal_roundtrip(spark):
+    """BinaryType rides BYTE_ARRAY chunks and returns as BinaryType;
+    DECIMAL(p>18) rides exact decimal strings."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("content"),
+        F.when(F.col("id") % 5 != 0,
+               F.encode(F.col("id").cast("string"), "utf-8")).alias("content_n"),
+        F.concat(F.col("id").cast("string"), F.lit(".123456"))
+        .cast("decimal(38,6)").alias("big"),
+    )
+    cols = encode_job.derive_columns(df)
+    assert cols["content"][0] == "binary"
+    assert cols["big"][0] == "bytes" and cols["big"].logical.startswith("decimal_str")
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    out = decode_job.decode_table(chunks, cols)
+    assert out.schema["content"].dataType.typeName() == "binary"
+    assert out.schema["big"].dataType.simpleString() == "decimal(38,6)"
+    a = df.orderBy("event_id").collect()
+    b = out.select(*df.columns).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_media_table_through_engine(spark):
+    """The multimodal media table (opaque binary content + nullable typed
+    metadata) encodes and decodes through the generic job path."""
+    from engine.ops import multimodal
+
+    media = multimodal.make_fake_media(spark, n=48)
+    cols = encode_job.derive_columns(media)
+    chunks = encode_job.encode_table(
+        media, columns=cols, rows_per_bucket=32,
+        bucket_key="kind", salt_col="media_id", sort_col="media_id",
+    )
+    out = decode_job.decode_table(chunks, cols)
+    assert media.orderBy("media_id").collect() == (
+        out.select(*media.columns).orderBy("media_id").collect()
+    )
+
+
+def test_binary_list_roundtrip(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        F.array(
+            F.encode(F.col("id").cast("string"), "utf-8"),
+            F.encode(F.lit("x"), "utf-8"),
+        ).alias("blobs"),
+    )
+    cols = encode_job.derive_columns(df)
+    assert cols["blobs"][0] == "list:binary"
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    out = decode_job.decode_table(chunks, cols)
+    assert df.orderBy("event_id").collect() == (
+        out.select(*df.columns).orderBy("event_id").collect()
+    )
