@@ -55,11 +55,20 @@ def test_generic_roundtrip(spark, table):
 
 
 def test_unencodable_type_raises(spark):
+    # array<struct> has no leaf mapping even after nested.flatten
     df = spark.range(5).select(
-        F.col("id"), F.col("id").cast("decimal(38,10)").alias("dec")  # p>18: unsupported
+        F.col("id"), F.array(F.struct(F.col("id").alias("a"))).alias("xs")
     )
     with pytest.raises(ValueError, match="not encodable"):
         encode_job.derive_columns(df)
+
+
+def test_wide_decimal_is_now_encodable(spark):
+    df = spark.range(5).select(
+        F.col("id"), F.col("id").cast("decimal(38,10)").alias("dec")
+    )
+    cols = encode_job.derive_columns(df)
+    assert cols["dec"][0] == "bytes" and "decimal_str" in (cols["dec"].logical or "")
 
 
 def test_logical_types_roundtrip(spark):
