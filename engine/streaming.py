@@ -17,7 +17,10 @@ foreachBatch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
 
 from . import lineage as lineage_mod
 
@@ -57,3 +60,78 @@ def encode_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def windowed_token_stats(
+    stream_df: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+    key_col: str = "source",
+) -> DataFrame:
+    """Event-time windowed ingest statistics with late-data handling:
+    ``withWatermark`` bounds state (windows older than the watermark close
+    and emit exactly once in append mode; later-than-watermark rows drop),
+    then a tumbling-window groupBy — all built-in Structured Streaming
+    operators, shuffle keyed on (window, source)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            key_col,
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+_DEDUP_OUT = "text_md5 string, survivor_id string"
+_DEDUP_STATE = "seen long"
+
+
+def stateful_exact_dedup(
+    stream_df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-micro-batch streaming dedup via ``applyInPandasWithState``: one
+    GroupState row per distinct text hash; the first-ever occurrence emits,
+    every later duplicate (same batch or any later batch) is suppressed.
+
+    State is one long per distinct hash — at 10^12 docs the state store
+    shards by the groupBy key like any keyed state; use watermark-based
+    state TTL upstream if the key space is unbounded in time.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream_df.select(
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.col(key_col).cast("string").alias("survivor_id"),
+    )
+
+    def dedup_fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        seen = state.get[0] if state.exists else 0
+        total = 0
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            total += len(pdf)
+            if seen == 0 and len(pdf):
+                cand = pdf.sort_values("survivor_id").iloc[:1]
+                first = cand if first is None else (
+                    pd.concat([first, cand]).sort_values("survivor_id").iloc[:1]
+                )
+        state.update((seen + total,))
+        if seen == 0 and first is not None:
+            yield first[["text_md5", "survivor_id"]]
+
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
