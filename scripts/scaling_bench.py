@@ -28,8 +28,16 @@ def run(cpus: int, rows: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_ROWS"] = str(rows)
     env["SPARK_GRAFT_BENCH_QUERIES"] = "0"  # scaling measures encode/decode only
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0":
+        # Pin the WHOLE process tree (JVM included) to `cpus` CPUs: local[N]
+        # alone caps task slots but leaves shuffle/Tungsten/GC threads
+        # unrestricted, which inflates the N baseline (see the note in
+        # BENCH/BASELINE.md). Pinning models executors honestly: the 4N
+        # config really gets 4x the hardware of the N config.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
@@ -73,10 +81,16 @@ def main() -> None:
     bpt = runs[n][0]["extras"]["bytes_per_token"]
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    pinned = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") != "0"
+    pin_note = (
+        "taskset-pinned: each level's WHOLE process tree gets exactly its CPU count"
+        if pinned
+        else "unpinned local[N]"
+    )
     lines = [
         "",
         f"## Scaling run {stamp} (identical input: {ntok:,} tokens; "
-        f"best of {repeats} interleaved rounds per level)",
+        f"best of {repeats} interleaved rounds per level; {pin_note})",
         "",
         "| parallelism | encode tokens/s | decode tokens/s | bytes/token |",
         "| --- | --- | --- | --- |",
