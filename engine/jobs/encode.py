@@ -126,8 +126,14 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
         vmin = vmax = vmin_d = vmax_d = vmin_s = vmax_s = None
         null_count = 0
         if kind == "int32_list":
-            arrays = [np.asarray(a, dtype=np.int32) for a in pdf[col]]
-            flat = np.concatenate(arrays) if arrays else np.empty(0, np.int32)
+            # Arrow hands list elements over as int32 ndarrays already; one
+            # concatenate, no per-row conversion loop
+            arrays = pdf[col].to_numpy()
+            flat = (
+                np.concatenate(arrays).astype(np.int32, copy=False)
+                if len(arrays)
+                else np.empty(0, np.int32)
+            )
             if override is None and flat.size > chunk.DEFAULT_PAGE_VALUES:
                 # oversized stream: page it so codec choice tracks regime
                 # shifts and decode memory stays bounded (reference page

@@ -98,3 +98,24 @@ def test_rle_bool_chunk():
     blob = chunk.encode_chunk(v, "rle_bool", "bool")
     np.testing.assert_array_equal(chunk.decode_chunk(blob), v)
     assert chunk.read_info(blob).codec == "rle_bool"
+
+
+def test_bit_packed_levels_legacy_variant():
+    """Deprecated BIT_PACKED level layout (reference levels.rs:57,76-80):
+    fixed-width LSB-first packing, zero-padded final byte."""
+    import numpy as np
+
+    from engine import levels
+
+    lv = np.array([0, 1, 2, 3, 2, 1, 0, 3, 3], dtype=np.uint64)  # max_level 3
+    buf = levels.encode_bit_packed(lv, 3)
+    assert len(buf) == (len(lv) * 2 + 7) // 8  # width 2
+    out = levels.decode_bit_packed(buf, 3, len(lv))
+    assert np.array_equal(out, lv)
+    # width-1 def levels (the common nullable case)
+    dl = np.array([1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 1], dtype=np.uint64)
+    buf1 = levels.encode_bit_packed(dl, 1)
+    assert np.array_equal(levels.decode_bit_packed(buf1, 1, len(dl)), dl)
+    # max_level 0 -> empty stream
+    assert levels.encode_bit_packed(np.zeros(5, np.uint64), 0) == b""
+    assert np.array_equal(levels.decode_bit_packed(b"", 0, 5), np.zeros(5))

@@ -1,0 +1,87 @@
+"""Physical-plan audits: pin the scale-critical plan shapes so a regression
+(an extra shuffle, a lost broadcast, Python sneaking into a hot path) fails
+CI — the ".explain and iterate" loop, frozen as asserts.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import datagen, skew
+from engine.jobs import decode as decode_job
+from engine.jobs import encode as encode_job
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_encode_has_exactly_one_exchange(spark):
+    """The encode job is ONE shuffle (bucket co-location); the bucket-count
+    aggregation rides a broadcast join, not a second data shuffle."""
+    df = datagen.generate_spark(spark, 400)
+    chunks = encode_job.encode_table(df, rows_per_bucket=64)
+    plan = _plan(chunks)
+    # exchanges over the DATA: hashpartitioning on chunk_id only; the tiny
+    # per-source count aggregate may exchange, but never the row stream
+    data_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(chunk_id" in ln
+    ]
+    assert len(data_exchanges) == 1, plan
+    assert "BroadcastExchange" in plan  # bucket plan joins broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_encode_resume_antijoin_is_broadcast(spark):
+    df = datagen.generate_spark(spark, 200)
+    skip = spark.createDataFrame([("web#00000",)], "chunk_id string")
+    chunks = encode_job.encode_table(df, rows_per_bucket=64, skip_chunk_ids=skip)
+    plan = _plan(chunks)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_pruned_decode_semi_join_is_broadcast(spark):
+    df = datagen.generate_spark(spark, 200)
+    chunks = encode_job.encode_table(df, rows_per_bucket=64).persist()
+    pruned = decode_job.decode_chunks_pruned(chunks, "tokens", 0, 10)
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    chunks.unpersist()
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    import __spark_entry__ as entry
+
+    out = entry._q_tpch_q3(spark, "/root/testdata/sf0.001")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textstats_whole_stage_codegen_no_python(spark):
+    from engine.ops import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "more words in this text")],
+        "doc_id long, text string",
+    )
+    for op in (textstats.token_count, textstats.quality_score, textstats.language_id):
+        plan = _plan(op(docs))
+        assert "EvalPython" not in plan and "InPandas" not in plan, (op, plan)
+        # codegen stages print as "WholeStageCodegen" or the compact "*(n)"
+        assert "WholeStageCodegen" in plan or "*(" in plan, plan
+
+
+def test_chunk_store_scan_pushes_filters(spark, tmp_path):
+    """Catalyst pushes the column filter into the parquet scan of the chunk
+    store, so a projected decode never reads other columns' payload bytes."""
+    from engine import lineage
+
+    df = datagen.generate_spark(spark, 200)
+    store = lineage.ChunkStore(spark, str(tmp_path / "s"))
+    lineage.encode_with_resume(spark, df, store, rows_per_bucket=64)
+    scan = store.read_chunks().where(F.col("column") == "n_tok")
+    plan = _plan(scan)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "column" in m.group(1), plan
