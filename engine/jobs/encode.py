@@ -424,9 +424,11 @@ def encode_table(
             override = props.encoding_for(col) or spec[1]
             cands = None
             if not props.dict_enabled_for(col):
-                cands = tuple(
-                    c for c in _sel.INT_CANDIDATES if c != "dict"
-                ) if kind != "bytes" else ("plain_ba", "delta_length_ba", "fsst")
+                cands = (
+                    ("plain_ba", "delta_length_ba", "delta_ba", "fsst")
+                    if kind in ("bytes", "binary")
+                    else tuple(c for c in _sel.INT_CANDIDATES if c != "dict")
+                )
             columns[col] = (kind, override, cands)
     bucketed = skew.plan_buckets(
         df,
