@@ -565,6 +565,66 @@ GROUP BY event_type
 """
 
 
+def _q_pipeline_end_to_end(spark, sf_dir) -> DataFrame:
+    """The COMPOSED training-data pipeline, oracled end to end: planted
+    exact dups -> exact dedup -> quality filter -> deterministic tokenize ->
+    encode -> decode -> per-doc token aggregates. Two data shuffles total
+    (dedup aggregate, encode buckets); every stage is SQL-expressible so
+    DuckDB replays the whole flow."""
+    encode_job, decode_job = _engine(spark)
+    from engine import pipeline
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = docs.union(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source")
+    )
+    seq = pipeline.prepare_corpus(planted, min_chars=40, max_punct_ratio=0.2)
+    chunks = encode_job.encode_table(seq, rows_per_bucket=256)
+    dec = decode_job.decode_chunks(chunks)
+    ex = dec.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    return ex.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum(F.col("tok").cast("long")).alias("tok_sum"),
+        F.sum((F.col("pos") + 1) * F.col("tok").cast("long")).alias("tok_wsum"),
+    ).select(F.col("doc_id").cast("long"), "n_tok", "tok_sum", "tok_wsum")
+
+
+_ORACLE_PIPELINE = """
+WITH planted AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text, source FROM documents
+),
+survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM planted GROUP BY md5(text)
+),
+kept AS (
+  SELECT p.* FROM planted p JOIN survivors s USING (doc_id)
+),
+good AS (
+  SELECT * FROM kept
+  WHERE length(text) >= 40
+    AND ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              / GREATEST(length(text), 1), 6) <= 0.2
+),
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           list_zip(string_split(text, ' '),
+                    range(1, len(string_split(text, ' ')) + 1)),
+           x -> struct_pack(pos := x[2],
+                            tok := (length(x[1]) * 31 + ascii(x[1])) % 50000)
+         )) AS t
+  FROM good
+)
+SELECT doc_id,
+       COUNT(*) AS n_tok,
+       CAST(SUM(CAST(t.tok AS BIGINT)) AS BIGINT) AS tok_sum,
+       CAST(SUM(CAST(t.pos AS BIGINT) * CAST(t.tok AS BIGINT)) AS BIGINT) AS tok_wsum
+FROM toks GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline ops
 # --------------------------------------------------------------------------
@@ -1036,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_plan"] = _q_chunk_plan
     q["chunk_metrics"] = _q_chunk_metrics
     q["dedup_exact"] = _q_dedup_exact
+    q["pipeline_end_to_end"] = _q_pipeline_end_to_end
     q["near_dup_verified"] = _q_near_dup_verified
     q["token_count"] = _q_token_count
     q["quality_score"] = _q_quality
@@ -1073,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_plan"] = _ORACLE_CHUNK_PLAN
     o["chunk_metrics"] = _ORACLE_CHUNK_METRICS
     o["dedup_exact"] = _ORACLE_DEDUP_EXACT
+    o["pipeline_end_to_end"] = _ORACLE_PIPELINE
     o["near_dup_verified"] = _ORACLE_NEAR_DUP
     o["token_count"] = _ORACLE_TOKEN_COUNT
     o["quality_score"] = _ORACLE_QUALITY
