@@ -979,6 +979,48 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+def _q_embedding_dedup_planted(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup oracle: plant one bit-identical copy per
+    vector (identical vector -> identical xxhash64 -> same-vector star edge,
+    deterministically); every planted pair must come back."""
+    from engine.ops import dedup
+
+    _engine(spark)
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    planted = emb.union(
+        emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    pairs = dedup.embedding_near_dup_pairs(planted, dim=dim, threshold=0.99)
+    # cosine-1.0 edges are the same-vector star: member -> its group's
+    # min-id rep (unique per member); reps agree iff vectors identical
+    rep_map = pairs.where(F.col("cosine") == 1.0).select(
+        F.col("id_b").alias("node"), F.col("id_a").alias("rep")
+    )
+    expected = emb.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 10_000_000).alias("id_b"),
+    )
+    ra = rep_map.withColumnRenamed("node", "id_a").withColumnRenamed("rep", "rep_a")
+    rb = rep_map.withColumnRenamed("node", "id_b").withColumnRenamed("rep", "rep_b")
+    found = (
+        expected.join(ra, "id_a", "left")
+        .join(rb, "id_b", "left")
+        .where(
+            F.coalesce(F.col("rep_a"), F.col("id_a"))
+            == F.coalesce(F.col("rep_b"), F.col("id_b"))
+        )
+    )
+    return found.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+_ORACLE_EMB_DEDUP = """
+SELECT vec_id AS id_a, vec_id + 10000000 AS id_b FROM embeddings
+"""
+
+
 def _q_simhash_planted(spark, sf_dir) -> DataFrame:
     """SimHash pipeline oracle: plant one exact duplicate per document
     (identical text -> identical 64-bit signature -> same-signature star
@@ -1108,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
     q["simhash_planted"] = _q_simhash_planted
+    q["embedding_dedup_planted"] = _q_embedding_dedup_planted
     # rows-only (non-SQL-expressible)
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
@@ -1146,5 +1189,6 @@ def oracle_sql() -> dict[str, str]:
     o["knn_lsh"] = _ORACLE_KNN_RECALL
     o["knn_ivf"] = _ORACLE_KNN_RECALL
     o["simhash_planted"] = _ORACLE_SIMHASH_PLANTED
+    o["embedding_dedup_planted"] = _ORACLE_EMB_DEDUP
     o["lang_id"] = _lang_oracle()
     return o

@@ -173,6 +173,86 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    nbits: int = 12,
+    ntables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate edges: random-hyperplane LSH buckets
+    (``ntables`` independent tables) propose candidates, exact cosine
+    verifies at ``threshold``.
+
+    Two levels, mirroring the simhash design: (1) bit-identical vectors
+    collapse via xxhash64-of-array star edges (cosine 1.0 by construction —
+    duplicate mass never enters a bucket join); (2) DISTINCT vectors
+    pigeonhole into LSH buckets per table and pair all-vs-all within a
+    bucket — bounded by distinct vectors per 2^nbits bucket, not duplicate
+    counts. Near-identical vectors agree on (almost) every hyperplane sign,
+    so they share a bucket in (almost) every table. Shuffle carries
+    (table, bucket, id) triplets; vector payloads join back only for
+    candidate edges.
+    """
+    from . import simsearch
+
+    # level 1: identical-vector collapse (one window, no join)
+    hashed = vectors.select(
+        F.col(id_col), F.col(vec_col), F.xxhash64(F.col(vec_col)).alias("_vh")
+    )
+    w_h = Window.partitionBy("_vh")
+    tagged = hashed.withColumn("_rep", F.min(id_col).over(w_h))
+    same_vec = tagged.where(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(1.0).alias("cosine"),
+    )
+    distinct_vecs = tagged.where(F.col(id_col) == F.col("_rep")).select(
+        id_col, vec_col
+    )
+    # level 2: LSH bucket all-pairs among distinct vectors
+    cand = None
+    for t in range(ntables):
+        sig = simsearch.hyperplane_signatures(
+            distinct_vecs, dim, nbits, seed + t, vec_col
+        ).select(id_col, F.col("lsh_bucket"))
+        l, r = sig.alias("l"), sig.alias("r")
+        edges = l.join(
+            r,
+            (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        cand = edges if cand is None else cand.union(edges)
+    cand = cand.distinct()
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda a, v: a + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
+        )
+    )
+    near = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot / (norm("_va") * norm("_vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return same_vec.union(near)
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

@@ -195,3 +195,50 @@ def test_simhash_near_dup_tolerance(spark):
     )
     pairs = dedup.simhash_near_dup_pairs(docs2, max_hamming=16).toPandas()
     assert (1, 2) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+
+def test_embedding_near_dup_planted_and_perturbed(spark):
+    """Identical vectors are found deterministically (level-1 collapse);
+    a slightly perturbed vector (cosine ~0.9999) is found through the LSH
+    buckets; an unrelated vector is not paired."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32)
+    base /= np.linalg.norm(base)
+    near = base + 1e-3 * rng.standard_normal(32)
+    near /= np.linalg.norm(near)
+    other = rng.standard_normal(32)
+    other /= np.linalg.norm(other)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base]),   # exact dup
+        (3, [float(x) for x in near]),   # near dup
+        (4, [float(x) for x in other]),  # unrelated
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_dup_pairs(vecs, dim=32, threshold=0.99, ntables=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_embedding_near_dup_viral_duplicate_linear(spark):
+    """1000 copies of one vector -> linear star edges, not O(k^2) pairs."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    v = [float(x) for x in rng.standard_normal(16)]
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in v]).alias("embedding"),
+    )
+    extra = spark.createDataFrame(
+        [(5000, [float(x) for x in rng.standard_normal(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        base.union(extra), dim=16, threshold=0.99, ntables=2
+    ).toPandas()
+    star = pairs[pairs["id_a"] == 0]
+    assert len(star) == 999
+    assert len(pairs) < 1010
