@@ -192,6 +192,41 @@ def _decode_ba_payload(raw: np.ndarray, codec: int, n: int) -> tuple[np.ndarray,
 
 
 FLAG_NULLABLE = 1
+FLAG_COMPRESSED = 2  # payload = u8 block-codec id + compressed inner payload
+
+# block-codec ids inside a compressed payload (reference Codec enum,
+# src/compression.rs:54-79)
+_BLOCK_CODECS = {"gzip": 1, "snappy": 2, "zstd": 3, "lz4": 4, "brotli": 5}
+_BLOCK_NAMES = {v: k for k, v in _BLOCK_CODECS.items()}
+
+
+def compress_chunk(blob: bytes, codec_name: str) -> bytes:
+    """Apply a block codec over a framed chunk's payload (the reference
+    compresses encoded page bytes the same way, ``src/file/writer.rs:443-
+    466``). Skips (returns the original frame) when compression does not
+    shrink the payload — parquet's is_compressed=false optimization. The CRC
+    covers the stored (compressed) bytes, so corruption is detected before
+    decompression."""
+    from . import compression as compression_mod
+
+    codec = compression_mod.create_codec(codec_name)
+    if codec is None:
+        return blob
+    raw = blob if isinstance(blob, bytes) else bytes(blob)
+    payload = raw[_HEADER_LEN:]
+    comp = bytes([_BLOCK_CODECS[codec_name]]) + codec.compress(payload)
+    if len(comp) >= len(payload):
+        return raw
+    flags = raw[7] | FLAG_COMPRESSED
+    crc = zlib.crc32(comp) & 0xFFFFFFFF
+    header = (
+        raw[:7]
+        + bytes([flags])
+        + raw[8:24]
+        + crc.to_bytes(4, "little")
+        + len(comp).to_bytes(8, "little")
+    )
+    return header + comp
 
 
 def encode_chunk(values, codec: str, dtype: str = "int32", valid=None) -> bytes:
@@ -444,11 +479,20 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
                 f"chunk checksum mismatch: stored {info.checksum:#x}, actual {actual:#x}"
             )
     cid = CODEC_IDS[info.codec]
+    flags = info.flags
+    if flags & FLAG_COMPRESSED:
+        from . import compression as compression_mod
+
+        block = compression_mod.create_codec(_BLOCK_NAMES[int(payload[0])])
+        payload = np.frombuffer(
+            block.decompress(payload[1:].tobytes()), np.uint8
+        )
+        flags &= ~FLAG_COMPRESSED
     if cid == PAGED:
         return _decode_paged(payload, info.dtype)
     if cid == LIST:
-        return _decode_list(payload, info.flags, info.n_values)
-    if info.flags & FLAG_NULLABLE:
+        return _decode_list(payload, flags, info.n_values)
+    if flags & FLAG_NULLABLE:
         from . import levels as levels_mod
 
         def_levels, consumed = levels_mod.decode_v1(payload, 1, info.n_values)

@@ -83,11 +83,11 @@ DEFAULT_COLUMNS = {
 }
 
 
-def _encode_group(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
+def _encode_group(pdf: pd.DataFrame, columns: dict, block_codec: str | None = None) -> pd.DataFrame:
     """Encode one bucket (rows NOT yet sorted) — test/compat entry."""
     sort_col = "doc_id" if "doc_id" in pdf.columns else pdf.columns[1]
     pdf = pdf.sort_values(sort_col, kind="mergesort").reset_index(drop=True)
-    return _encode_group_sorted(pdf, columns)
+    return _encode_group_sorted(pdf, columns, block_codec)
 
 
 def _scalar_dense(ser: pd.Series, kind: str):
@@ -108,9 +108,14 @@ def _scalar_dense(ser: pd.Series, kind: str):
     return dense, valid, nc
 
 
-def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
+def _encode_group_sorted(
+    pdf: pd.DataFrame, columns: dict, block_codec: str | None = None
+) -> pd.DataFrame:
     """Encode one bucket whose rows are already doc_id-sorted (the streaming
-    path sorts in Tungsten via sortWithinPartitions — no pandas sort)."""
+    path sorts in Tungsten via sortWithinPartitions — no pandas sort).
+    ``block_codec``: optional block compression stacked over every chunk
+    payload (WriterProperties.compression; reference compresses encoded page
+    bytes the same way)."""
     chunk_id = pdf["chunk_id"].iloc[0]
     n_docs = len(pdf)
     meta = {
@@ -251,6 +256,8 @@ def _encode_group_sorted(pdf: pd.DataFrame, columns: dict) -> pd.DataFrame:
                     vmax_s = mx
         else:
             raise ValueError(f"unknown column kind {kind}")
+        if block_codec:
+            blob = chunk.compress_chunk(blob, block_codec)
         info = chunk.read_info(blob)
         rows.append(
             {
@@ -415,8 +422,10 @@ def encode_table(
         columns = dict(columns)
     sort_col = sort_col or (salt_col if salt_col in columns else next(iter(columns)))
     df = apply_logical_casts(df, columns)
+    block_codec = None
     if props is not None:
         rows_per_bucket = props.rows_per_bucket
+        block_codec = props.compression
         from .. import selector as _sel
 
         for col, spec in list(columns.items()):
@@ -429,7 +438,9 @@ def encode_table(
                     if kind in ("bytes", "binary")
                     else tuple(c for c in _sel.INT_CANDIDATES if c != "dict")
                 )
-            columns[col] = (kind, override, cands)
+            columns[col] = ColumnSpec(
+                kind, override, cands, spec[3] if len(spec) > 3 else None
+            )
     bucketed = skew.plan_buckets(
         df,
         key=bucket_key,
@@ -468,11 +479,13 @@ def encode_table(
                 if cur is not None and cid != cur and pending:
                     group = pd.concat(pending, ignore_index=True)
                     pending = []
-                    yield _encode_group_sorted(group, columns)
+                    yield _encode_group_sorted(group, columns, block_codec)
                 cur = cid
                 pending.append(seg)
         if pending:
-            yield _encode_group_sorted(pd.concat(pending, ignore_index=True), columns)
+            yield _encode_group_sorted(
+                pd.concat(pending, ignore_index=True), columns, block_codec
+            )
 
     # one shuffle: co-locate buckets, sort (chunk_id, doc_id) in Tungsten,
     # then a pure partition-parallel mapInPandas encode pass

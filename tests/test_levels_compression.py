@@ -119,3 +119,62 @@ def test_bit_packed_levels_legacy_variant():
     # max_level 0 -> empty stream
     assert levels.encode_bit_packed(np.zeros(5, np.uint64), 0) == b""
     assert np.array_equal(levels.decode_bit_packed(b"", 0, 5), np.zeros(5))
+
+
+def test_block_compression_over_chunks():
+    """compress_chunk wraps a framed chunk's payload in a block codec
+    (gzip here); decode transparently decompresses; CRC covers the stored
+    bytes so corruption is caught before decompression."""
+    import numpy as np
+    import pytest
+
+    from engine import chunk
+
+    vals = np.arange(10_000, dtype=np.int32) % 8  # very compressible
+    blob = chunk.encode_chunk(vals, "plain", "int32")
+    comp = chunk.compress_chunk(blob, "gzip")
+    assert len(comp) < len(blob)
+    info = chunk.read_info(comp)
+    assert info.flags & chunk.FLAG_COMPRESSED
+    assert np.array_equal(chunk.decode_chunk(comp), vals)
+    # incompressible payload: frame returned unchanged
+    rnd = np.random.default_rng(5).integers(-2**31, 2**31 - 1, 4096).astype(np.int32)
+    blob2 = chunk.encode_chunk(rnd, "plain", "int32")
+    assert chunk.compress_chunk(blob2, "gzip") == blob2
+    # corruption detected on the compressed bytes
+    bad = bytearray(comp)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        chunk.decode_chunk(bytes(bad))
+    # nullable + compressed stack
+    valid = (vals % 3 != 0)
+    nblob = chunk.compress_chunk(
+        chunk.encode_chunk(vals[valid], "plain", "int32", valid=valid), "gzip"
+    )
+    out, v = chunk.decode_chunk(nblob)
+    assert np.array_equal(v, valid) and np.array_equal(out[v], vals[valid])
+
+
+def test_writer_properties_compression_end_to_end(spark):
+    """WriterProperties.compression stacks a block codec over every chunk;
+    the store round-trips and enc_bytes reflect the compressed size."""
+    from pyspark.sql import functions as F
+
+    from engine import datagen, properties
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.createDataFrame(datagen.generate_pandas(300, seed=5))
+    props = properties.WriterProperties(rows_per_bucket=64, compression="gzip")
+    chunks = encode_job.encode_table(df, props=props).persist()
+    plain = encode_job.encode_table(df, rows_per_bucket=64).persist()
+    dec = decode_job.decode_chunks(chunks)
+    bad = (
+        df.alias("a").join(dec.alias("b"), "doc_id")
+        .where(~(F.col("a.tokens") == F.col("b.tokens"))).count()
+    )
+    assert bad == 0
+    ce = chunks.agg(F.sum("enc_bytes")).first()[0]
+    pe = plain.agg(F.sum("enc_bytes")).first()[0]
+    assert ce <= pe  # gzip never recorded larger (skip-if-bigger)
+    chunks.unpersist(); plain.unpersist()
