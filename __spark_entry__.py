@@ -881,6 +881,45 @@ GROUP BY l_orderkey
 """
 
 
+def _q_top_suppliers_per_nation(spark, sf_dir) -> DataFrame:
+    """Window-function demo over the dimension tables (SURVEY §2.6:
+    filters/joins/aggs/windows on Spark built-ins): top-3 suppliers by
+    account balance per nation, dims broadcast."""
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "r_name",
+            "n_name",
+            F.col("rnk").cast("long"),
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+_ORACLE_TOP_SUPPLIERS = """
+SELECT r_name, n_name, rnk, s_suppkey, ROUND(s_acctbal, 2) AS acctbal
+FROM (
+  SELECT r_name, n_name, s_suppkey, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+WHERE rnk <= 3
+"""
+
+
 _ORACLE_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
@@ -1147,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q1"] = _q_tpch_q1
     q["tpch_q3"] = _q_tpch_q3
     q["events_hourly"] = _q_events_hourly
+    q["top_suppliers_per_nation"] = _q_top_suppliers_per_nation
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
     q["simhash_planted"] = _q_simhash_planted
@@ -1186,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
     o["tpch_q1"] = _ORACLE_TPCH_Q1
     o["tpch_q3"] = _ORACLE_TPCH_Q3
     o["events_hourly"] = _ORACLE_EVENTS_HOURLY
+    o["top_suppliers_per_nation"] = _ORACLE_TOP_SUPPLIERS
     o["knn_lsh"] = _ORACLE_KNN_RECALL
     o["knn_ivf"] = _ORACLE_KNN_RECALL
     o["simhash_planted"] = _ORACLE_SIMHASH_PLANTED

@@ -111,3 +111,84 @@ def test_string_chunk_roundtrip_arbitrary(strings, codec):
     out_lens, out_data = chunk.decode_chunk(blob)
     np.testing.assert_array_equal(out_lens, lengths)
     assert out_data == data
+
+
+@given(
+    lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)), max_size=12),
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_list_chunk_roundtrip_arbitrary(lists):
+    """LIST container: arbitrary null lists / null elements / empties."""
+    from engine import chunk
+
+    valid = np.array([x is not None for x in lists], bool)
+    dense = [x for x in lists if x is not None]
+    lengths = np.array([len(x) for x in dense], np.int32)
+    flat = [e for x in dense for e in x]
+    elem_na = np.array([e is None for e in flat], bool)
+    dense_elems = np.array([e for e in flat if e is not None], np.int32)
+    blob = chunk.encode_chunk_list(
+        lengths,
+        dense_elems,
+        "int32",
+        valid=valid if not valid.all() else None,
+        elem_valid=(~elem_na) if elem_na.any() else None,
+    )
+    decoded = chunk.decode_chunk(blob)
+    if not valid.all():
+        L, V, RV = decoded
+        np.testing.assert_array_equal(RV, valid)
+    else:
+        L, V = decoded
+    np.testing.assert_array_equal(L, lengths)
+    if elem_na.any():
+        vals, ev = V
+        np.testing.assert_array_equal(ev, ~elem_na)
+        np.testing.assert_array_equal(vals[ev], dense_elems)
+    else:
+        np.testing.assert_array_equal(V, dense_elems)
+
+
+@given(
+    vals=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=300),
+    mask=st.data(),
+)
+def test_nullable_chunk_roundtrip_arbitrary(vals, mask):
+    from engine import chunk
+
+    arr = np.array(vals, np.int32)
+    valid = np.array(
+        mask.draw(st.lists(st.booleans(), min_size=len(vals), max_size=len(vals))),
+        bool,
+    )
+    blob = chunk.encode_chunk(arr[valid], "plain", "int32", valid=valid)
+    out, v = chunk.decode_chunk(blob)
+    np.testing.assert_array_equal(v, valid)
+    np.testing.assert_array_equal(out[v], arr[valid])
+
+
+@given(strings=st.lists(st.binary(min_size=0, max_size=30), min_size=0, max_size=60))
+def test_delta_ba_roundtrip_arbitrary(strings):
+    from engine import chunk
+    from engine.codecs import bytearrays
+
+    lengths, data = bytearrays.flat_from_values(strings)
+    blob = chunk.encode_chunk((lengths, data), "delta_ba", "bytes")
+    L, D = chunk.decode_chunk(blob)
+    np.testing.assert_array_equal(L, lengths)
+    assert D == data
+
+
+@given(vals=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=400))
+def test_compressed_chunk_roundtrip_arbitrary(vals):
+    from engine import chunk
+
+    arr = np.array(vals, np.int32)
+    blob = chunk.compress_chunk(chunk.encode_chunk(arr, "plain", "int32"), "gzip")
+    np.testing.assert_array_equal(chunk.decode_chunk(blob), arr)
