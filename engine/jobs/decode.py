@@ -162,6 +162,23 @@ _SPARK_TYPES = {
 }
 
 
+_PD_NULLABLE = {
+    "int32": "Int32",
+    "int64": "Int64",
+    "float32": "Float32",
+    "float64": "Float64",
+    "bool": "boolean",
+}
+
+
+def _null_series(kind: str, n: int) -> pd.Series:
+    """All-NULL column of ``kind`` (schema-evolution fill for chunks written
+    before the column existed)."""
+    if kind in _PD_NULLABLE:
+        return pd.Series(pd.array([None] * n, dtype=_PD_NULLABLE[kind]))
+    return pd.Series(np.full(n, None, dtype=object))
+
+
 def _nullable_series(vals: np.ndarray, valid: np.ndarray, kind: str) -> pd.Series:
     """Dense-decoded values + validity -> pandas series with real nulls.
     All families use pandas masked extension arrays so Arrow carries a true
@@ -207,9 +224,18 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = dict(zip(pdf["column"], pdf["payload"]))
+        n_docs = int(pdf["n_docs"].iloc[0]) if "n_docs" in pdf.columns else None
         out = {}
         for name, spec in columns.items():
             kind = spec[0]
+            if name not in blobs:
+                # schema evolution: chunks written before this column was
+                # added decode it as all-NULL (parquet's missing-column
+                # semantics); n_docs from the chunk metadata sizes the fill
+                if n_docs is None:
+                    raise KeyError(f"column {name} missing and no n_docs metadata")
+                out[name] = _null_series(kind, n_docs)
+                continue
             decoded = chunk.decode_chunk(blobs[name])
             if kind.startswith("list:"):
                 out[name] = _list_series(decoded, kind[5:])

@@ -115,3 +115,40 @@ def test_decimal_logical_roundtrip(spark):
     a = df.toPandas().sort_values("id").reset_index(drop=True)
     b = dec.toPandas().sort_values("id").reset_index(drop=True)
     assert (a["amount"] == b["amount"]).all()
+
+
+def test_schema_evolution_missing_column_decodes_null(spark, tmp_path):
+    """Chunks written before a column existed decode it as all-NULL
+    (parquet missing-column semantics): one store, two commits with
+    different schemas, one decode with the union schema."""
+    from engine import lineage
+
+    store = lineage.ChunkStore(spark, str(tmp_path / "evo"))
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.lit("a").alias("grp"),
+        (F.col("id") * 2).cast("double").alias("x"),
+    )
+    cols_v1 = encode_job.derive_columns(v1)
+    lineage.encode_with_resume(
+        spark, v1, store, columns=cols_v1,
+        rows_per_bucket=64, bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    v2 = spark.range(100, 200).select(
+        F.col("id").alias("event_id"),
+        F.lit("b").alias("grp"),
+        (F.col("id") * 2).cast("double").alias("x"),
+        F.concat(F.lit("t"), F.col("id")).alias("tag"),  # NEW column
+    )
+    cols_v2 = encode_job.derive_columns(v2)
+    lineage.encode_with_resume(
+        spark, v2, store, columns=cols_v2,
+        rows_per_bucket=64, bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    out = decode_job.decode_table(store.read_chunks(), cols_v2)
+    assert out.count() == 200
+    old = out.where(F.col("event_id") < 100)
+    new = out.where(F.col("event_id") >= 100)
+    assert old.where(F.col("tag").isNull()).count() == 100
+    assert new.where(F.col("tag").isNull()).count() == 0
+    assert out.agg(F.sum("x")).first()[0] == sum(i * 2.0 for i in range(200))
