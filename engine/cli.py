@@ -8,6 +8,8 @@ Usage::
     python -m engine.cli read   <store_dir> [num_records]
     python -m engine.cli schema <store_dir>
     python -m engine.cli chunks <store_dir>      # per-chunk lineage/metrics
+    python -m engine.cli read-parquet   <path> [n]   # plain parquet files
+    python -m engine.cli schema-parquet <path>
 """
 
 from __future__ import annotations
@@ -67,6 +69,19 @@ def cmd_chunks(store_dir: str) -> None:
     )
 
 
+def cmd_read_parquet(path: str, n: int = 10) -> None:
+    """Print records of a plain parquet file/dataset — the literal
+    ``parquet-read`` UX (``src/bin/parquet-read.rs:30-94``) for users coming
+    from the reference with existing parquet data."""
+    spark = _spark()
+    spark.read.parquet(path).show(n, truncate=80)
+
+
+def cmd_schema_parquet(path: str) -> None:
+    spark = _spark()
+    spark.read.parquet(path).printSchema()
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -78,6 +93,10 @@ def main() -> None:
         cmd_schema(store)
     elif cmd == "chunks":
         cmd_chunks(store)
+    elif cmd == "read-parquet":
+        cmd_read_parquet(store, int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    elif cmd == "schema-parquet":
+        cmd_schema_parquet(store)
     else:
         print(__doc__)
         raise SystemExit(2)
