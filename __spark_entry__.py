@@ -312,6 +312,27 @@ FROM planted GROUP BY event_type
 """
 
 
+def _q_token_histogram(spark, sf_dir) -> DataFrame:
+    """Aggregation over COMPRESSED data: per-chunk flat decode + bincount,
+    no record reassembly — shuffle carries (token, partial count), cost
+    independent of row count."""
+    encode_job, decode_job = _engine(spark)
+    seq = _seq_from_documents(spark, sf_dir)
+    chunks = encode_job.encode_table(seq, rows_per_bucket=128)
+    return decode_job.token_histogram(chunks).select(
+        F.col("token").cast("long"), F.col("n").cast("long")
+    )
+
+
+_ORACLE_TOKEN_HISTOGRAM = """
+SELECT CAST(tok AS BIGINT) AS token, COUNT(*) AS n
+FROM (SELECT UNNEST(list_transform(string_split(text, ' '),
+                                   w -> length(w))) AS tok
+      FROM documents)
+GROUP BY tok
+"""
+
+
 def _q_pruned_scan(spark, sf_dir) -> DataFrame:
     """Statistics-based chunk pruning: decode only chunks whose [vmin, vmax]
     intersects the predicate range, then apply the row filter — must equal a
@@ -1171,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_nested_table"] = _q_rt_nested_table
     q["rt_delta_ba_sorted_ids"] = _q_rt_delta_ba_sorted_ids
     q["rt_binary_table"] = _q_rt_binary_table
+    q["token_histogram"] = _q_token_histogram
     q["pruned_scan"] = _q_pruned_scan
     q["pruned_scan_strings"] = _q_pruned_scan_strings
     q["pruned_scan_floats"] = _q_pruned_scan_floats
@@ -1211,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["rt_binary_table"] = _ORACLE_RT_BINARY
+    o["token_histogram"] = _ORACLE_TOKEN_HISTOGRAM
     o["pruned_scan"] = _ORACLE_PRUNED_SCAN
     o["pruned_scan_strings"] = _ORACLE_PRUNED_STRINGS
     o["pruned_scan_floats"] = _ORACLE_PRUNED_FLOATS

@@ -308,6 +308,44 @@ def decode_chunks_pruned(chunks_df: DataFrame, column: str, lo, hi) -> DataFrame
     return decode_chunks(chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"))
 
 
+def token_histogram(chunks_df: DataFrame, column: str = "tokens") -> DataFrame:
+    """(token, n) histogram computed STRAIGHT from encoded chunks: each
+    chunk's payload decodes to its flat value stream — no record assembly,
+    no offsets, no sibling columns ever touched — and collapses to a local
+    (token, count) partial via one numpy unique; Spark's hash aggregate
+    merges partials (map-side combinable, shuffle carries distinct tokens
+    per chunk, not values). The chunk-store scan reads only this column's
+    payload bytes (Catalyst pushes the `column` filter + prunes columns).
+
+    This is the "query over compressed data" pattern: aggregate cost scales
+    with chunk count x distinct-per-chunk, independent of corpus row count.
+    """
+    from pyspark.sql import functions as F
+
+    pruned = chunks_df.where(F.col("column") == column).select("payload")
+
+    def hist(batches):
+        for pdf in batches:
+            for blob in pdf["payload"]:
+                info = chunk.read_info(blob)
+                if info.dtype == "bytes" or info.codec == "list":
+                    raise ValueError(
+                        "token_histogram expects numeric flat chunks "
+                        f"(got {info.codec}/{info.dtype} for column {column!r})"
+                    )
+                vals = chunk.decode_chunk(blob)
+                if isinstance(vals, tuple):  # nullable chunk: count non-null
+                    dense, valid = vals[0], vals[1]
+                    vals = np.asarray(dense)[np.asarray(valid, bool)]
+                u, c = np.unique(np.asarray(vals), return_counts=True)
+                yield pd.DataFrame(
+                    {"token": u.astype(np.int64), "cnt": c.astype(np.int64)}
+                )
+
+    partial = pruned.mapInPandas(hist, "token long, cnt long")
+    return partial.groupBy("token").agg(F.sum("cnt").alias("n"))
+
+
 def decode_table_pruned(
     chunks_df: DataFrame, columns: dict, column: str, lo, hi
 ) -> DataFrame:

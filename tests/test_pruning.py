@@ -137,3 +137,44 @@ def test_all_null_chunk_pruned_away(spark):
         for r in chunks.join(kept, "chunk_id", "left_semi").select("bucket_key").collect()
     }
     assert keys == {"a"}  # the all-null bucket can't qualify and is skipped
+
+
+def test_token_histogram_matches_explode(spark):
+    """Histogram from encoded chunks (no record assembly) equals the naive
+    decode + explode + groupBy, including over nullable scalar columns."""
+    from pyspark.sql import functions as F
+
+    from engine import datagen
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.createDataFrame(datagen.generate_pandas(300, seed=9))
+    chunks = encode_job.encode_table(df, rows_per_bucket=64).persist()
+    fast = decode_job.token_histogram(chunks).toPandas().set_index("token")["n"]
+    naive = (
+        decode_job.decode_chunks(chunks)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .count()
+        .toPandas()
+        .set_index("token")["count"]
+    )
+    assert fast.sort_index().equals(naive.sort_index().astype("int64"))
+    # nullable scalar column histogram counts non-null values only
+    ev = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        F.when(F.col("id") % 3 != 0, (F.col("id") % 5).cast("int")).alias("v"),
+    )
+    cols = encode_job.derive_columns(ev)
+    ech = encode_job.encode_table(
+        ev, columns=cols, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    h = decode_job.token_histogram(ech, column="v").agg(F.sum("n")).first()[0]
+    assert h == ev.where(F.col("v").isNotNull()).count()
+    # loud error on non-numeric columns
+    import pytest
+
+    with pytest.raises(Exception, match="numeric flat"):
+        decode_job.token_histogram(chunks, column="doc_id").count()
