@@ -100,3 +100,29 @@ def test_distributed_datagen_matches_contract(spark):
     assert set(pdf["source"]).issubset(set(datagen.SOURCES))
     assert (pdf["n_tok"] == pdf["tokens"].map(len)).all()
     assert pdf["doc_id"].is_unique
+
+
+def test_extreme_skew_bucket_sizes_bounded(spark):
+    """A 95%-one-source corpus must still produce buckets bounded by
+    ~2x rows_per_bucket (salting defuses the hot key; executor memory is
+    flat at any skew)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:06d}" for i in range(n)],
+            "tokens": [[i % 7, i % 13] for i in range(n)],
+            "n_tok": [2] * n,
+            "source": ["viral" if i % 20 != 0 else f"s{i % 5}" for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    b = skew.plan_buckets(df, rows_per_bucket=128)
+    sizes = b.groupBy("chunk_id").count().toPandas()["count"]
+    assert sizes.max() <= 2 * 128  # hashing variance bound, not 3800
+    viral_buckets = (
+        b.where(F.col("source") == "viral").select("chunk_id").distinct().count()
+    )
+    assert viral_buckets >= 3800 // 128  # hot key actually split
