@@ -275,16 +275,17 @@ def _pruned_chunk_ids(chunks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     from pyspark.sql import functions as F
 
     if isinstance(lo, str):
-        vmin_c, vmax_c = "vmin_s", "vmax_s"
-    elif isinstance(lo, float) or isinstance(hi, float):
-        vmin_c, vmax_c = "vmin_d", "vmax_d"
+        vmin_c, vmax_c = F.col("vmin_s"), F.col("vmax_s")
     else:
-        vmin_c, vmax_c = "vmin", "vmax"
+        # numeric bounds work against BOTH families: int columns carry
+        # vmin/vmax, float columns vmin_d/vmax_d — coalescing makes a float
+        # predicate on an int column prune correctly instead of silently
+        # dropping every chunk (the family columns are NULL there)
+        vmin_c = F.coalesce(F.col("vmin_d"), F.col("vmin").cast("double"))
+        vmax_c = F.coalesce(F.col("vmax_d"), F.col("vmax").cast("double"))
     return (
         chunks_df.where(
-            (F.col("column") == column)
-            & (F.col(vmax_c) >= lo)
-            & (F.col(vmin_c) <= hi)
+            (F.col("column") == column) & (vmax_c >= lo) & (vmin_c <= hi)
         )
         .select("chunk_id")
         .distinct()

@@ -248,8 +248,11 @@ def _encode_group_sorted(
                 mx = str(max(dense_vals))
                 if len(mx) > _STAT_TRUNC:
                     cut = mx[:_STAT_TRUNC]
-                    if ord(cut[-1]) < 0x10FFFF:
-                        vmax_s = cut[:-1] + chr(ord(cut[-1]) + 1)
+                    nxt = ord(cut[-1]) + 1
+                    if 0xD800 <= nxt <= 0xDFFF:
+                        nxt = 0xE000  # never emit a lone surrogate
+                    if nxt <= 0x10FFFF:
+                        vmax_s = cut[:-1] + chr(nxt)
                     else:
                         vmax_s = mx  # cannot bump: keep the exact bound
                 else:

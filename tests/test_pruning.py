@@ -178,3 +178,20 @@ def test_token_histogram_matches_explode(spark):
 
     with pytest.raises(Exception, match="numeric flat"):
         decode_job.token_histogram(chunks, column="doc_id").count()
+
+
+def test_float_bounds_on_int_column_prune_correctly(spark):
+    """A float predicate against an int column must not silently drop
+    everything (int columns carry vmin/vmax, not vmin_d) — coalesced
+    family comparison keeps pruning transparent."""
+    from pyspark.sql import functions as F
+
+    from engine import datagen
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.createDataFrame(datagen.generate_pandas(200, seed=4))
+    chunks = encode_job.encode_table(df, rows_per_bucket=64).persist()
+    out = decode_job.decode_chunks_pruned(chunks, "tokens", 0.5, 1e12)
+    assert out.count() == 200  # nothing falsely pruned
+    assert decode_job._pruned_chunk_ids(chunks, "n_tok", -0.5, 0.5).count() == 0
