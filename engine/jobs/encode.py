@@ -131,6 +131,12 @@ def _encode_group_sorted(
         vmin = vmax = vmin_d = vmax_d = vmin_s = vmax_s = None
         null_count = 0
         if kind == "int32_list":
+            if pdf[col].isna().any():
+                raise ValueError(
+                    f"column {col}: NULL token arrays are not part of the "
+                    "corpus contract; use the generic list:<kind> path for "
+                    "nullable lists"
+                )
             # Arrow hands list elements over as int32 ndarrays already; one
             # concatenate, no per-row conversion loop
             arrays = pdf[col].to_numpy()

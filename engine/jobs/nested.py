@@ -67,6 +67,11 @@ def flatten(df: DataFrame) -> tuple[DataFrame, list]:
                 changed = True
                 leaves = []
                 for sub in dt.fields:
+                    if SEP in sub.name:
+                        raise ValueError(
+                            f"struct field {f.name}.{sub.name!r} contains "
+                            f"the reserved flatten separator {SEP!r}"
+                        )
                     leaf = f"{f.name}{SEP}{sub.name}"
                     cols.append(_q(f.name).getField(sub.name).alias(leaf))
                     leaves.append((sub.name, leaf))
