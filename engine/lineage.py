@@ -14,26 +14,44 @@ jars). On a real cluster, set ``table_format='iceberg'`` and the writes go
 through ``writeTo(...).append()`` — ACID commits make chunk visibility
 atomic; the layout and logic are identical.
 
-Concurrency: two writers racing the same store can both encode the same
-missing bucket (parquet append has no commit coordination) — the chunks are
-byte-identical so reads stay correct, but storage duplicates. Run one writer
-per store, or use the Iceberg backend where snapshot isolation makes the
-second commit a detectable conflict.
+Concurrency: with the default parquet backend, two writers racing the same
+store can both encode the same missing bucket (parquet append has no commit
+coordination) — the chunks are byte-identical so reads stay correct, but
+storage duplicates. ``table_format='snapshot'`` adds Iceberg-style
+optimistic snapshot commits on top of plain files: every commit writes its
+data to a fresh directory and publishes it by atomically creating the next
+manifest version (``os.link`` fails on EEXIST — the loser re-reads the new
+latest snapshot and retries). Readers always see a complete snapshot; a
+crash mid-commit leaves only an invisible orphan directory. On a real
+cluster with Iceberg jars, ``writeTo(...).append()`` replaces this layer
+with the genuine article; the logic above it is identical.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHUNKS_SUBDIR = "chunks"
 LINEAGE_SUBDIR = "lineage"
+DATA_SUBDIR = "data"
+SNAPSHOTS_SUBDIR = "snapshots"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published a snapshot first and retries ran out."""
 
 
 class ChunkStore:
-    """A chunk dataset + its lineage table rooted at ``path``."""
+    """A chunk dataset + its lineage table rooted at ``path``.
+
+    ``table_format``: 'parquet' (append datasets, default) or 'snapshot'
+    (atomic manifest-versioned commits, optimistic concurrency).
+    """
 
     def __init__(self, spark: SparkSession, path: str, table_format: str = "parquet"):
         self.spark = spark
@@ -41,24 +59,94 @@ class ChunkStore:
         self.table_format = table_format
         self.chunks_path = os.path.join(path, CHUNKS_SUBDIR)
         self.lineage_path = os.path.join(path, LINEAGE_SUBDIR)
+        self.snapshots_path = os.path.join(path, SNAPSHOTS_SUBDIR)
+        self.data_path = os.path.join(path, DATA_SUBDIR)
+
+    # -- snapshot manifest helpers --------------------------------------------
+
+    def _latest_snapshot(self) -> dict | None:
+        if not os.path.isdir(self.snapshots_path):
+            return None
+        versions = sorted(
+            f for f in os.listdir(self.snapshots_path)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if not versions:
+            return None
+        with open(os.path.join(self.snapshots_path, versions[-1])) as f:
+            return json.load(f)
+
+    def current_version(self) -> int:
+        snap = self._latest_snapshot()
+        return snap["version"] if snap else 0
+
+    def _publish_snapshot(self, chunk_dir: str, lineage_dir: str, run_id: str,
+                          max_retries: int = 5) -> int:
+        """Atomically publish the next snapshot version including all prior
+        data dirs + this commit's. ``os.link`` onto the version path fails
+        with EEXIST if a concurrent writer won — re-read and retry."""
+        os.makedirs(self.snapshots_path, exist_ok=True)
+        for _ in range(max_retries):
+            snap = self._latest_snapshot()
+            version = (snap["version"] if snap else 0) + 1
+            manifest = {
+                "version": version,
+                "run_id": run_id,
+                "ts": time.time(),
+                "chunks_dirs": (snap["chunks_dirs"] if snap else []) + [chunk_dir],
+                "lineage_dirs": (snap["lineage_dirs"] if snap else []) + [lineage_dir],
+            }
+            tmp = os.path.join(self.snapshots_path, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            target = os.path.join(self.snapshots_path, f"v{version:012d}.json")
+            try:
+                os.link(tmp, target)  # atomic create-if-absent on POSIX
+                os.unlink(tmp)
+                return version
+            except FileExistsError:
+                os.unlink(tmp)  # lost the race: re-read latest, retry
+        raise CommitConflict(
+            f"could not publish a snapshot after {max_retries} attempts"
+        )
+
+    def _snapshot_paths(self, kind: str) -> list[str]:
+        snap = self._latest_snapshot()
+        if not snap:
+            return []
+        return [os.path.join(self.data_path, d, kind) for d in snap[f"{kind}_dirs"]]
 
     # -- reads ---------------------------------------------------------------
 
     def committed_chunk_ids(self) -> DataFrame | None:
         """Distinct chunk_ids whose lineage row is committed (None if empty)."""
-        if not self._exists(self.lineage_path):
-            return None
+        if self.table_format == "snapshot":
+            paths = self._snapshot_paths("lineage")
+            if not paths:
+                return None
+            df = self.spark.read.parquet(*paths)
+        else:
+            if not self._exists(self.lineage_path):
+                return None
+            df = self.spark.read.parquet(self.lineage_path)
         return (
-            self.spark.read.parquet(self.lineage_path)
-            .where(F.col("status") == "committed")
-            .select("chunk_id")
-            .distinct()
+            df.where(F.col("status") == "committed").select("chunk_id").distinct()
         )
 
     def read_chunks(self) -> DataFrame:
+        if self.table_format == "snapshot":
+            paths = self._snapshot_paths("chunks")
+            if not paths:
+                raise FileNotFoundError(f"no snapshot in {self.path}")
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(self.chunks_path)
 
     def read_lineage(self) -> DataFrame:
+        if self.table_format == "snapshot":
+            paths = self._snapshot_paths("lineage")
+            if not paths:
+                raise FileNotFoundError(f"no snapshot in {self.path}")
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(self.lineage_path)
 
     # -- writes --------------------------------------------------------------
@@ -66,19 +154,29 @@ class ChunkStore:
     def commit(self, chunks_df: DataFrame, run_id: str | None = None) -> None:
         """Write chunk payloads, then their lineage rows.
 
-        Ordering matters for crash consistency: payloads land first, lineage
-        marks them committed second — a crash between the two leaves orphan
-        payload files that a resumed run simply rewrites (same deterministic
-        bytes), never a committed chunk without its payload.
+        parquet mode: payloads land first, lineage marks them committed
+        second — a crash between the two leaves orphan payload files that a
+        resumed run simply rewrites (same deterministic bytes), never a
+        committed chunk without its payload.
+
+        snapshot mode: both land in a fresh invisible directory; one atomic
+        manifest link makes them visible together (or not at all).
         """
         run_id = run_id or f"run-{int(time.time() * 1000)}"
-        chunks_df.write.mode("append").parquet(self.chunks_path)
         lineage = (
             chunks_df.drop("payload")
             .withColumn("run_id", F.lit(run_id))
             .withColumn("status", F.lit("committed"))
             .withColumn("committed_at", F.current_timestamp())
         )
+        if self.table_format == "snapshot":
+            commit_dir = uuid.uuid4().hex
+            base = os.path.join(self.data_path, commit_dir)
+            chunks_df.write.mode("errorifexists").parquet(os.path.join(base, "chunks"))
+            lineage.write.mode("errorifexists").parquet(os.path.join(base, "lineage"))
+            self._publish_snapshot(commit_dir, commit_dir, run_id)
+            return
+        chunks_df.write.mode("append").parquet(self.chunks_path)
         lineage.write.mode("append").parquet(self.lineage_path)
 
     def _exists(self, p: str) -> bool:
