@@ -213,22 +213,25 @@ def embedding_near_dup_pairs(
     distinct_vecs = tagged.where(F.col(id_col) == F.col("_rep")).select(
         id_col, vec_col
     )
-    # level 2: LSH bucket all-pairs among distinct vectors
-    cand = None
-    for t in range(ntables):
-        sig = simsearch.hyperplane_signatures(
-            distinct_vecs, dim, nbits, seed + t, vec_col
-        ).select(id_col, F.col("lsh_bucket"))
-        l, r = sig.alias("l"), sig.alias("r")
-        edges = l.join(
+    # level 2: LSH bucket all-pairs among distinct vectors — all tables'
+    # signatures from ONE stacked matmul pass, one self-join on
+    # (table, bucket)
+    sig = simsearch.multi_hyperplane_signatures(
+        distinct_vecs, dim, nbits, ntables, seed, vec_col
+    ).select(id_col, "lsh_table", "lsh_bucket")
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (
+        l.join(
             r,
-            (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
+            (F.col("l.lsh_table") == F.col("r.lsh_table"))
+            & (F.col("l.lsh_bucket") == F.col("r.lsh_bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
+        )
+        .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
-        cand = edges if cand is None else cand.union(edges)
-    cand = cand.distinct()
+        .distinct()
+    )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     dot = F.aggregate(

@@ -77,17 +77,67 @@ def hyperplane_signatures(
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH signature: bit i = sign(<v, h_i>). Hyperplanes
-    are a deterministic broadcast literal (seeded numpy)."""
+    """Random-hyperplane LSH signature: bit i = sign(<v, h_i>), LSB-first.
+
+    One Arrow-vectorized pandas UDF doing a single numpy matmul per batch —
+    the documented exception to "built-ins first": a dense (batch x dim) @
+    (dim x nbits) product is exactly where the vectorized-UDF path beats
+    nbits separate fold expressions (which also made Catalyst analysis cost
+    grow with nbits x ntables). Hyperplanes are a deterministic seeded
+    closure shipped to executors once per task."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
-    sig = None
-    for i in range(nbits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return vectors.withColumn("lsh_bucket", sig)
+    powers = (1 << np.arange(nbits, dtype=np.int64))
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them, which pandas_udf cannot introspect — the type is declared above
+    @F.pandas_udf(LongType())
+    def _sig(emb):
+        X = np.stack(emb.to_numpy())
+        bits = X @ planes.T > 0
+        return pd.Series((bits @ powers).astype(np.int64))
+
+    return vectors.withColumn("lsh_bucket", _sig(F.col(vec_col)))
+
+
+def multi_hyperplane_signatures(
+    vectors: DataFrame,
+    dim: int,
+    nbits: int,
+    ntables: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All ``ntables`` tables' signatures in ONE pass: a single stacked
+    matmul per Arrow batch, exploded to (lsh_table, lsh_bucket) rows — the
+    big table is scanned once regardless of table count (vs once per table
+    for repeated single-table signatures). Table t uses the same seeded
+    hyperplanes as ``hyperplane_signatures(seed + t)``."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + t).standard_normal((nbits, dim))
+            for t in range(ntables)
+        ]
+    )  # (ntables*nbits, dim)
+    powers = 1 << np.arange(nbits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sigs(emb):
+        X = np.stack(emb.to_numpy())
+        bits = (X @ planes.T > 0).reshape(len(X), ntables, nbits)
+        sigs = bits @ powers  # (n, ntables)
+        return pd.Series(list(sigs.astype(np.int64)))
+
+    return vectors.withColumn("_sigs", _sigs(F.col(vec_col))).select(
+        "*",
+        F.posexplode("_sigs").alias("lsh_table", "lsh_bucket"),
+    ).drop("_sigs")
 
 
 def cosine_topk_lsh(
@@ -111,43 +161,43 @@ def cosine_topk_lsh(
     ``multiprobe`` additionally probes every bucket at Hamming distance 1
     from the query's signature (nbits extra buckets per table) — the
     standard recall/probe-count trade for random-hyperplane LSH; probing is
-    a broadcast-side explode, the big table is still touched once per table.
+    a broadcast-side explode. All tables' signatures come from ONE stacked
+    matmul pass, so the big table is scanned exactly once and joined once
+    on (table, bucket) no matter how many tables.
     """
-    scored = None
-    for t in range(ntables):
-        v = hyperplane_signatures(vectors, dim, nbits, seed + t, vec_col)
-        q = hyperplane_signatures(
-            queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
-            dim,
-            nbits,
-            seed + t,
-            "_qvec",
-        )
-        if multiprobe:
-            probes = F.explode(
-                F.array(
-                    F.col("lsh_bucket"),
-                    *[
-                        F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(nbits)
-                    ],
-                )
+    v = multi_hyperplane_signatures(vectors, dim, nbits, ntables, seed, vec_col)
+    q = multi_hyperplane_signatures(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        dim,
+        nbits,
+        ntables,
+        seed,
+        "_qvec",
+    )
+    if multiprobe:
+        probes = F.explode(
+            F.array(
+                F.col("lsh_bucket"),
+                *[
+                    F.col("lsh_bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(nbits)
+                ],
             )
-            q = q.select(query_id_col, "_qvec", probes.alias("lsh_bucket"))
-        sim = (
-            v.join(F.broadcast(q), "lsh_bucket")
-            .withColumn(
-                "cosine",
-                F.round(
-                    _dot(F.col(vec_col), F.col("_qvec"))
-                    / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                    6,
-                ),
-            )
-            .select(query_id_col, id_col, "cosine")
         )
-        scored = sim if scored is None else scored.union(sim)
-    sim_all = scored.distinct()  # a pair found by several tables scores once
+        q = q.select(query_id_col, "_qvec", "lsh_table", probes.alias("lsh_bucket"))
+    sim = (
+        v.join(F.broadcast(q), ["lsh_table", "lsh_bucket"])
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                6,
+            ),
+        )
+        .select(query_id_col, id_col, "cosine")
+    )
+    sim_all = sim.distinct()  # a pair found by several tables scores once
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         sim_all.withColumn("rank", F.row_number().over(w))
