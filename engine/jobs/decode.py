@@ -53,6 +53,18 @@ def _strings_from_flat(lengths: np.ndarray, data: bytes) -> pd.Series:
     return _string_array_from_flat(lengths, data).to_pandas()
 
 
+def _scatter_dense_strings(lengths, data, valid, binary: bool):
+    """Dense decoded byte-array values + validity -> full-length object
+    ndarray with None at nulls (shared by the scalar and list decode
+    paths)."""
+    dense = _string_array_from_flat(lengths, data, binary).to_numpy(
+        zero_copy_only=False
+    )
+    out = np.full(len(valid), None, dtype=object)
+    out[valid] = dense
+    return out
+
+
 def _list_array(lengths: np.ndarray, values_pa, record_valid=None):
     """Arrow ListArray from per-record lengths + flat element array —
     zero-copy record assembly (no per-row Python slicing). Null lists ride a
@@ -88,11 +100,7 @@ def _list_series(decoded, elem: str) -> pd.Series:
         binary = elem == "binary"
         if isinstance(values, tuple) and len(values) == 3:
             balens, data, elem_valid = values
-            dense = _string_array_from_flat(balens, data, binary).to_numpy(
-                zero_copy_only=False
-            )
-            out = np.full(len(elem_valid), None, dtype=object)
-            out[elem_valid] = dense
+            out = _scatter_dense_strings(balens, data, elem_valid, binary)
             values_pa = pa.array(out, type=pa.binary() if binary else pa.string())
         else:
             values_pa = _string_array_from_flat(*values, binary=binary)
@@ -202,7 +210,12 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     come back with their nulls restored from the def-level section."""
     from pyspark.sql.types import ArrayType, StructType, _parse_datatype_string
 
+    from pyspark.sql.types import BooleanType
+
+    from .encode import EVALID_SUFFIX
+
     fields = []
+    int64_lists = []
     for name, spec in columns.items():
         kind = spec[0]
         if kind == "int32_list":
@@ -214,6 +227,15 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
         else:
             dt = _parse_datatype_string(_SPARK_TYPES[kind])
         fields.append(StructField(name, dt, True))
+        if kind == "list:int64":
+            # int64-null lists cannot ride pandas (Spark's serializer
+            # materializes them as float64, rounding above 2^53): emit
+            # zero-filled exact values + a validity-list companion, rebuilt
+            # JVM-side with zip_with after the pandas hop
+            int64_lists.append(name)
+            fields.append(
+                StructField(f"{name}{EVALID_SUFFIX}", ArrayType(BooleanType()), True)
+            )
     schema = StructType(fields)
 
     logical = {
@@ -235,18 +257,41 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
                 if n_docs is None:
                     raise KeyError(f"column {name} missing and no n_docs metadata")
                 out[name] = _null_series(kind, n_docs)
+                if kind == "list:int64":
+                    out[f"{name}{EVALID_SUFFIX}"] = _null_series("bytes", n_docs)
                 continue
             decoded = chunk.decode_chunk(blobs[name])
-            if kind.startswith("list:"):
+            if kind == "list:int64":
+                import pyarrow as pa
+
+                if len(decoded) == 3:
+                    lengths, values, record_valid = decoded
+                else:
+                    (lengths, values), record_valid = decoded, None
+                if isinstance(values, tuple):
+                    vals_full, elem_valid = values  # zero-filled + mask
+                else:
+                    vals_full = values
+                    elem_valid = np.ones(len(values), dtype=bool)
+                # values WITHOUT nulls stay int64 ndarrays through pandas —
+                # exact; the validity rides its own bool-list column
+                out[name] = _list_array(
+                    lengths, pa.array(np.ascontiguousarray(vals_full, np.int64)),
+                    record_valid,
+                ).to_pandas()
+                out[f"{name}{EVALID_SUFFIX}"] = _list_array(
+                    lengths, pa.array(np.ascontiguousarray(elem_valid, bool)),
+                    record_valid,
+                ).to_pandas()
+            elif kind.startswith("list:"):
                 out[name] = _list_series(decoded, kind[5:])
             elif kind in ("bytes", "binary"):
                 binary = kind == "binary"
                 if isinstance(decoded, tuple) and len(decoded) == 3:
                     lens, data, valid = decoded
-                    dense = _string_array_from_flat(lens, data, binary).to_pandas()
-                    s = pd.Series(np.full(len(valid), None, dtype=object))
-                    s[valid] = dense.to_numpy()
-                    out[name] = s
+                    out[name] = pd.Series(
+                        _scatter_dense_strings(lens, data, valid, binary)
+                    )
                 else:
                     out[name] = _string_array_from_flat(*decoded, binary=binary).to_pandas()
             elif isinstance(decoded, tuple):
@@ -256,11 +301,23 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
         return pd.DataFrame(out)
 
     out = chunks_df.groupBy("chunk_id").applyInPandas(lambda p: gen(p), schema)
+    for name in int64_lists:
+        evcol = f"{name}{EVALID_SUFFIX}"
+        out = out.withColumn(
+            name,
+            F.zip_with(
+                F.col(f"`{name}`"),
+                F.col(f"`{evcol}`"),
+                lambda v, m: F.when(m, v),
+            ),
+        ).drop(evcol)
     if logical:
-        from ..jobs.encode import _LOGICAL
+        from ..jobs.encode import logical_spec
 
         for name, kind in logical.items():
-            out = out.withColumn(name, F.expr(_LOGICAL[kind][2].format(c=name)))
+            out = out.withColumn(
+                name, F.expr(logical_spec(kind)[2].format(c=f"`{name}`"))
+            )
     return out
 
 

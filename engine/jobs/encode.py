@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -73,6 +74,11 @@ CHUNK_SCHEMA = StructType(
 )
 
 _STAT_TRUNC = 64  # string min/max are truncated like parquet's column index
+
+# validity-companion suffixes (nullable int64 precision guard, see
+# encode_table): reserved column-name space
+VALID_SUFFIX = "__valid"
+EVALID_SUFFIX = "__evalid"
 
 # column name -> (kind, per-column codec override or None for auto-select)
 DEFAULT_COLUMNS = {
@@ -161,7 +167,19 @@ def _encode_group_sorted(
             if flat.size:
                 vmin, vmax = int(flat.min()), int(flat.max())
         elif kind in ("int32", "int64"):
-            vals, valid, null_count = _scalar_dense(pdf[col], kind)
+            vcol = f"{col}{VALID_SUFFIX}"
+            if vcol in pdf.columns:
+                # companion path: values arrived as EXACT zero-filled int64
+                # (never through float64), validity rides alongside
+                valid_arr = pdf[vcol].to_numpy(dtype=bool)
+                null_count = int((~valid_arr).sum())
+                full = pdf[col].to_numpy(dtype=kind)
+                if null_count:
+                    valid, vals = valid_arr, full[valid_arr]
+                else:
+                    valid, vals = None, full
+            else:
+                vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec, _, _ = selector.select_codec(
                 vals, override=override, candidates=candidates or selector.INT_CANDIDATES
             )
@@ -211,7 +229,20 @@ def _encode_group_sorted(
                     if items
                     else np.empty(0, np_elem)
                 )
-                if flat0.dtype == object:
+                evcol = f"{col}{EVALID_SUFFIX}"
+                if evcol in pdf.columns:
+                    # companion path: int64 elements arrived exact (zero-
+                    # filled, never through float64); validity rides as a
+                    # parallel bool-array column
+                    ev_ser = pdf[evcol]
+                    ev_items = (ev_ser[~na] if null_count else ev_ser).tolist()
+                    ev_flat = (
+                        np.concatenate([np.asarray(a, bool) for a in ev_items])
+                        if ev_items
+                        else np.empty(0, bool)
+                    )
+                    elem_na = ~ev_flat
+                elif flat0.dtype == object:
                     elem_na = pd.isna(flat0)
                 elif np.issubdtype(flat0.dtype, np.floating):
                     # int lists with nulls arrive as float+NaN from Arrow;
@@ -391,12 +422,40 @@ def derive_columns(df: DataFrame) -> dict:
     return out
 
 
+import re as _re
+
+_DECIMAL_LOGICAL_RE = _re.compile(r"^(decimal|decimal_str)\((\d+),(\d+)\)$")
+
+
+def logical_spec(logical: str):
+    """Resolve a logical-type name to (physical kind, encode cast, decode
+    cast). Decimal forms are re-derived from the name itself so a fresh
+    process decoding a persisted columns spec never depends on having run
+    derive_columns first (the registry is a cache, not a requirement)."""
+    spec = _LOGICAL.get(logical)
+    if spec is not None:
+        return spec
+    m = _DECIMAL_LOGICAL_RE.match(logical)
+    if m is None:
+        raise KeyError(f"unknown logical type {logical!r}")
+    kind, p, s = m.group(1), int(m.group(2)), int(m.group(3))
+    if kind == "decimal":
+        spec = _decimal_logical(p, s)
+    else:
+        spec = ("bytes", "cast({c} as string)", f"cast({{c}} as decimal({p},{s}))")
+    _LOGICAL[logical] = spec
+    return spec
+
+
 def apply_logical_casts(df: DataFrame, columns: dict) -> DataFrame:
-    """Cast logical-typed columns to their physical representation."""
+    """Cast logical-typed columns to their physical representation
+    (column refs backtick-quoted: flattened struct leaves carry '$')."""
     for name, spec in columns.items():
         logical = spec[3] if len(spec) > 3 else None
         if logical:
-            df = df.withColumn(name, F.expr(_LOGICAL[logical][1].format(c=name)))
+            df = df.withColumn(
+                name, F.expr(logical_spec(logical)[1].format(c=f"`{name}`"))
+            )
     return df
 
 
@@ -450,6 +509,39 @@ def encode_table(
             columns[col] = ColumnSpec(
                 kind, override, cands, spec[3] if len(spec) > 3 else None
             )
+    # Nullable int64 precision guard: Arrow->pandas hands a batch containing
+    # any NULL over as float64, silently rounding values above 2^53 (bigint
+    # IDs, decimal(p>15) unscaled values). Split such columns JVM-side into
+    # (zero-filled exact int64, companion validity bool) BEFORE the hop —
+    # int32 survives the float64 detour exactly and needs no companion.
+    companions: list[str] = []
+    for name, spec in columns.items():
+        field = df.schema[name]
+        if spec[0] == "int64" and field.nullable:
+            vcol = f"{name}{VALID_SUFFIX}"
+            if vcol in df.columns:
+                raise ValueError(f"column {vcol} collides with a validity companion")
+            df = df.withColumn(vcol, F.col(f"`{name}`").isNotNull()).withColumn(
+                name, F.coalesce(F.col(f"`{name}`"), F.lit(0).cast("long"))
+            )
+            companions.append(vcol)
+        elif (
+            spec[0] == "list:int64"
+            and isinstance(field.dataType, ArrayType)
+            and field.dataType.containsNull
+        ):
+            vcol = f"{name}{EVALID_SUFFIX}"
+            if vcol in df.columns:
+                raise ValueError(f"column {vcol} collides with a validity companion")
+            df = df.withColumn(
+                vcol, F.transform(F.col(f"`{name}`"), lambda x: x.isNotNull())
+            ).withColumn(
+                name,
+                F.transform(
+                    F.col(f"`{name}`"), lambda x: F.coalesce(x, F.lit(0).cast("long"))
+                ),
+            )
+            companions.append(vcol)
     bucketed = skew.plan_buckets(
         df,
         key=bucket_key,
@@ -466,7 +558,7 @@ def encode_table(
     # backtick-quote: flattened struct leaves carry literal dots ("s.a")
     cols = [F.col(f"`{c}`") for c in ("chunk_id", *skew.BUCKET_META_COLS)] + [
         F.col(f"`{c}`") for c in columns if c not in skew.BUCKET_META_COLS
-    ]
+    ] + [F.col(f"`{c}`") for c in companions]
 
     def encode_stream(batches):
         """Streaming bucket encoder over (chunk_id, doc_id)-sorted batches:

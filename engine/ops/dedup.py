@@ -75,6 +75,24 @@ def minhash_signatures(
     )
 
 
+def _star_collapse(df: DataFrame, group_col: str, key_col: str):
+    """Generic identical-group collapse: one window, no join.
+
+    Returns ``(edges, reps)`` where ``edges`` links every non-representative
+    member to its group's min-id representative (``id_a`` = rep, ``id_b`` =
+    member — O(k) per group, never O(k^2)) and ``reps`` holds one row per
+    group (all original columns, ``_rep`` dropped). Shared by exact-text,
+    identical-signature and identical-vector collapse.
+    """
+    w = Window.partitionBy(group_col)
+    tagged = df.withColumn("_rep", F.min(key_col).over(w))
+    edges = tagged.where(F.col(key_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(key_col).alias("id_b")
+    )
+    reps = tagged.where(F.col(key_col) == F.col("_rep")).drop("_rep")
+    return edges, reps
+
+
 def _exact_collapse(docs: DataFrame, text_col: str, key_col: str):
     """(star edges within exact-duplicate groups, representative docs).
 
@@ -85,13 +103,8 @@ def _exact_collapse(docs: DataFrame, text_col: str, key_col: str):
     keyed = docs.select(F.col(key_col), F.col(text_col)).withColumn(
         "_md5", F.md5(F.col(text_col))
     )
-    w = Window.partitionBy("_md5")
-    tagged = keyed.withColumn("_rep", F.min(key_col).over(w))
-    exact_edges = tagged.where(F.col(key_col) != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"), F.col(key_col).alias("id_b")
-    )
-    reps = tagged.where(F.col(key_col) == F.col("_rep")).select(key_col, text_col)
-    return exact_edges, reps
+    edges, reps = _star_collapse(keyed, "_md5", key_col)
+    return edges, reps.select(key_col, text_col)
 
 
 def minhash_lsh_pairs(
@@ -103,16 +116,19 @@ def minhash_lsh_pairs(
     k: int = 3,
     seed: int = 42,
     collapse_exact: bool = True,
+    star_threshold: int = 64,
 ) -> DataFrame:
     """Near-duplicate candidate edges via LSH banding.
 
-    Scale design: shuffle carries (band, band_hash, key) triplets only, and
-    within each band bucket candidates link to the bucket's min-id
-    representative (star edges, O(k) per bucket) instead of emitting all
-    O(k^2) pairs — a duplicate-heavy bucket (the exact thing dedup targets)
-    stays linear. Near-dup clusters are recovered transitively by unioning
-    verified edges; with ``collapse_exact`` the exact-duplicate star edges
-    are included directly (they are trivially candidates at any threshold).
+    Scale design: shuffle carries (band, band_hash, key) triplets only.
+    Buckets up to ``star_threshold`` members pair all-vs-all (full recall —
+    a chain A~B~C where only B,C are true near-dups still proposes (B,C));
+    oversized buckets emit star edges to the min-id member (O(k), so a
+    duplicate-heavy bucket — the exact thing dedup targets — stays linear,
+    and with ``collapse_exact`` the duplicate mass never reaches banding at
+    all). Clusters are recovered transitively by unioning verified edges;
+    exact-duplicate star edges are included directly (they are trivially
+    candidates at any threshold).
     """
     rows_per_band = num_hashes // bands
     exact_edges = None
@@ -135,14 +151,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(key_col, "bb.band", "bb.bhash")
-    # one shuffle: window-min per bucket, star edges to the representative
+    # one shuffle annotates bucket size + representative; small buckets go
+    # all-pairs (recall), oversized ones star (linear)
     w = Window.partitionBy("band", "bhash")
-    pairs = (
-        banded.withColumn("_brep", F.min(key_col).over(w))
-        .where(F.col(key_col) != F.col("_brep"))
-        .select(F.col("_brep").alias("id_a"), F.col(key_col).alias("id_b"))
-        .distinct()
+    tagged = banded.withColumn("_brep", F.min(key_col).over(w)).withColumn(
+        "_bsize", F.count("*").over(w)
     )
+    small = tagged.where(F.col("_bsize") <= star_threshold).select(
+        key_col, "band", "bhash"
+    )
+    l, r = small.alias("l"), small.alias("r")
+    small_pairs = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bhash") == F.col("r.bhash"))
+        & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+    ).select(F.col(f"l.{key_col}").alias("id_a"), F.col(f"r.{key_col}").alias("id_b"))
+    large_star = tagged.where(
+        (F.col("_bsize") > star_threshold) & (F.col(key_col) != F.col("_brep"))
+    ).select(F.col("_brep").alias("id_a"), F.col(key_col).alias("id_b"))
+    pairs = small_pairs.union(large_star).distinct()
     if exact_edges is not None:
         pairs = pairs.union(exact_edges).distinct()
     return pairs
@@ -203,16 +231,9 @@ def embedding_near_dup_pairs(
     hashed = vectors.select(
         F.col(id_col), F.col(vec_col), F.xxhash64(F.col(vec_col)).alias("_vh")
     )
-    w_h = Window.partitionBy("_vh")
-    tagged = hashed.withColumn("_rep", F.min(id_col).over(w_h))
-    same_vec = tagged.where(F.col(id_col) != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.lit(1.0).alias("cosine"),
-    )
-    distinct_vecs = tagged.where(F.col(id_col) == F.col("_rep")).select(
-        id_col, vec_col
-    )
+    edges1, reps1 = _star_collapse(hashed, "_vh", id_col)
+    same_vec = edges1.select("id_a", "id_b", F.lit(1.0).alias("cosine"))
+    distinct_vecs = reps1.select(id_col, vec_col)
     # level 2: LSH bucket all-pairs among distinct vectors — all tables'
     # signatures from ONE stacked matmul pass, one self-join on
     # (table, bucket)
@@ -270,8 +291,11 @@ def simhash(
     into the signature. No Python in the pipeline; shuffle carries
     (key, 64 longs) partial aggregates.
     """
+    # NULL text coalesces to "" (split("") -> [""]): null/empty docs keep a
+    # deterministic shared signature instead of vanishing from the explode
     h = docs.select(
-        F.col(key_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
+        F.col(key_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("_w"),
     ).select(F.col(key_col), F.xxhash64("_w").alias("_h"))
     votes = [
         F.sum(
@@ -318,17 +342,8 @@ def simhash_near_dup_pairs(
     """
     sig = simhash(docs, text_col, key_col)
     # level 1: same-signature star edges (one window, no join)
-    w_sig = Window.partitionBy("simhash")
-    tagged = sig.withColumn("_rep", F.min(key_col).over(w_sig))
-    same_sig = tagged.where(F.col(key_col) != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"),
-        F.col(key_col).alias("id_b"),
-        F.lit(0).alias("hamming"),
-    )
-    # level 2: one representative per distinct signature enters the blocks
-    distinct_sig = tagged.where(F.col(key_col) == F.col("_rep")).select(
-        key_col, "simhash"
-    )
+    edges1, distinct_sig = _star_collapse(sig, "simhash", key_col)
+    same_sig = edges1.select("id_a", "id_b", F.lit(0).alias("hamming"))
     blocked = distinct_sig.select(
         key_col,
         "simhash",

@@ -41,11 +41,13 @@ def _escape_key(col):
 
 
 def chunk_id_expr(key_col, salt_col, suffix_col):
-    """The ONE way a chunk_id is built: ``esc(key)#{salt:05d}[#suffix]``.
+    """The ONE way a chunk_id is built: ``esc(key)#{salt:010d}[#suffix]``.
     Shared by the encode planner and lineage point-lookup recomputation so
-    the two can never drift."""
+    the two can never drift. Width 10 covers every int32 salt (bucket_n is
+    int32, so salts < 2^31 < 10^10) — F.lpad TRUNCATES overlong input, so a
+    too-small width would silently collide distinct buckets at scale."""
     base = F.concat_ws(
-        "#", _escape_key(key_col), F.lpad(salt_col.cast("string"), 5, "0")
+        "#", _escape_key(key_col), F.lpad(salt_col.cast("string"), 10, "0")
     )
     return F.when(
         suffix_col.isNotNull(), F.concat_ws("#", base, suffix_col)
@@ -70,6 +72,13 @@ def plan_buckets(
     ``chunk_suffix`` scopes buckets to a window/micro-batch so incremental
     ingest closes buckets instead of appending into committed ones.
     """
+    reserved = set(BUCKET_META_COLS) | {"chunk_id"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with reserved bucket "
+            "metadata names; rename them before encoding"
+        )
     counts = df.groupBy(key).agg(F.count("*").alias("_rows"))
     buckets = counts.select(
         F.col(key),

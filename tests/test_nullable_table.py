@@ -103,3 +103,32 @@ def test_dense_mismatch_rejected():
             (lengths, b"ab"), "delta_length_ba", "bytes",
             valid=np.array([True, True], dtype=bool),
         )
+
+
+def test_int64_above_2_53_exact_with_nulls(spark):
+    """Nullable bigint columns and int64 lists with null elements must
+    round-trip EXACTLY above 2^53: Arrow->pandas would hand them over as
+    float64 (rounding to 1024-multiples) — the engine splits them into
+    zero-filled exact values + validity companions on BOTH hops."""
+    BIG = (1 << 61) + 12345
+    df = spark.range(0, 300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.when(F.col("id") % 7 != 0, F.lit(BIG) + F.col("id")).alias("big_n"),
+        F.when(
+            F.col("id") % 5 != 0,
+            F.array(
+                F.lit(BIG) + F.col("id") * 3,
+                F.when(F.col("id") % 3 != 0, F.lit(BIG) + 7),
+            ),
+        ).alias("big_list"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    out = decode_job.decode_table(chunks, cols)
+    assert df.orderBy("event_id").collect() == (
+        out.select(*df.columns).orderBy("event_id").collect()
+    )

@@ -35,7 +35,7 @@ def test_encode_has_exactly_one_exchange(spark):
 
 def test_encode_resume_antijoin_is_broadcast(spark):
     df = datagen.generate_spark(spark, 200)
-    skip = spark.createDataFrame([("web#00000",)], "chunk_id string")
+    skip = spark.createDataFrame([("web#0000000000",)], "chunk_id string")
     chunks = encode_job.encode_table(df, rows_per_bucket=64, skip_chunk_ids=skip)
     plan = _plan(chunks)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
