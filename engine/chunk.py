@@ -483,13 +483,9 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
     if flags & FLAG_COMPRESSED:
         from . import compression as compression_mod
 
-        codec_name = _BLOCK_NAMES[int(payload[0])]
-        block = compression_mod.create_codec(codec_name)
-        if block is None:
-            raise ValueError(
-                f"chunk compressed with {codec_name!r}, which is not "
-                "available in this environment (install the codec library)"
-            )
+        # create_codec raises a clear ValueError when the codec library is
+        # absent in this environment (import-gated)
+        block = compression_mod.create_codec(_BLOCK_NAMES[int(payload[0])])
         payload = np.frombuffer(
             block.decompress(payload[1:].tobytes()), np.uint8
         )

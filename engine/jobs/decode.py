@@ -212,8 +212,9 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
 
     from pyspark.sql.types import BooleanType
 
-    from .encode import EVALID_SUFFIX
+    from .encode import EVALID_SUFFIX, check_companion_names
 
+    check_companion_names(columns)
     fields = []
     int64_lists = []
     for name, spec in columns.items():

@@ -80,6 +80,22 @@ _STAT_TRUNC = 64  # string min/max are truncated like parquet's column index
 VALID_SUFFIX = "__valid"
 EVALID_SUFFIX = "__evalid"
 
+
+def check_companion_names(columns: dict) -> None:
+    """Reject column sets where a data column is named like another
+    column's validity companion — the bucket encoder detects companions by
+    name, so '<int column>__valid' next to that int column would silently
+    be consumed as a validity mask (and decode would emit a duplicate
+    '<list column>__evalid' schema field). Shared by encode and decode."""
+    names = set(columns)
+    for name in names:
+        for suffix in (VALID_SUFFIX, EVALID_SUFFIX):
+            if f"{name}{suffix}" in names:
+                raise ValueError(
+                    f"column {name}{suffix!r} collides with the reserved "
+                    f"validity-companion name for {name!r}; rename it"
+                )
+
 # column name -> (kind, per-column codec override or None for auto-select)
 DEFAULT_COLUMNS = {
     "tokens": ("int32_list", None),
@@ -515,6 +531,7 @@ def encode_table(
     # (zero-filled exact int64, companion validity bool) BEFORE the hop —
     # int32 survives the float64 detour exactly and needs no companion.
     companions: list[str] = []
+    check_companion_names(columns)
     for name, spec in columns.items():
         field = df.schema[name]
         if spec[0] == "int64" and field.nullable:
@@ -555,10 +572,13 @@ def encode_table(
             "chunk_id",
             "left_anti",
         )
-    # backtick-quote: flattened struct leaves carry literal dots ("s.a")
-    cols = [F.col(f"`{c}`") for c in ("chunk_id", *skew.BUCKET_META_COLS)] + [
-        F.col(f"`{c}`") for c in columns if c not in skew.BUCKET_META_COLS
-    ] + [F.col(f"`{c}`") for c in companions]
+    # backtick-quote: flattened struct leaves carry literal '$'/'.' chars
+    # (plan_buckets already rejected inputs named like the meta columns)
+    cols = (
+        [F.col(f"`{c}`") for c in ("chunk_id", *skew.BUCKET_META_COLS)]
+        + [F.col(f"`{c}`") for c in columns]
+        + [F.col(f"`{c}`") for c in companions]
+    )
 
     def encode_stream(batches):
         """Streaming bucket encoder over (chunk_id, doc_id)-sorted batches:

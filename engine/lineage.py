@@ -51,6 +51,10 @@ class ChunkStore:
 
     ``table_format``: 'parquet' (append datasets, default) or 'snapshot'
     (atomic manifest-versioned commits, optimistic concurrency).
+
+    Chunk-id format: v2 (10-digit zero-padded salts). Stores written by the
+    v1 (5-digit) revision are NOT resume/lookup-compatible — recomputed ids
+    no longer match the persisted ones; re-encode such stores.
     """
 
     def __init__(self, spark: SparkSession, path: str, table_format: str = "parquet"):

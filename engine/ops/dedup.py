@@ -292,7 +292,10 @@ def simhash(
     (key, 64 longs) partial aggregates.
     """
     # NULL text coalesces to "" (split("") -> [""]): null/empty docs keep a
-    # deterministic shared signature instead of vanishing from the explode
+    # deterministic shared signature instead of vanishing from the explode.
+    # Deliberate semantics, consistent with exact_dedup (md5 groups nulls
+    # together too): docs with missing text dedup against each other —
+    # filter them out upstream if "missing" must not mean "duplicate"
     h = docs.select(
         F.col(key_col),
         F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("_w"),

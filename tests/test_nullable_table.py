@@ -132,3 +132,21 @@ def test_int64_above_2_53_exact_with_nulls(spark):
     assert df.orderBy("event_id").collect() == (
         out.select(*df.columns).orderBy("event_id").collect()
     )
+
+
+def test_companion_name_collision_rejected(spark):
+    """A data column named like another column's validity companion must be
+    rejected loudly, not consumed as a mask."""
+    df = spark.range(0, 10).select(
+        F.col("id").alias("x"),
+        (F.col("id") % 2 == 0).alias("x__valid"),
+        F.lit("g").alias("grp"),
+    )
+    cols = encode_job.derive_columns(df)
+    with pytest.raises(ValueError, match="companion"):
+        encode_job.encode_table(
+            df, columns=cols, rows_per_bucket=8,
+            bucket_key="grp", salt_col="x", sort_col="x",
+        )
+    with pytest.raises(ValueError, match="companion"):
+        decode_job.decode_table(None, cols)
