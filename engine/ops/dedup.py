@@ -151,28 +151,33 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(key_col, "bb.band", "bb.bhash")
-    # ONE pass per bucket (single shuffle; the expensive signature stage is
-    # computed exactly once — window/self-join variants re-executed it per
-    # branch, no ReusedExchange): small buckets emit all pairs (full
-    # recall — a chain A~B~C still proposes (B,C)), oversized buckets emit
-    # linear star edges to the min-id member. Per-bucket work is vectorized
-    # numpy; all-pairs output is bounded by star_threshold^2/2.
-    key_type = dict(banded.dtypes)[key_col]
-
-    def _pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(pdf[key_col].to_numpy())
-        if len(ks) < 2:
-            return pd.DataFrame({"id_a": ks[:0], "id_b": ks[:0]})
-        if len(ks) <= star_threshold:
-            i, j = np.triu_indices(len(ks), k=1)
-            return pd.DataFrame({"id_a": ks[i], "id_b": ks[j]})
-        return pd.DataFrame({"id_a": np.repeat(ks[0], len(ks) - 1), "id_b": ks[1:]})
-
-    pairs = (
-        banded.groupBy("band", "bhash")
-        .applyInPandas(_pair_bucket, f"id_a {key_type}, id_b {key_type}")
-        .distinct()
+    # One shuffle annotates bucket size + representative; small buckets go
+    # all-pairs (full recall — a chain A~B~C still proposes (B,C)),
+    # oversized buckets star to the min-id member (linear in duplicates).
+    # Trade-off, measured: the three consumers of `tagged` re-execute the
+    # signature stage (no ReusedExchange), costing ~2-3s extra at bench
+    # scale — but a per-bucket applyInPandas single-pass variant paid ~1ms
+    # of per-group overhead on tens of thousands of near-singleton buckets
+    # (53s vs 3.7s at sf0.1). Windows + joins keep all per-bucket work JVM-
+    # side, which dominates when most buckets are tiny (the common case).
+    w = Window.partitionBy("band", "bhash")
+    tagged = banded.withColumn("_brep", F.min(key_col).over(w)).withColumn(
+        "_bsize", F.count("*").over(w)
     )
+    small = tagged.where(F.col("_bsize") <= star_threshold).select(
+        key_col, "band", "bhash"
+    )
+    l, r = small.alias("l"), small.alias("r")
+    small_pairs = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bhash") == F.col("r.bhash"))
+        & (F.col(f"l.{key_col}") < F.col(f"r.{key_col}")),
+    ).select(F.col(f"l.{key_col}").alias("id_a"), F.col(f"r.{key_col}").alias("id_b"))
+    large_star = tagged.where(
+        (F.col("_bsize") > star_threshold) & (F.col(key_col) != F.col("_brep"))
+    ).select(F.col("_brep").alias("id_a"), F.col(key_col).alias("id_b"))
+    pairs = small_pairs.union(large_star).distinct()
     if exact_edges is not None:
         pairs = pairs.union(exact_edges).distinct()
     return pairs
