@@ -38,6 +38,12 @@ def _string_array_from_flat(lengths: np.ndarray, data: bytes, binary: bool = Fal
     import pyarrow as pa
 
     offsets = np.concatenate(([0], np.cumsum(np.asarray(lengths, dtype=np.int64))))
+    if offsets[-1] > np.iinfo(np.int32).max:
+        # mirrors _list_array's guard: int32 Arrow offsets would wrap and
+        # decode silently-corrupt values past 2^31 payload bytes
+        raise ValueError(
+            "byte-array chunk payload exceeds 2^31 bytes; page the column"
+        )
     return pa.Array.from_buffers(
         pa.binary() if binary else pa.utf8(),
         len(lengths),
@@ -327,8 +333,15 @@ def _pruned_chunk_ids(chunks_df: DataFrame, column: str, lo, hi) -> DataFrame:
     [lo, hi]. The stat family follows the bound type: int -> (vmin, vmax),
     float -> (vmin_d, vmax_d), str -> (vmin_s, vmax_s) — matching the
     reference's per-type Statistics with sort-order rules
-    (``src/file/statistics.rs:246-440``). Chunks whose stats are NULL for the
-    family (e.g. all-null chunks) cannot contain qualifying values and drop.
+    (``src/file/statistics.rs:246-440``).
+
+    NULL stats are ambiguous and must be split, or pruning turns into data
+    loss: stats are NULL both when the chunk is all-null for the column
+    (safe to drop — no qualifying value can exist) AND when the stat family
+    was simply never written (binary columns, or a string bound against a
+    numeric column). Only the provably-all-null case drops; otherwise the
+    chunk is KEPT and the caller's row-level predicate does the filtering —
+    pruning stays transparent (a missed prune costs time, never rows).
     """
     from pyspark.sql import functions as F
 
@@ -341,10 +354,11 @@ def _pruned_chunk_ids(chunks_df: DataFrame, column: str, lo, hi) -> DataFrame:
         # dropping every chunk (the family columns are NULL there)
         vmin_c = F.coalesce(F.col("vmin_d"), F.col("vmin").cast("double"))
         vmax_c = F.coalesce(F.col("vmax_d"), F.col("vmax").cast("double"))
+    stats_absent = vmin_c.isNull() | vmax_c.isNull()
+    all_null = F.col("null_count") >= F.col("n_docs")
+    keep = F.when(stats_absent, ~all_null).otherwise((vmax_c >= lo) & (vmin_c <= hi))
     return (
-        chunks_df.where(
-            (F.col("column") == column) & (vmax_c >= lo) & (vmin_c <= hi)
-        )
+        chunks_df.where((F.col("column") == column) & keep)
         .select("chunk_id")
         .distinct()
     )

@@ -123,11 +123,19 @@ def _scalar_dense(ser: pd.Series, kind: str):
     """
     na = ser.isna()
     nc = int(na.sum())
-    if nc == 0:
-        return ser.to_numpy(dtype=kind), None, 0
-    valid = (~na).to_numpy()
-    dense = ser[~na].to_numpy(dtype=kind)
-    return dense, valid, nc
+    dense_src = ser[~na] if nc else ser
+    dense = dense_src.to_numpy(dtype=kind)
+    if kind == "int64" and getattr(dense_src.dtype, "kind", "") == "f":
+        # misuse guard: a nullable int64 that bypassed encode_table's
+        # validity-companion split arrives here as float64 and silently
+        # rounds above 2^53 — fail loudly instead of corrupting IDs
+        if not np.array_equal(dense.astype("float64"), dense_src.to_numpy()):
+            raise ValueError(
+                "int64 column arrived as float64 with values above 2^53 "
+                "(lossy); encode via encode_table so the validity-companion "
+                "split keeps exact int64 through the pandas hop"
+            )
+    return dense, (~na).to_numpy() if nc else None, nc
 
 
 def _encode_group_sorted(
@@ -212,6 +220,11 @@ def _encode_group_sorted(
             vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec = selector.select_bool_codec(vals, override=override)
             blob = chunk.encode_chunk(vals, codec, "bool", valid=valid)
+            if vals.size:
+                # booleans carry min/max as 0/1 in the integer family
+                # (parquet does the same; false < true sort order,
+                # reference src/file/statistics.rs:246-340)
+                vmin, vmax = int(vals.min()), int(vals.max())
         elif kind.startswith("list:"):
             elem = kind[5:]
             ser = pdf[col]
@@ -270,9 +283,23 @@ def _encode_group_sorted(
                 if elem_na is not None and elem_na.any():
                     elem_valid = ~elem_na
                     dense = flat0[elem_valid].astype(np_elem)
+                    src = flat0[elem_valid]
                 else:
                     elem_valid = None
                     dense = flat0.astype(np_elem)
+                    src = flat0
+                if elem == "int64" and np.issubdtype(flat0.dtype, np.floating):
+                    # same misuse guard as _scalar_dense: int64 list elements
+                    # that detoured through float64 round above 2^53
+                    if not np.array_equal(
+                        dense.astype("float64"), src.astype("float64")
+                    ):
+                        raise ValueError(
+                            "list:int64 elements arrived as float64 with "
+                            "values above 2^53 (lossy); encode via "
+                            "encode_table so the __evalid companion keeps "
+                            "exact int64 through the pandas hop"
+                        )
                 blob = chunk.encode_chunk_list(
                     lengths, dense, elem, valid=valid, elem_valid=elem_valid
                 )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -75,16 +76,19 @@ def minhash_signatures(
     )
 
 
-def _star_collapse(df: DataFrame, group_col: str, key_col: str):
+def _star_collapse(df: DataFrame, group_col, key_col: str):
     """Generic identical-group collapse: one window, no join.
 
     Returns ``(edges, reps)`` where ``edges`` links every non-representative
     member to its group's min-id representative (``id_a`` = rep, ``id_b`` =
     member — O(k) per group, never O(k^2)) and ``reps`` holds one row per
     group (all original columns, ``_rep`` dropped). Shared by exact-text,
-    identical-signature and identical-vector collapse.
+    identical-signature and identical-vector collapse. ``group_col`` may be
+    a single column name or a list (e.g. ``(hash, value)`` so a 64-bit hash
+    collision between distinct values never merges their groups).
     """
-    w = Window.partitionBy(group_col)
+    cols = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*cols)
     tagged = df.withColumn("_rep", F.min(key_col).over(w))
     edges = tagged.where(F.col(key_col) != F.col("_rep")).select(
         F.col("_rep").alias("id_a"), F.col(key_col).alias("id_b")
@@ -154,15 +158,23 @@ def minhash_lsh_pairs(
     # One shuffle annotates bucket size + representative; small buckets go
     # all-pairs (full recall — a chain A~B~C still proposes (B,C)),
     # oversized buckets star to the min-id member (linear in duplicates).
-    # Trade-off, measured: the three consumers of `tagged` re-execute the
-    # signature stage (no ReusedExchange), costing ~2-3s extra at bench
-    # scale — but a per-bucket applyInPandas single-pass variant paid ~1ms
-    # of per-group overhead on tens of thousands of near-singleton buckets
-    # (53s vs 3.7s at sf0.1). Windows + joins keep all per-bucket work JVM-
-    # side, which dominates when most buckets are tiny (the common case).
+    # `tagged` is PERSISTED: it has three consumers (both sides of the
+    # small-bucket self-join plus large_star) and Spark gives no
+    # ReusedExchange across them, so without the cache the whole
+    # docs -> shingles -> xxhash -> groupBy(num_hashes aggs) -> banding ->
+    # window lineage re-executes per consumer (measured 3.3s -> 13.4s on
+    # the r2 driver bench). The cached payload is (key, band, bhash, rep,
+    # size) triplet-rows — bands x docs rows of five scalars, never bodies —
+    # so it stays executor-memory-bounded at cluster scale and spills to
+    # disk past that. A per-bucket applyInPandas one-pass variant was also
+    # measured: 53s vs 3.7s at sf0.1 (per-group overhead on tens of
+    # thousands of near-singleton buckets); windows + joins over a cached
+    # exchange keep all per-bucket work JVM-side.
     w = Window.partitionBy("band", "bhash")
-    tagged = banded.withColumn("_brep", F.min(key_col).over(w)).withColumn(
-        "_bsize", F.count("*").over(w)
+    tagged = (
+        banded.withColumn("_brep", F.min(key_col).over(w))
+        .withColumn("_bsize", F.count("*").over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     small = tagged.where(F.col("_bsize") <= star_threshold).select(
         key_col, "band", "bhash"
@@ -234,11 +246,16 @@ def embedding_near_dup_pairs(
     """
     from . import simsearch
 
-    # level 1: identical-vector collapse (one window, no join)
+    # level 1: identical-vector collapse (one window, no join). Grouping on
+    # (_vh, vector) — not the hash alone — means a 64-bit xxhash collision
+    # between distinct vectors cannot emit a false cosine-1.0 edge: the
+    # hash drives the shuffle, the vector value disambiguates within it.
+    # Expected collisions are nonzero at the 10^9+ vector scale this
+    # module targets.
     hashed = vectors.select(
         F.col(id_col), F.col(vec_col), F.xxhash64(F.col(vec_col)).alias("_vh")
     )
-    edges1, reps1 = _star_collapse(hashed, "_vh", id_col)
+    edges1, reps1 = _star_collapse(hashed, ["_vh", vec_col], id_col)
     same_vec = edges1.select("id_a", "id_b", F.lit(1.0).alias("cosine"))
     distinct_vecs = reps1.select(id_col, vec_col)
     # level 2: LSH bucket all-pairs among distinct vectors — all tables'

@@ -180,6 +180,66 @@ def test_token_histogram_matches_explode(spark):
         decode_job.token_histogram(chunks, column="doc_id").count()
 
 
+def test_binary_column_prune_keeps_chunks(spark):
+    """Binary columns carry NO stat family; a bound against one must keep
+    every non-all-null chunk (decode-and-filter fallback) — before the fix,
+    the NULL stats failed the range predicate and EVERY chunk dropped
+    (wrong results, not a missed prune)."""
+    from pyspark.sql import functions as F
+
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        F.col("id").cast("string").cast("binary").alias("payload"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    total = chunks.select("chunk_id").distinct().count()
+    kept = decode_job._pruned_chunk_ids(chunks, "payload", 0, 10).count()
+    assert kept == total  # no stats -> keep, never drop
+    out = decode_job.decode_table_pruned(chunks, cols, "payload", 0, 10)
+    assert out.count() == 200
+    chunks.unpersist()
+
+
+def test_bool_column_pruning(spark):
+    """Bool chunks carry 0/1 min/max in the integer stat family: a
+    flag == true predicate skips all-false chunks and stays transparent."""
+    from pyspark.sql import functions as F
+
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 100, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+        # grp 'a' chunks are all-false, grp 'b' all-true
+        (F.col("id") >= 100).alias("flag"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=512,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    kept = decode_job._pruned_chunk_ids(chunks, "flag", 1, 1)
+    keys = {
+        r["bucket_key"]
+        for r in chunks.join(kept, "chunk_id", "left_semi")
+        .select("bucket_key")
+        .collect()
+    }
+    assert keys == {"b"}  # all-false chunks pruned
+    out = decode_job.decode_table_pruned(chunks, cols, "flag", 1, 1)
+    assert out.where(F.col("flag")).count() == 100
+    chunks.unpersist()
+
+
 def test_float_bounds_on_int_column_prune_correctly(spark):
     """A float predicate against an int column must not silently drop
     everything (int columns carry vmin/vmax, not vmin_d) — coalesced
