@@ -366,10 +366,12 @@ GROUP BY doc_id
 
 def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
     """Nested generic-table path: array<string>, nullable array<string>,
-    array<int>, struct and map columns derived from documents, encoded via
-    flatten -> LIST/leaf chunks -> decode -> rebuild, then re-aggregated
-    (reference record assembly src/record/reader.rs:303-520; SchemaDescriptor
-    leaf flattening src/schema/types.rs:652-735)."""
+    array<int>, struct, map AND array<struct> (repeated group — shredded to
+    parallel array leaves with an element-validity leaf, reference
+    RepeatedReader src/record/reader.rs:159-240) columns derived from
+    documents, encoded via flatten -> LIST/leaf chunks -> decode -> rebuild,
+    then re-aggregated (record assembly src/record/reader.rs:303-520;
+    SchemaDescriptor leaf flattening src/schema/types.rs:652-735)."""
     _engine(spark)
     from engine.jobs import decode as decode_job
     from engine.jobs import nested
@@ -390,6 +392,14 @@ def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
             F.lit("len"), F.length("text").cast("long"),
             F.lit("id"), F.col("doc_id").cast("long"),
         ).alias("m"),
+        # array<struct> with planted null elements (length % 5 == 4)
+        F.transform(
+            words,
+            lambda w: F.when(
+                F.length(w) % 5 != 4,
+                F.struct(w.alias("w"), F.length(w).cast("long").alias("wl")),
+            ),
+        ).alias("ws"),
     )
     chunks, cols, plan = nested.encode_nested_table(
         df, rows_per_bucket=128, bucket_key="source",
@@ -408,6 +418,12 @@ def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
         F.col("st.n_chars").alias("n_chars"),
         F.col("st.src").alias("src"),
         F.col("m").getItem("len").alias("m_len"),
+        F.aggregate(
+            "ws",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.coalesce(x["wl"], F.lit(0).cast("long")),
+        ).alias("ws_sum"),
+        F.size(F.filter("ws", lambda x: x.isNull())).cast("long").alias("ws_nulls"),
     )
 
 
@@ -421,7 +437,13 @@ SELECT doc_id,
                                     w -> length(w))) AS BIGINT) AS sum_lens,
        CAST(length(text) AS BIGINT) AS n_chars,
        source AS src,
-       CAST(length(text) AS BIGINT) AS m_len
+       CAST(length(text) AS BIGINT) AS m_len,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> CASE WHEN length(w) % 5 != 4
+                                              THEN length(w) ELSE 0 END))
+            AS BIGINT) AS ws_sum,
+       CAST(len(list_filter(string_split(text, ' '),
+                            w -> length(w) % 5 = 4)) AS BIGINT) AS ws_nulls
 FROM documents
 """
 

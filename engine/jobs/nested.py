@@ -13,7 +13,14 @@ the nested shape with ``F.struct`` / ``F.map_from_arrays`` after decode.
   struct from a struct of nulls);
 - map ``m`` -> ``m.__keys`` / ``m.__vals`` array leaves (a null map rides
   the arrays' own null-list encoding);
-- nested structs flatten recursively (inner structs rebuilt first).
+- ``array<struct<a,b>>`` -> parallel ``array<a>``, ``array<b>`` leaves via
+  ``F.transform`` (+ an ``__evalid`` bool-array leaf when elements may be
+  null structs), rebuilt with ``arrays_zip``/``zip_with`` — the Spark
+  expression of the reference's repeated-group shredding
+  (``RepeatedReader``, ``src/record/reader.rs:159-240``): one rep level,
+  per-field def levels, no explode and no extra shuffle;
+- nested structs flatten recursively (inner structs rebuilt first), so
+  ``array<struct<x: struct<...>>>`` bottoms out in scalar-array leaves.
 
 Usage::
 
@@ -29,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 VALID_LEAF = "__valid"
+EVALID_LEAF = "__evalid"
 KEYS_LEAF = "__keys"
 VALS_LEAF = "__vals"
 
@@ -93,7 +101,39 @@ def flatten(df: DataFrame) -> tuple[DataFrame, list]:
                 cols.append(F.map_values(_q(f.name)).alias(v_leaf))
                 plan.append(("map", f.name, k_leaf, v_leaf))
             elif isinstance(dt, T.ArrayType) and isinstance(
-                dt.elementType, (T.StructType, T.MapType, T.ArrayType)
+                dt.elementType, T.StructType
+            ):
+                # repeated group: shred array<struct<a,b>> into parallel
+                # array<a>/array<b> leaves — all leaves share the record's
+                # length/null structure, so arrays_zip reassembles exactly
+                changed = True
+                leaves = []
+                for sub in dt.elementType.fields:
+                    if SEP in sub.name:
+                        raise ValueError(
+                            f"struct field {f.name}.{sub.name!r} contains "
+                            f"the reserved flatten separator {SEP!r}"
+                        )
+                    leaf = f"{f.name}{SEP}{sub.name}"
+                    # closure factory, NOT a default arg: F.transform treats
+                    # a two-parameter lambda as (element, index)
+                    getter = (lambda s: lambda x: x[s])(sub.name)
+                    cols.append(F.transform(_q(f.name), getter).alias(leaf))
+                    leaves.append((sub.name, leaf))
+                ev_leaf = None
+                if dt.containsNull:
+                    # a null struct ELEMENT shreds to nulls in every leaf —
+                    # indistinguishable from a struct of nulls without its
+                    # own def-level bit
+                    ev_leaf = f"{f.name}{SEP}{EVALID_LEAF}"
+                    cols.append(
+                        F.transform(_q(f.name), lambda x: x.isNotNull()).alias(
+                            ev_leaf
+                        )
+                    )
+                plan.append(("array_struct", f.name, leaves, ev_leaf))
+            elif isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.MapType, T.ArrayType)
             ):
                 raise ValueError(
                     f"column {f.name}: array of {dt.elementType} not encodable; "
@@ -110,7 +150,18 @@ def rebuild(df: DataFrame, plan: list) -> DataFrame:
     """Inverse of :func:`flatten`: reassemble structs/maps from decoded
     leaves (inner-most steps were appended last, so apply in reverse)."""
     for step in reversed(plan):
-        if step[0] == "struct":
+        if step[0] == "array_struct":
+            _, name, leaves, ev_leaf = step
+            built = F.arrays_zip(*[_q(leaf).alias(sub) for sub, leaf in leaves])
+            if ev_leaf is not None:
+                built = F.zip_with(
+                    built, _q(ev_leaf), lambda s, v: F.when(v, s)
+                )
+            drop = [leaf for _, leaf in leaves] + (
+                [ev_leaf] if ev_leaf else []
+            )
+            df = df.withColumn(name, built).drop(*drop)
+        elif step[0] == "struct":
             _, name, leaves, valid_leaf = step
             built = F.struct(*[_q(leaf).alias(sub) for sub, leaf in leaves])
             if valid_leaf is not None:

@@ -104,12 +104,58 @@ def test_struct_and_map_roundtrip(spark):
     assert out.where(F.col("s").isNull()).count() == df.where(F.col("s").isNull()).count() > 0
 
 
+def test_array_of_struct_roundtrip(spark):
+    """array<struct> shreds to parallel array leaves (repeated group,
+    reference src/record/reader.rs:159-240) and rebuilds exactly — null
+    arrays, empty arrays, null struct elements, and a nested inner struct
+    all round-trip."""
+    df = spark.range(0, 300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.when(
+            F.col("id") % 7 != 0,
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("id") % 4),
+                lambda i: F.when(
+                    i % 3 != 2,  # some null struct elements
+                    F.struct(
+                        (i * 2).alias("a"),
+                        F.concat(F.lit("v"), i).alias("b"),
+                        F.struct((i % 3).cast("int").alias("c")).alias("inner"),
+                    ),
+                ),
+            ),
+        ).alias("items"),
+    )
+    chunks, cols, plan = nested.encode_nested_table(
+        df, rows_per_bucket=64, bucket_key="grp",
+        salt_col="event_id", sort_col="event_id",
+    )
+    out = nested.rebuild(decode_job.decode_table(chunks, cols), plan)
+    a = df.orderBy("event_id").collect()
+    b = out.select(*df.columns).orderBy("event_id").collect()
+    assert a == b
+    # null struct elements came back as null elements, not structs of nulls
+    n_null_elem = df.select(
+        F.explode("items").alias("e")
+    ).where(F.col("e").isNull()).count()
+    m_null_elem = out.select(
+        F.explode("items").alias("e")
+    ).where(F.col("e").isNull()).count()
+    assert n_null_elem == m_null_elem > 0
+
+
 def test_unsupported_shapes_fail_loudly(spark):
-    arr_of_struct = spark.range(2).select(
-        F.array(F.struct(F.col("id").alias("a"))).alias("xs")
+    arr_of_arr = spark.range(2).select(
+        F.array(F.array(F.col("id"))).alias("xs")
     )
     with pytest.raises(ValueError, match="array of"):
-        nested.flatten(arr_of_struct)
+        nested.flatten(arr_of_arr)
+    arr_of_map = spark.range(2).select(
+        F.array(F.create_map(F.lit("k"), F.col("id"))).alias("xs")
+    )
+    with pytest.raises(ValueError, match="array of"):
+        nested.flatten(arr_of_map)
     sep_clash = spark.range(2).select(F.col("id").alias(f"a{nested.SEP}b"))
     with pytest.raises(ValueError, match="reserved"):
         nested.flatten(sep_clash)
