@@ -312,6 +312,85 @@ FROM planted GROUP BY event_type
 """
 
 
+def _q_rt_nan_floats(spark, sf_dir) -> DataFrame:
+    """NaN fidelity: plant BOTH NaN and NULL into a double column and a
+    double-list column, round-trip through the engine, and report
+    null/NaN/finite per row. NULL is recorded in a JVM-side validity
+    companion before the pandas hop, so NaN stays a VALUE (the reference
+    keeps NaN distinct from null with explicit NaN statistics rules,
+    src/basic.rs:331-336) — without the companion both collapse to NaN in
+    pandas and NaN would decode as NULL."""
+    encode_job, decode_job = _engine(spark)
+    nan = F.lit(float("nan")).cast("double")
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        "event_type",
+        # % 5 == 0 -> NaN, % 5 == 1 -> NULL, else finite
+        F.when(F.col("event_id") % 5 == 0, nan)
+        .when(F.col("event_id") % 5 != 1, F.col("value").cast("double"))
+        .alias("v"),
+        F.array(
+            F.when(F.col("event_id") % 3 == 0, nan).otherwise(
+                F.col("value").cast("double")
+            ),
+            F.when(
+                F.col("event_id") % 4 != 0, (F.col("value") / 7).cast("double")
+            ),
+        ).alias("xs"),
+    )
+    cols = encode_job.derive_columns(ev)
+    chunks = encode_job.encode_table(
+        ev, columns=cols, rows_per_bucket=2048,
+        bucket_key="event_type", salt_col="event_id", sort_col="event_id",
+    )
+    dec = decode_job.decode_table(chunks, cols)
+    return dec.select(
+        "event_id",
+        F.col("v").isNull().alias("v_null"),
+        F.coalesce(F.isnan("v"), F.lit(False)).alias("v_nan"),
+        F.round(
+            F.when(F.col("v").isNotNull() & ~F.isnan("v"), F.col("v")), 6
+        ).alias("v_fin"),
+        F.size(F.filter("xs", lambda x: x.isNull())).cast("long").alias("xs_nulls"),
+        F.size(F.filter("xs", lambda x: x.isNotNull() & F.isnan(x)))
+        .cast("long")
+        .alias("xs_nans"),
+        F.round(
+            F.aggregate(
+                "xs",
+                F.lit(0.0).cast("double"),
+                lambda a, x: a
+                + F.when(x.isNotNull() & ~F.isnan(x), x).otherwise(F.lit(0.0)),
+            ),
+            6,
+        ).alias("xs_fin_sum"),
+    )
+
+
+_ORACLE_RT_NAN_FLOATS = """
+WITH planted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'NaN'::DOUBLE
+              WHEN event_id % 5 != 1 THEN CAST(value AS DOUBLE) END AS v,
+         [CASE WHEN event_id % 3 = 0 THEN 'NaN'::DOUBLE
+               ELSE CAST(value AS DOUBLE) END,
+          CASE WHEN event_id % 4 != 0 THEN CAST(value AS DOUBLE) / 7 END] AS xs
+  FROM events
+)
+SELECT event_id,
+       v IS NULL AS v_null,
+       COALESCE(isnan(v), false) AS v_nan,
+       ROUND(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN v END, 6) AS v_fin,
+       CAST(len(list_filter(xs, x -> x IS NULL)) AS BIGINT) AS xs_nulls,
+       CAST(len(list_filter(xs, x -> x IS NOT NULL AND isnan(x)))
+            AS BIGINT) AS xs_nans,
+       ROUND(list_sum(list_transform(xs,
+             x -> CASE WHEN x IS NOT NULL AND NOT isnan(x)
+                       THEN x ELSE 0.0 END)), 6) AS xs_fin_sum
+FROM planted
+"""
+
+
 def _q_token_histogram(spark, sf_dir) -> DataFrame:
     """Aggregation over COMPRESSED data: per-chunk flat decode + bincount,
     no record reassembly — shuffle carries (token, partial count), cost
@@ -1211,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[g] = lambda spark, sf_dir, name=g: _golden_df(spark, name)
     q["rt_events_table"] = _q_rt_events_table
     q["rt_nullable_table"] = _q_rt_nullable_table
+    q["rt_nan_floats"] = _q_rt_nan_floats
     q["rt_nested_table"] = _q_rt_nested_table
     q["rt_delta_ba_sorted_ids"] = _q_rt_delta_ba_sorted_ids
     q["rt_binary_table"] = _q_rt_binary_table
@@ -1252,6 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         o[g] = f"SELECT '{g}' AS case, '{hexval}' AS encoded_hex"
     o["rt_events_table"] = _ORACLE_RT_EVENTS
     o["rt_nullable_table"] = _ORACLE_RT_NULLABLE
+    o["rt_nan_floats"] = _ORACLE_RT_NAN_FLOATS
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["rt_binary_table"] = _ORACLE_RT_BINARY

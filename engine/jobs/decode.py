@@ -216,13 +216,14 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     come back with their nulls restored from the def-level section."""
     from pyspark.sql.types import ArrayType, StructType, _parse_datatype_string
 
-    from pyspark.sql.types import BooleanType
+    from pyspark.sql.types import BooleanType, IntegerType
 
     from .encode import EVALID_SUFFIX, check_companion_names
 
     check_companion_names(columns)
     fields = []
     int64_lists = []
+    float_lists = []
     for name, spec in columns.items():
         kind = spec[0]
         if kind == "int32_list":
@@ -242,6 +243,15 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
             int64_lists.append(name)
             fields.append(
                 StructField(f"{name}{EVALID_SUFFIX}", ArrayType(BooleanType()), True)
+            )
+        elif kind in ("list:float32", "list:float64"):
+            # float lists lose NaN on the RETURN hop (Spark's pandas->Arrow
+            # conversion marks NaN list elements null): emit zero-filled
+            # finite values + a ternary code companion (0=null, 1=value,
+            # 2=NaN), rebuilt JVM-side with zip_with
+            float_lists.append(name)
+            fields.append(
+                StructField(f"{name}{EVALID_SUFFIX}", ArrayType(IntegerType()), True)
             )
     schema = StructType(fields)
 
@@ -264,7 +274,7 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
                 if n_docs is None:
                     raise KeyError(f"column {name} missing and no n_docs metadata")
                 out[name] = _null_series(kind, n_docs)
-                if kind == "list:int64":
+                if kind in ("list:int64", "list:float32", "list:float64"):
                     out[f"{name}{EVALID_SUFFIX}"] = _null_series("bytes", n_docs)
                 continue
             decoded = chunk.decode_chunk(blobs[name])
@@ -289,6 +299,32 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
                 out[f"{name}{EVALID_SUFFIX}"] = _list_array(
                     lengths, pa.array(np.ascontiguousarray(elem_valid, bool)),
                     record_valid,
+                ).to_pandas()
+            elif kind in ("list:float32", "list:float64"):
+                import pyarrow as pa
+
+                if len(decoded) == 3:
+                    lengths, values, record_valid = decoded
+                else:
+                    (lengths, values), record_valid = decoded, None
+                if isinstance(values, tuple):
+                    vals_full, elem_valid = values  # full-length with fill
+                else:
+                    vals_full = np.asarray(values)
+                    elem_valid = np.ones(len(vals_full), dtype=bool)
+                vals_full = np.asarray(vals_full, dtype=kind[5:])
+                nan_mask = np.isnan(vals_full) & elem_valid
+                code = np.where(
+                    elem_valid, np.where(nan_mask, 2, 1), 0
+                ).astype(np.int32)
+                # only code==1 positions carry real values across the hop;
+                # everything else zero-fills so no NaN reaches pandas
+                finite = np.where(code == 1, vals_full, 0.0).astype(kind[5:])
+                out[name] = _list_array(
+                    lengths, pa.array(finite), record_valid
+                ).to_pandas()
+                out[f"{name}{EVALID_SUFFIX}"] = _list_array(
+                    lengths, pa.array(code), record_valid
                 ).to_pandas()
             elif kind.startswith("list:"):
                 out[name] = _list_series(decoded, kind[5:])
@@ -317,6 +353,18 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
                 F.col(f"`{evcol}`"),
                 lambda v, m: F.when(m, v),
             ),
+        ).drop(evcol)
+    for name in float_lists:
+        evcol = f"{name}{EVALID_SUFFIX}"
+        phys = _SPARK_TYPES[columns[name][0][5:]]  # float / double
+        # closure factory, NOT a default arg: zip_with requires a
+        # two-parameter lambda
+        merge = (
+            lambda n: lambda v, c: F.when(c == 2, n).when(c == 1, v)
+        )(F.lit(float("nan")).cast(phys))
+        out = out.withColumn(
+            name,
+            F.zip_with(F.col(f"`{name}`"), F.col(f"`{evcol}`"), merge),
         ).drop(evcol)
     if logical:
         from ..jobs.encode import logical_spec

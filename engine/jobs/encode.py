@@ -211,11 +211,29 @@ def _encode_group_sorted(
             if vals.size:
                 vmin, vmax = int(vals.min()), int(vals.max())
         elif kind in ("float32", "float64"):
-            vals, valid, null_count = _scalar_dense(pdf[col], kind)
+            vcol = f"{col}{VALID_SUFFIX}"
+            if vcol in pdf.columns:
+                # companion path: NULL was recorded JVM-side BEFORE the
+                # pandas hop, so a genuine NaN value stays a value (the
+                # reference keeps NaN distinct from null and has explicit
+                # NaN statistics rules, src/basic.rs:331-336)
+                valid_arr = pdf[vcol].to_numpy(dtype=bool)
+                null_count = int((~valid_arr).sum())
+                full = pdf[col].to_numpy(dtype=kind)
+                if null_count:
+                    valid, vals = valid_arr, full[valid_arr]
+                else:
+                    valid, vals = None, full
+            else:
+                vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec = selector.select_float_codec(vals, override=override)
             blob = chunk.encode_chunk(vals, codec, kind, valid=valid)
-            if vals.size:
-                vmin_d, vmax_d = float(vals.min()), float(vals.max())
+            if vals.size and not np.isnan(vals).all():
+                # NaN never enters min/max (parquet sort-order rule); an
+                # all-NaN chunk carries no float stats and the pruning
+                # keep-on-absent rule retains it
+                vmin_d = float(np.nanmin(vals))
+                vmax_d = float(np.nanmax(vals))
         elif kind == "bool":
             vals, valid, null_count = _scalar_dense(pdf[col], kind)
             codec = selector.select_bool_codec(vals, override=override)
@@ -306,8 +324,9 @@ def _encode_group_sorted(
                 if dense.size:
                     if elem in ("int32", "int64"):
                         vmin, vmax = int(dense.min()), int(dense.max())
-                    elif elem in ("float32", "float64"):
-                        vmin_d, vmax_d = float(dense.min()), float(dense.max())
+                    elif elem in ("float32", "float64") and not np.isnan(dense).all():
+                        vmin_d = float(np.nanmin(dense))
+                        vmax_d = float(np.nanmax(dense))
         elif kind in ("bytes", "binary"):
             ser = pdf[col]
             na = ser.isna()
@@ -552,39 +571,51 @@ def encode_table(
             columns[col] = ColumnSpec(
                 kind, override, cands, spec[3] if len(spec) > 3 else None
             )
-    # Nullable int64 precision guard: Arrow->pandas hands a batch containing
-    # any NULL over as float64, silently rounding values above 2^53 (bigint
-    # IDs, decimal(p>15) unscaled values). Split such columns JVM-side into
-    # (zero-filled exact int64, companion validity bool) BEFORE the hop —
-    # int32 survives the float64 detour exactly and needs no companion.
+    # Validity companions, recorded JVM-side BEFORE the pandas hop, fix two
+    # distinct Arrow->pandas lossy conversions:
+    # - nullable int64: a batch containing any NULL hands over as float64,
+    #   silently rounding values above 2^53 (bigint IDs, decimal unscaled
+    #   values) — int32 survives the detour exactly and needs no companion;
+    # - float32/float64: NULL becomes NaN in pandas, indistinguishable from
+    #   a genuine NaN value — the companion keeps NaN a value and NULL a
+    #   null (reference NaN statistics rules, src/basic.rs:331-336). Float
+    #   companions apply even to non-nullable fields: NaN can ride those
+    #   too, and without the mask it would decode as NULL.
+    _SCALAR_PHYS = {"int64": "long", "float32": "float", "float64": "double"}
     companions: list[str] = []
     check_companion_names(columns)
     for name, spec in columns.items():
         field = df.schema[name]
-        if spec[0] == "int64" and field.nullable:
+        kind = spec[0]
+        needs_scalar = kind == "int64" and field.nullable or kind in (
+            "float32",
+            "float64",
+        )
+        needs_list = (
+            kind == "list:int64"
+            and isinstance(field.dataType, ArrayType)
+            and field.dataType.containsNull
+        ) or kind in ("list:float32", "list:float64")
+        if needs_scalar:
             vcol = f"{name}{VALID_SUFFIX}"
             if vcol in df.columns:
                 raise ValueError(f"column {vcol} collides with a validity companion")
+            phys = _SCALAR_PHYS[kind]
             df = df.withColumn(vcol, F.col(f"`{name}`").isNotNull()).withColumn(
-                name, F.coalesce(F.col(f"`{name}`"), F.lit(0).cast("long"))
+                name, F.coalesce(F.col(f"`{name}`"), F.lit(0).cast(phys))
             )
             companions.append(vcol)
-        elif (
-            spec[0] == "list:int64"
-            and isinstance(field.dataType, ArrayType)
-            and field.dataType.containsNull
-        ):
+        elif needs_list:
             vcol = f"{name}{EVALID_SUFFIX}"
             if vcol in df.columns:
                 raise ValueError(f"column {vcol} collides with a validity companion")
+            phys = _SCALAR_PHYS[kind[5:]]
+            # closure factory, NOT a default arg: F.transform treats a
+            # two-parameter lambda as (element, index)
+            fill = (lambda p: lambda x: F.coalesce(x, F.lit(0).cast(p)))(phys)
             df = df.withColumn(
                 vcol, F.transform(F.col(f"`{name}`"), lambda x: x.isNotNull())
-            ).withColumn(
-                name,
-                F.transform(
-                    F.col(f"`{name}`"), lambda x: F.coalesce(x, F.lit(0).cast("long"))
-                ),
-            )
+            ).withColumn(name, F.transform(F.col(f"`{name}`"), fill))
             companions.append(vcol)
     bucketed = skew.plan_buckets(
         df,
