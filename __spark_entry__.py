@@ -1255,11 +1255,30 @@ FROM (SELECT doc_id, s_de, s_en, s_es, s_fr,
 """
 
 
+def _media_parquet() -> str:
+    """Deterministic fake-media parquet shared by the Spark query and the
+    DuckDB oracle (written via pure pyarrow on first use; contents are a
+    seeded pure function, so any racing writers produce identical bytes)."""
+    import tempfile
+
+    from engine.ops import multimodal
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_media48_v1.parquet")
+    if not os.path.exists(path):
+        multimodal.write_fake_media_parquet(path, n=48, seed=42)
+    return path
+
+
 def _q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal feature extraction over an opaque-binary media table read
+    from parquet; n_bytes/content_sha are oracle-checked by DuckDB over the
+    SAME file (payloads are ASCII-hex noise so SQL can sha256 them; the
+    decode step itself stays a declared FAKE_DECODE stub — no media libs in
+    the container)."""
     from engine.ops import multimodal
 
     _engine(spark)
-    media = multimodal.make_fake_media(spark, n=48)
+    media = spark.read.parquet(_media_parquet())
     feats = multimodal.extract_features(media, dim=8)
     return feats.select("media_id", "kind", "n_bytes", "content_sha")
 
@@ -1358,4 +1377,12 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_planted"] = _ORACLE_SIMHASH_PLANTED
     o["embedding_dedup_planted"] = _ORACLE_EMB_DEDUP
     o["lang_id"] = _lang_oracle()
+    # _media_parquet() also ensures the shared file exists before DuckDB
+    # reads it, whatever order the driver evaluates the two sides in
+    o["media_features"] = (
+        "SELECT media_id, kind, "
+        "CAST(octet_length(content) AS BIGINT) AS n_bytes, "
+        "sha256(CAST(content AS VARCHAR)) AS content_sha "
+        f"FROM read_parquet('{_media_parquet()}')"
+    )
     return o

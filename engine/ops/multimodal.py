@@ -15,7 +15,6 @@ memory for wide binary rows.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -110,16 +109,19 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (zlib-compressed noise payloads)."""
+def fake_media_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic fake media rows (shared by the Spark table builder and
+    the parquet writer, so an external oracle can regenerate the exact same
+    table). Payloads are hex-text noise bytes: opaque binary to the engine,
+    but valid ASCII so a SQL oracle can sha256 them (DuckDB cannot hash raw
+    blobs). Lengths vary per row to exercise Arrow batching."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    # Typed tuples, NOT a pandas frame: pandas upcasts int+None columns to
-    # float64, which IntegerType rejects (64.0 is not an int).
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = zlib.compress(rng.integers(0, 256, 512).astype(np.uint8).tobytes())
+        raw = rng.integers(0, 256, 256 + (i % 5) * 64).astype(np.uint8).tobytes()
+        payload = raw.hex().encode("ascii")
         rows.append(
             (
                 f"m-{i:06d}",
@@ -131,4 +133,40 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 100 if kind == "video" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table.
+
+    Typed tuples, NOT a pandas frame: pandas upcasts int+None columns to
+    float64, which IntegerType rejects (64.0 is not an int)."""
+    return spark.createDataFrame(fake_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def write_fake_media_parquet(path: str, n: int = 64, seed: int = 42) -> str:
+    """Write the deterministic fake media table to parquet WITHOUT Spark
+    (pure pyarrow), so an external SQL oracle and the Spark query can read
+    the identical file. Atomic via temp + rename."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = fake_media_rows(n, seed)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.string()),
+            "kind": pa.array(cols[1], pa.string()),
+            "content": pa.array(cols[2], pa.binary()),
+            "width": pa.array(cols[3], pa.int32()),
+            "height": pa.array(cols[4], pa.int32()),
+            "sample_rate": pa.array(cols[5], pa.int32()),
+            "n_frames": pa.array(cols[6], pa.int32()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
