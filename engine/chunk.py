@@ -452,18 +452,39 @@ def _decode_paged(payload: np.ndarray, dtype: str) -> np.ndarray:
 
 
 def read_info(blob: bytes | np.ndarray) -> ChunkInfo:
+    """Parse and validate the frame header. Every malformed-input path
+    raises a clean ValueError (the reference fuzzes its whole read path,
+    ``fuzz/src/main.rs:14-32``, and ships a malformed golden —
+    ``data/nation.dict-malformed.parquet``; numpy index chaos is not an
+    acceptable failure mode)."""
     raw = np.frombuffer(blob, np.uint8) if not isinstance(blob, np.ndarray) else blob
+    if raw.size < _HEADER_LEN:
+        raise ValueError(
+            f"truncated chunk header: {raw.size} bytes < {_HEADER_LEN}"
+        )
     if raw[:4].tobytes() != MAGIC:
         raise ValueError("bad chunk magic")
     if raw[4] != VERSION:
         raise ValueError(f"unsupported chunk version {raw[4]}")
     cid = int(raw[5])
-    dtype = _DTYPE_NAMES[int(raw[6])]
+    if cid not in CODEC_NAMES:
+        raise ValueError(f"unknown codec id {cid}")
+    did = int(raw[6])
+    if did not in _DTYPE_NAMES:
+        raise ValueError(f"unknown dtype id {did}")
+    dtype = _DTYPE_NAMES[did]
     flags = int(raw[7])
+    if flags & ~(FLAG_NULLABLE | FLAG_COMPRESSED):
+        raise ValueError(f"unknown chunk flags {flags:#x}")
     n = int.from_bytes(raw[8:16].tobytes(), "little")
     raw_bytes = int.from_bytes(raw[16:24].tobytes(), "little")
     crc = int.from_bytes(raw[24:28].tobytes(), "little")
     plen = int.from_bytes(raw[28:36].tobytes(), "little")
+    if _HEADER_LEN + plen > raw.size:
+        raise ValueError(
+            f"truncated chunk payload: header claims {plen} bytes, "
+            f"{raw.size - _HEADER_LEN} present"
+        )
     return ChunkInfo(CODEC_NAMES[cid], dtype, n, raw_bytes, _HEADER_LEN + plen, crc, flags)
 
 
@@ -483,6 +504,9 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
     if flags & FLAG_COMPRESSED:
         from . import compression as compression_mod
 
+        if payload.size == 0 or int(payload[0]) not in _BLOCK_NAMES:
+            bid = int(payload[0]) if payload.size else -1
+            raise ValueError(f"unknown block codec id {bid}")
         # create_codec raises a clear ValueError when the codec library is
         # absent in this environment (import-gated)
         block = compression_mod.create_codec(_BLOCK_NAMES[int(payload[0])])
@@ -490,20 +514,60 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
             block.decompress(payload[1:].tobytes()), np.uint8
         )
         flags &= ~FLAG_COMPRESSED
-    if cid == PAGED:
-        return _decode_paged(payload, info.dtype)
-    if cid == LIST:
-        return _decode_list(payload, flags, info.n_values)
-    if flags & FLAG_NULLABLE:
-        from . import levels as levels_mod
+    # the payload passed the CRC, but a LYING HEADER (wrong n_values, codec
+    # swapped onto the wrong payload shape) still reaches the codec kernels:
+    # convert whatever they throw into one clean ValueError at the frame
+    # boundary — the reference's fuzz contract (no panic, no UB; clean error)
+    def _check_n(arr, want: int):
+        # kernels that carry their own counts (delta headers) or that
+        # zero-fill short reads would otherwise return the WRONG number of
+        # values without erroring when the header lies
+        if int(np.asarray(arr).size) != want:
+            raise ValueError(
+                f"chunk header claims {want} values, payload decodes "
+                f"{int(np.asarray(arr).size)}"
+            )
+        return arr
 
-        def_levels, consumed = levels_mod.decode_v1(payload, 1, info.n_values)
-        n_dense = int(def_levels.sum())
+    def _check_ba(lens, data, want: int):
+        if len(lens) != want or int(np.asarray(lens, np.int64).sum()) != len(data):
+            raise ValueError(
+                f"byte-array chunk inconsistent: {len(lens)} lengths "
+                f"(header claims {want}) summing {int(np.asarray(lens, np.int64).sum())} "
+                f"vs {len(data)} data bytes"
+            )
+        return lens, data
+
+    try:
+        if cid == PAGED:
+            return _check_n(_decode_paged(payload, info.dtype), info.n_values)
+        if cid == LIST:
+            return _decode_list(payload, flags, info.n_values)
+        if flags & FLAG_NULLABLE:
+            from . import levels as levels_mod
+
+            def_levels, consumed = levels_mod.decode_v1(payload, 1, info.n_values)
+            n_dense = int(def_levels.sum())
+            if info.dtype == "bytes":
+                lens, data = _decode_ba_payload(payload[consumed:], cid, n_dense)
+                _check_ba(lens, data, n_dense)
+                return lens, data, def_levels.astype(bool)
+            dense = _check_n(
+                _decode_int_payload(payload[consumed:], cid, n_dense, info.dtype),
+                n_dense,
+            )
+            return levels_mod.assemble_nullable(def_levels, dense)
         if info.dtype == "bytes":
-            lens, data = _decode_ba_payload(payload[consumed:], cid, n_dense)
-            return lens, data, def_levels.astype(bool)
-        dense = _decode_int_payload(payload[consumed:], cid, n_dense, info.dtype)
-        return levels_mod.assemble_nullable(def_levels, dense)
-    if info.dtype == "bytes":
-        return _decode_ba_payload(payload, cid, info.n_values)
-    return _decode_int_payload(payload, cid, info.n_values, info.dtype)
+            lens, data = _decode_ba_payload(payload, cid, info.n_values)
+            return _check_ba(lens, data, info.n_values)
+        return _check_n(
+            _decode_int_payload(payload, cid, info.n_values, info.dtype),
+            info.n_values,
+        )
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 — boundary conversion, see above
+        raise ValueError(
+            f"corrupt chunk payload ({info.codec}/{info.dtype}, "
+            f"n={info.n_values}): {type(e).__name__}: {e}"
+        ) from e

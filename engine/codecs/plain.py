@@ -77,10 +77,18 @@ def decode_byte_arrays(buf: bytes | np.ndarray, n: int) -> tuple[np.ndarray, byt
     # unavoidable for this self-describing layout)
     starts = np.empty(n, dtype=np.int64)
     for i in range(n):
+        if pos + 4 > raw.size:
+            # a lying value count or truncated payload would otherwise
+            # read empty slices as zero-length values forever
+            raise ValueError(
+                f"byte-array payload exhausted at value {i} of {n}"
+            )
         ln = int.from_bytes(raw[pos : pos + 4].tobytes(), "little")
         lengths[i] = ln
         starts[i] = pos + 4
         pos += 4 + ln
+    if pos > raw.size:
+        raise ValueError("byte-array payload truncated mid-value")
     mask = np.zeros(len(raw[:pos]), dtype=bool)
     ends = starts + lengths
     for i in range(n):

@@ -89,6 +89,13 @@ def _list_array(lengths: np.ndarray, values_pa, record_valid=None):
     offsets = np.concatenate(([0], np.cumsum(full)))
     if offsets[-1] > np.iinfo(np.int32).max:
         raise ValueError("list chunk exceeds 2^31 elements; page the column")
+    if int(offsets[-1]) != len(values_pa):
+        # a corrupt frame whose lengths sub-chunk disagrees with the element
+        # count must fail cleanly, not assemble out-of-bounds offsets
+        raise ValueError(
+            f"list chunk lengths sum to {int(offsets[-1])} but "
+            f"{len(values_pa)} elements present"
+        )
     off_pa = pa.array(offsets.astype(np.int32), type=pa.int32(), mask=mask)
     return pa.ListArray.from_arrays(off_pa, values_pa)
 

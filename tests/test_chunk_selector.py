@@ -140,7 +140,7 @@ def test_unknown_codec_id_fails_loudly():
 
     blob = bytearray(chunk.encode_chunk(np.arange(10, dtype=np.int32), "plain"))
     blob[5] = 200  # nonexistent codec id
-    with _pytest.raises(KeyError):
+    with _pytest.raises(ValueError, match="unknown codec id"):
         chunk.decode_chunk(bytes(blob))
 
 

@@ -1,0 +1,157 @@
+"""Corrupt-input robustness: every malformed frame raises a clean
+ValueError — never numpy index chaos, KeyError, or silent garbage.
+
+Mirrors the reference's fuzz harness over its read path
+(``fuzz/src/main.rs:14-32``) and its malformed golden file
+(``data/nation.dict-malformed.parquet``): truncated header/payload, bad
+magic/version/codec/dtype/flags, CRC flips, lying n_values, a LIST frame
+whose lengths disagree with the element count, and a bad block-codec id
+inside a compressed frame.
+"""
+
+import numpy as np
+import pytest
+
+from engine import chunk
+from engine.jobs import decode as decode_job
+
+
+@pytest.fixture(scope="module")
+def blob() -> bytes:
+    return chunk.encode_chunk(np.arange(100, dtype=np.int32), "plain", "int32")
+
+
+def _patch(raw: bytes, offset: int, value: bytes) -> bytes:
+    return raw[:offset] + value + raw[offset + len(value) :]
+
+
+def _refit_crc(raw: bytes) -> bytes:
+    """Recompute the stored CRC over the (possibly tampered) payload so the
+    test reaches the guard BEHIND the checksum."""
+    import zlib
+
+    payload = raw[chunk._HEADER_LEN :]
+    crc = (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+    return _patch(raw, 24, crc)
+
+
+def test_empty_and_garbage_blobs(blob):
+    with pytest.raises(ValueError, match="truncated chunk header"):
+        chunk.decode_chunk(b"")
+    with pytest.raises(ValueError, match="truncated chunk header"):
+        chunk.decode_chunk(blob[:20])
+    with pytest.raises(ValueError, match="magic"):
+        chunk.decode_chunk(bytes(np.random.default_rng(0).integers(0, 256, 64, dtype=np.uint8)))
+
+
+def test_bad_magic(blob):
+    with pytest.raises(ValueError, match="magic"):
+        chunk.decode_chunk(_patch(blob, 0, b"XXXX"))
+
+
+def test_bad_version(blob):
+    with pytest.raises(ValueError, match="version"):
+        chunk.decode_chunk(_patch(blob, 4, bytes([9])))
+
+
+def test_bad_codec_id(blob):
+    with pytest.raises(ValueError, match="unknown codec id"):
+        chunk.decode_chunk(_patch(blob, 5, bytes([99])))
+
+
+def test_bad_dtype_id(blob):
+    with pytest.raises(ValueError, match="unknown dtype id"):
+        chunk.decode_chunk(_patch(blob, 6, bytes([99])))
+
+
+def test_unknown_flags(blob):
+    with pytest.raises(ValueError, match="unknown chunk flags"):
+        chunk.decode_chunk(_patch(blob, 7, bytes([0x80])))
+
+
+def test_crc_flip(blob):
+    tampered = _patch(blob, len(blob) - 1, bytes([blob[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        chunk.decode_chunk(tampered)
+
+
+def test_truncated_payload(blob):
+    with pytest.raises(ValueError, match="truncated chunk payload"):
+        chunk.decode_chunk(blob[:-5])
+
+
+@pytest.mark.parametrize(
+    "codec,dtype,vals",
+    [
+        ("plain", "int32", np.arange(50, dtype=np.int32)),
+        ("delta", "int64", np.arange(50, dtype=np.int64)),
+        ("dict", "int32", np.tile(np.arange(5, dtype=np.int32), 10)),
+        ("bitpack", "int32", np.arange(50, dtype=np.int32) % 7),
+        ("rle", "int32", np.repeat(np.arange(5, dtype=np.int32), 10)),
+    ],
+)
+def test_lying_n_values(codec, dtype, vals):
+    """Header claims far more values than the payload holds; the CRC still
+    matches (payload untouched), so the codec kernel must fail cleanly."""
+    raw = chunk.encode_chunk(vals, codec, dtype)
+    lying = _patch(raw, 8, (10_000_000).to_bytes(8, "little"))
+    with pytest.raises(ValueError):
+        chunk.decode_chunk(lying)
+
+
+def test_lying_n_values_byte_arrays():
+    lengths = np.array([3, 4, 5], np.int32)
+    raw = chunk.encode_chunk((lengths, b"abcdefghijkl"), "plain_ba", "bytes")
+    lying = _patch(raw, 8, (1_000_000).to_bytes(8, "little"))
+    with pytest.raises(ValueError):
+        chunk.decode_chunk(lying)
+
+
+def test_list_lengths_disagree_with_elements():
+    """A LIST frame whose lengths sub-chunk sums past the element count must
+    fail record assembly cleanly, not build out-of-bounds Arrow offsets."""
+    lengths_blob = chunk.encode_chunk(
+        np.array([3, 4], np.int32), "plain", "int32"
+    )  # claims 7 elements
+    values_blob = chunk.encode_chunk(
+        np.arange(5, dtype=np.int32), "plain", "int32"
+    )  # only 5 present
+    import zlib
+
+    payload = (
+        len(lengths_blob).to_bytes(8, "little") + lengths_blob + values_blob
+    )
+    header = (
+        chunk.MAGIC
+        + bytes([chunk.VERSION, chunk.LIST, 0, 0])
+        + (2).to_bytes(8, "little")
+        + (5 * 4 + 8).to_bytes(8, "little")
+        + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+        + len(payload).to_bytes(8, "little")
+    )
+    decoded = chunk.decode_chunk(header + payload)  # frame-level OK
+    with pytest.raises(ValueError, match="lengths sum"):
+        decode_job._list_series(decoded, "int32")
+
+
+def test_bad_block_codec_id():
+    vals = np.zeros(4096, np.int32)  # compressible -> FLAG_COMPRESSED set
+    raw = chunk.compress_chunk(chunk.encode_chunk(vals, "plain", "int32"), "gzip")
+    assert chunk.read_info(raw).flags & chunk.FLAG_COMPRESSED
+    tampered = _refit_crc(_patch(raw, chunk._HEADER_LEN, bytes([99])))
+    with pytest.raises(ValueError, match="unknown block codec id"):
+        chunk.decode_chunk(tampered)
+
+
+def test_codec_swapped_onto_wrong_payload(blob):
+    """Valid CRC, but the codec id points a different kernel at the payload:
+    must surface as a clean ValueError, whatever the kernel tripped on."""
+    for wrong in (chunk.DELTA, chunk.DICT, chunk.PAGED, chunk.LIST):
+        tampered = _patch(blob, 5, bytes([wrong]))
+        with pytest.raises(ValueError):
+            chunk.decode_chunk(tampered)
+
+
+def test_valid_roundtrip_still_works(blob):
+    out = chunk.decode_chunk(blob)
+    assert np.array_equal(out, np.arange(100, dtype=np.int32))
