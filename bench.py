@@ -107,10 +107,21 @@ def main() -> None:
         bench_queries = []
     else:
         bench_queries = _BENCH_QUERIES
+    # queries use the same best-of-N policy as encode/decode (documented
+    # above): the first pass additionally pays one-time whole-stage-codegen
+    # compilation (the 64-aggregate minhash signature stage alone compiles
+    # for seconds), which is amortized away on any real corpus
     for name in bench_queries:
-        t0 = time.time()
-        entry.queries()[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        t_q = None
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            entry.queries()[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            if t_q is None or dt < t_q:
+                t_q = dt
+        timings[name] = round(t_q, 3)
 
     total = round(sum(timings.values()), 3)
     print(
