@@ -479,6 +479,14 @@ def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
                 F.struct(w.alias("w"), F.length(w).cast("long").alias("wl")),
             ),
         ).alias("ws"),
+        # array<array<int>> with a planted null inner array (doc_id % 3 == 0)
+        F.array(
+            F.transform(words, lambda w: F.length(w).cast("int")),
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.slice(F.transform(words, lambda w: F.length(w).cast("int")), 1, 2),
+            ),
+        ).alias("aa"),
     )
     chunks, cols, plan = nested.encode_nested_table(
         df, rows_per_bucket=128, bucket_key="source",
@@ -503,6 +511,12 @@ def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
             lambda a, x: a + F.coalesce(x["wl"], F.lit(0).cast("long")),
         ).alias("ws_sum"),
         F.size(F.filter("ws", lambda x: x.isNull())).cast("long").alias("ws_nulls"),
+        F.aggregate(
+            F.flatten(F.filter("aa", lambda x: x.isNotNull())),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v.cast("long"),
+        ).alias("aa_sum"),
+        F.size(F.filter("aa", lambda x: x.isNull())).cast("long").alias("aa_nulls"),
     )
 
 
@@ -522,7 +536,13 @@ SELECT doc_id,
                                               THEN length(w) ELSE 0 END))
             AS BIGINT) AS ws_sum,
        CAST(len(list_filter(string_split(text, ' '),
-                            w -> length(w) % 5 = 4)) AS BIGINT) AS ws_nulls
+                            w -> length(w) % 5 = 4)) AS BIGINT) AS ws_nulls,
+       CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+            + CASE WHEN doc_id % 3 != 0
+                   THEN COALESCE(list_sum(list_transform(
+                            string_split(text, ' ')[1:2], w -> length(w))), 0)
+                   ELSE 0 END AS BIGINT) AS aa_sum,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS aa_nulls
 FROM documents
 """
 

@@ -39,6 +39,8 @@ VALID_LEAF = "__valid"
 EVALID_LEAF = "__evalid"
 KEYS_LEAF = "__keys"
 VALS_LEAF = "__vals"
+LENS_LEAF = "__lens"
+FLAT_LEAF = "__flat"
 
 # leaf-name separator: NOT '.' — PySpark's mapInPandas resolves columns with
 # df[name], which parses dots as struct access and cannot be quoted there
@@ -89,11 +91,11 @@ def flatten(df: DataFrame) -> tuple[DataFrame, list]:
                     cols.append(_q(f.name).isNotNull().alias(valid_leaf))
                 plan.append(("struct", f.name, leaves, valid_leaf))
             elif isinstance(dt, T.MapType):
-                if isinstance(dt.valueType, (T.StructType, T.MapType, T.ArrayType)):
-                    raise ValueError(
-                        f"column {f.name}: map values of type {dt.valueType} "
-                        "not encodable; flatten to entries first"
-                    )
+                # ANY value type works: struct values surface as an
+                # array<struct> leaf, array/map values as array<array> /
+                # array<map> leaves — all shredded further on later passes
+                # (KeyValueReader over group values, reference
+                # src/record/reader.rs:241-302)
                 changed = True
                 k_leaf = f"{f.name}{SEP}{KEYS_LEAF}"
                 v_leaf = f"{f.name}{SEP}{VALS_LEAF}"
@@ -133,12 +135,44 @@ def flatten(df: DataFrame) -> tuple[DataFrame, list]:
                     )
                 plan.append(("array_struct", f.name, leaves, ev_leaf))
             elif isinstance(dt, T.ArrayType) and isinstance(
-                dt.elementType, (T.MapType, T.ArrayType)
+                dt.elementType, T.ArrayType
             ):
-                raise ValueError(
-                    f"column {f.name}: array of {dt.elementType} not encodable; "
-                    "explode to rows first"
+                # two rep levels: array<array<T>> decomposes into an inner-
+                # lengths leaf (size(null inner) = -1 marks null inner
+                # arrays) and one flattened array<T> leaf; T may itself be
+                # nested — the loop shreds whatever comes out next pass
+                changed = True
+                lens_leaf = f"{f.name}{SEP}{LENS_LEAF}"
+                flat_leaf = f"{f.name}{SEP}{FLAT_LEAF}"
+                empty = F.array().cast(dt.elementType.simpleString())
+                cols.append(
+                    F.transform(_q(f.name), lambda x: F.size(x)).alias(lens_leaf)
                 )
+                cols.append(
+                    F.flatten(
+                        F.transform(
+                            _q(f.name),
+                            (lambda e: lambda x: F.coalesce(x, e))(empty),
+                        )
+                    ).alias(flat_leaf)
+                )
+                plan.append(("array_array", f.name, lens_leaf, flat_leaf))
+            elif isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, T.MapType
+            ):
+                # array<map<k,v>> -> parallel array<array<k>> / array<array<v>>
+                # leaves (null maps ride as null inner arrays); both recurse
+                # through the array<array> branch next pass
+                changed = True
+                k_leaf = f"{f.name}{SEP}{KEYS_LEAF}"
+                v_leaf = f"{f.name}{SEP}{VALS_LEAF}"
+                cols.append(
+                    F.transform(_q(f.name), lambda x: F.map_keys(x)).alias(k_leaf)
+                )
+                cols.append(
+                    F.transform(_q(f.name), lambda x: F.map_values(x)).alias(v_leaf)
+                )
+                plan.append(("array_map", f.name, k_leaf, v_leaf))
             else:
                 cols.append(_q(f.name))
         if changed:
@@ -150,7 +184,34 @@ def rebuild(df: DataFrame, plan: list) -> DataFrame:
     """Inverse of :func:`flatten`: reassemble structs/maps from decoded
     leaves (inner-most steps were appended last, so apply in reverse)."""
     for step in reversed(plan):
-        if step[0] == "array_struct":
+        if step[0] == "array_array":
+            _, name, lens_leaf, flat_leaf = step
+            lens, flat = _q(lens_leaf), _q(flat_leaf)
+            # running offsets per row (array-concat fold: O(k^2) element
+            # copies for k inner arrays — fine for record-shaped data; rows
+            # with thousands of inner arrays should explode to rows instead)
+            offs = F.aggregate(
+                lens,
+                F.array(F.lit(0)),
+                lambda acc, x: F.concat(
+                    acc, F.array(F.element_at(acc, -1) + F.greatest(x, F.lit(0)))
+                ),
+            )
+            built = F.zip_with(
+                lens,
+                F.slice(offs, 1, F.size(lens)),
+                (lambda fl: lambda ln, off: F.when(
+                    ln >= 0, F.slice(fl, off + 1, ln)
+                ))(flat),
+            )
+            df = df.withColumn(name, built).drop(lens_leaf, flat_leaf)
+        elif step[0] == "array_map":
+            _, name, k_leaf, v_leaf = step
+            built = F.zip_with(
+                _q(k_leaf), _q(v_leaf), lambda k, v: F.map_from_arrays(k, v)
+            )
+            df = df.withColumn(name, built).drop(k_leaf, v_leaf)
+        elif step[0] == "array_struct":
             _, name, leaves, ev_leaf = step
             built = F.arrays_zip(*[_q(leaf).alias(sub) for sub, leaf in leaves])
             if ev_leaf is not None:
