@@ -207,20 +207,21 @@ def decode_flat(buf: bytes | np.ndarray, n: int) -> tuple[np.ndarray, bytes]:
     # code position; within it bytes alternate escape/literal; an odd run also
     # consumes the following byte as a literal.
     is_esc255 = codes == ESCAPE
-    # run decomposition of the boolean mask
+    # run decomposition of the boolean mask, fully vectorized (the previous
+    # per-run Python loop was the decode path's tail risk on escape-heavy
+    # data): within a maximal 255-run starting at s, even offsets are escape
+    # markers and odd offsets are escaped literals; an odd-length run also
+    # consumes the first byte AFTER the run as a literal
     change = np.flatnonzero(np.diff(is_esc255.astype(np.int8))) + 1
     starts = np.concatenate(([0], change))
     runlens = np.diff(np.concatenate((starts, [m])))
-    is_literal = np.zeros(m, dtype=bool)
-    is_escape = np.zeros(m, dtype=bool)
-    for s, L, v in zip(starts, runlens, is_esc255[starts]):
-        if not v:
-            continue
-        ks = np.arange(L)
-        is_escape[s + ks[ks % 2 == 0]] = True
-        is_literal[s + ks[ks % 2 == 1]] = True
-        if L % 2 == 1 and s + L < m:
-            is_literal[s + L] = True
+    within = np.arange(m, dtype=np.int64) - np.repeat(starts, runlens)
+    in_esc_run = np.repeat(is_esc255[starts], runlens)
+    is_escape = in_esc_run & (within % 2 == 0)
+    is_literal = in_esc_run & (within % 2 == 1)
+    odd_runs = is_esc255[starts] & (runlens % 2 == 1)
+    trailing = starts[odd_runs] + runlens[odd_runs]
+    is_literal[trailing[trailing < m]] = True
     is_code_sym = ~(is_escape | is_literal)
 
     # output sizes per stream byte: symbol len, literal 1, escape 0
