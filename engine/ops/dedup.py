@@ -103,6 +103,14 @@ def _exact_collapse(docs: DataFrame, text_col: str, key_col: str):
     Exact duplicates are collapsed BEFORE any LSH banding: a viral document
     duplicated 10^6 times contributes ONE representative row to LSH and
     10^6-1 linear star edges — never an O(k^2) bucket join (VERDICT r1 #6).
+
+    Shuffle shape, measured (r3, sf0.1 x4 planted copies): this window
+    carries text bodies through ONE md5 exchange (0.53s); the alternative
+    (md5 -> min_id) aggregate + semi-join keeps text out of the hash
+    shuffle but pays an extra exchange of (md5, id) plus a text shuffle by
+    id anyway (0.65s). Linear either way; the window wins until individual
+    bodies are so large that moving them through the md5 exchange dominates
+    — revisit only with multi-MB documents.
     """
     keyed = docs.select(F.col(key_col), F.col(text_col)).withColumn(
         "_md5", F.md5(F.col(text_col))
