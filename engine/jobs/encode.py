@@ -69,6 +69,11 @@ CHUNK_SCHEMA = StructType(
         StructField("vmin_s", StringType(), True),
         StructField("vmax_s", StringType(), True),
         StructField("null_count", LongType(), False),
+        # optional per-chunk Bloom filter over this column's values (point-
+        # lookup pruning; parquet's column-chunk bloom analog — the
+        # reference carries only min/max stats). NULL unless requested via
+        # encode_table(bloom_columns=[...]).
+        StructField("bloom", BinaryType(), True),
         StructField("payload", BinaryType(), False),
     ]
 )
@@ -105,11 +110,16 @@ DEFAULT_COLUMNS = {
 }
 
 
-def _encode_group(pdf: pd.DataFrame, columns: dict, block_codec: str | None = None) -> pd.DataFrame:
+def _encode_group(
+    pdf: pd.DataFrame,
+    columns: dict,
+    block_codec: str | None = None,
+    bloom_cols: frozenset | None = None,
+) -> pd.DataFrame:
     """Encode one bucket (rows NOT yet sorted) — test/compat entry."""
     sort_col = "doc_id" if "doc_id" in pdf.columns else pdf.columns[1]
     pdf = pdf.sort_values(sort_col, kind="mergesort").reset_index(drop=True)
-    return _encode_group_sorted(pdf, columns, block_codec)
+    return _encode_group_sorted(pdf, columns, block_codec, bloom_cols)
 
 
 def _scalar_dense(ser: pd.Series, kind: str):
@@ -166,7 +176,10 @@ def _ba_from_series(ser: pd.Series, binary: bool):
 
 
 def _encode_group_sorted(
-    pdf: pd.DataFrame, columns: dict, block_codec: str | None = None
+    pdf: pd.DataFrame,
+    columns: dict,
+    block_codec: str | None = None,
+    bloom_cols: frozenset | None = None,
 ) -> pd.DataFrame:
     """Encode one bucket whose rows are already doc_id-sorted (the streaming
     path sorts in Tungsten via sortWithinPartitions — no pandas sort).
@@ -187,6 +200,7 @@ def _encode_group_sorted(
         candidates = spec[2] if len(spec) > 2 and spec[2] else None
         vmin = vmax = vmin_d = vmax_d = vmin_s = vmax_s = None
         null_count = 0
+        bloom_blob = None
         if kind == "int32_list":
             if pdf[col].isna().any():
                 raise ValueError(
@@ -358,6 +372,10 @@ def _encode_group_sorted(
             lengths, data, valid, null_count, arr = _ba_from_series(
                 pdf[col], binary=kind == "binary"
             )
+            if bloom_cols and col in bloom_cols:
+                from .. import bloom as bloom_mod
+
+                bloom_blob = bloom_mod.build(lengths, data)
             codec = selector.select_ba_codec(lengths, data, override=override)
             if candidates and codec not in candidates:
                 codec = "delta_length_ba"
@@ -408,6 +426,7 @@ def _encode_group_sorted(
                 "vmin_s": vmin_s,
                 "vmax_s": vmax_s,
                 "null_count": null_count,
+                "bloom": bloom_blob,
                 "payload": blob,
             }
         )
@@ -560,6 +579,7 @@ def encode_table(
     bucket_key: str = "source",
     salt_col: str = "doc_id",
     sort_col: str | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> DataFrame:
     """Encode a tokenized_sequences DataFrame into chunk rows.
 
@@ -569,6 +589,9 @@ def encode_table(
     ``props``: optional :class:`engine.properties.WriterProperties` — supplies
     rows_per_bucket, per-column encoding overrides and dictionary toggles
     (column > global precedence, reference src/file/properties.rs:154-160).
+    ``bloom_columns``: byte-array columns to attach a per-chunk Bloom filter
+    to (point-lookup pruning — see ``engine.bloom``; ``lineage.lookup_docs``
+    consults it automatically).
     """
     if columns is None:
         names = set(df.columns)
@@ -580,6 +603,13 @@ def encode_table(
     else:
         columns = dict(columns)
     sort_col = sort_col or (salt_col if salt_col in columns else next(iter(columns)))
+    bloom_cols = frozenset(bloom_columns or ())
+    for b in bloom_cols:
+        if b not in columns or columns[b][0] not in ("bytes", "binary"):
+            raise ValueError(
+                f"bloom_columns: {b!r} must be a bytes/binary column "
+                f"(got {columns.get(b, ('absent',))[0]})"
+            )
     df = apply_logical_casts(df, columns)
     block_codec = None
     if props is not None:
@@ -687,12 +717,12 @@ def encode_table(
                 if cur is not None and cid != cur and pending:
                     group = pd.concat(pending, ignore_index=True)
                     pending = []
-                    yield _encode_group_sorted(group, columns, block_codec)
+                    yield _encode_group_sorted(group, columns, block_codec, bloom_cols)
                 cur = cid
                 pending.append(seg)
         if pending:
             yield _encode_group_sorted(
-                pd.concat(pending, ignore_index=True), columns, block_codec
+                pd.concat(pending, ignore_index=True), columns, block_codec, bloom_cols
             )
 
     # one shuffle: co-locate buckets, sort (chunk_id, doc_id) in Tungsten,

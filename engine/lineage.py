@@ -168,7 +168,7 @@ class ChunkStore:
         """
         run_id = run_id or f"run-{int(time.time() * 1000)}"
         lineage = (
-            chunks_df.drop("payload")
+            chunks_df.drop("payload", "bloom")
             .withColumn("run_id", F.lit(run_id))
             .withColumn("status", F.lit("committed"))
             .withColumn("committed_at", F.current_timestamp())
@@ -199,6 +199,11 @@ def lookup_docs(store: ChunkStore, doc_ids: list[str]) -> DataFrame:
     xxhash64 expression as ``skew.plan_buckets``, and semi-joined against the
     chunk store. At 10^12-sequence scale this reads a handful of chunks
     instead of scanning the corpus.
+
+    When the store was encoded with ``bloom_columns=["doc_id"]``, candidate
+    chunks whose Bloom filter admits NONE of the requested ids are dropped
+    before any payload decodes — absent keys (the dominant probe case) then
+    read zero payload bytes.
     """
     from pyspark.sql import functions as F
 
@@ -226,6 +231,33 @@ def lookup_docs(store: ChunkStore, doc_ids: list[str]) -> DataFrame:
         .distinct()
     )
     hits = store.read_chunks().join(F.broadcast(cand), "chunk_id", "left_semi")
+    if "bloom" in hits.columns:
+        import pandas as pd
+        from pyspark.sql.types import BooleanType
+
+        from . import bloom as bloom_mod
+
+        key_hs = [bloom_mod.key_hashes(d) for d in doc_ids]
+
+        @F.pandas_udf(BooleanType())
+        def _any_key_hits(bm):
+            return pd.Series(
+                [
+                    b is None
+                    or any(
+                        bloom_mod.might_contain(bytes(b), h1, h2)
+                        for h1, h2 in key_hs
+                    )
+                    for b in bm
+                ]
+            )
+
+        misses = (
+            hits.where((F.col("column") == "doc_id") & F.col("bloom").isNotNull())
+            .where(~_any_key_hits(F.col("bloom")))
+            .select("chunk_id")
+        )
+        hits = hits.join(F.broadcast(misses), "chunk_id", "left_anti")
     return decode_job.decode_chunks(hits).where(F.col("doc_id").isin(doc_ids))
 
 
