@@ -26,8 +26,11 @@ BITS_PER_VALUE = 10  # sizing target (~1% FPR at K=7)
 MIN_BITS = 1 << 13  # 1 KiB
 MAX_BITS = 1 << 23  # 1 MiB
 
-_M1 = np.uint64(1099511628211)  # FNV-1a prime
-_M2 = np.uint64(0x100000001B3 ^ 0x9E3779B9)  # distinct odd multiplier
+_M1 = np.uint64(1099511628211)  # FNV-1a prime (odd)
+# second multiplier MUST be odd: an even multiplier's powers vanish
+# mod 2^64, so h2 would ignore bytes past position ~62 and degenerate
+# the double hashing toward h1-only probes
+_M2 = np.uint64(0xC6A4A7935BD1E995)  # murmur64 multiplier (odd)
 _SALT2 = np.uint64(0x9E3779B97F4A7C15)
 
 

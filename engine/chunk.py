@@ -178,17 +178,7 @@ def _encode_ba_payload(lengths: np.ndarray, data: bytes, codec: int) -> bytes:
             [None, pa.py_buffer(off.astype(np.int32).tobytes()), pa.py_buffer(data)],
         )
         d = arr.dictionary_encode()
-        uniq = d.dictionary
-        if len(uniq):
-            uoffs = np.frombuffer(uniq.buffers()[1], np.int32)[
-                uniq.offset : uniq.offset + len(uniq) + 1
-            ].astype(np.int64)
-            ulens = np.diff(uoffs)
-            udata = uniq.buffers()[2].slice(
-                int(uoffs[0]), int(uoffs[-1] - uoffs[0])
-            ).to_pybytes()
-        else:
-            ulens, udata = np.empty(0, np.int64), b""
+        ulens, udata = bytearrays.flat_from_arrow(d.dictionary)
         dict_page = plain.encode_byte_arrays(ulens, udata)
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
         width = bitpack.dict_bit_width(len(ulens))
@@ -529,23 +519,11 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
             )
     cid = CODEC_IDS[info.codec]
     flags = info.flags
-    if flags & FLAG_COMPRESSED:
-        from . import compression as compression_mod
-
-        if payload.size == 0 or int(payload[0]) not in _BLOCK_NAMES:
-            bid = int(payload[0]) if payload.size else -1
-            raise ValueError(f"unknown block codec id {bid}")
-        # create_codec raises a clear ValueError when the codec library is
-        # absent in this environment (import-gated)
-        block = compression_mod.create_codec(_BLOCK_NAMES[int(payload[0])])
-        payload = np.frombuffer(
-            block.decompress(payload[1:].tobytes()), np.uint8
-        )
-        flags &= ~FLAG_COMPRESSED
     # the payload passed the CRC, but a LYING HEADER (wrong n_values, codec
-    # swapped onto the wrong payload shape) still reaches the codec kernels:
-    # convert whatever they throw into one clean ValueError at the frame
-    # boundary — the reference's fuzz contract (no panic, no UB; clean error)
+    # swapped onto the wrong payload shape) or garbage compressed bytes still
+    # reach the codec kernels / block decompressors: convert whatever they
+    # throw into one clean ValueError at the frame boundary — the
+    # reference's fuzz contract (no panic, no UB; clean error)
     def _check_n(arr, want: int):
         # kernels that carry their own counts (delta headers) or that
         # zero-fill short reads would otherwise return the WRONG number of
@@ -567,6 +545,20 @@ def decode_chunk(blob: bytes | np.ndarray, verify_checksum: bool = True):
         return lens, data
 
     try:
+        if flags & FLAG_COMPRESSED:
+            from . import compression as compression_mod
+
+            if payload.size == 0 or int(payload[0]) not in _BLOCK_NAMES:
+                bid = int(payload[0]) if payload.size else -1
+                raise ValueError(f"unknown block codec id {bid}")
+            # create_codec raises a clear ValueError when the codec library
+            # is absent in this environment (import-gated); garbage
+            # compressed bytes raise the library's error, converted below
+            block = compression_mod.create_codec(_BLOCK_NAMES[int(payload[0])])
+            payload = np.frombuffer(
+                block.decompress(payload[1:].tobytes()), np.uint8
+            )
+            flags &= ~FLAG_COMPRESSED
         if cid == PAGED:
             return _check_n(_decode_paged(payload, info.dtype), info.n_values)
         if cid == LIST:

@@ -23,6 +23,27 @@ def flat_from_values(values) -> tuple[np.ndarray, bytes]:
     return lengths, b"".join(bs)
 
 
+def flat_from_arrow(arr) -> tuple[np.ndarray, bytes]:
+    """(lengths int64, concat data) lifted straight from a NON-NULL Arrow
+    string/binary array's (offsets, data) buffers — zero per-value Python.
+    Shared by the encode hot path and the DICT_BA uniques extraction so the
+    offset arithmetic (and its int32 overflow guard) live in one place."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        # pa.Array.from_pandas silently chunks when the concatenated data
+        # overflows int32 offsets — the frame format requires paging instead
+        raise ValueError("byte-array chunk exceeds 2^31 bytes; page the column")
+    if len(arr) == 0:
+        return np.empty(0, np.int64), b""
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    lengths = np.diff(offs)
+    data = arr.buffers()[2].slice(int(offs[0]), int(offs[-1] - offs[0])).to_pybytes()
+    return lengths, data
+
+
 def encode_delta_length(lengths: np.ndarray, data: bytes) -> bytes:
     lens32 = np.ascontiguousarray(lengths, dtype=np.int32)
     lens_enc = delta_for.encode(lens32, "int32")

@@ -100,15 +100,21 @@ def _list_array(lengths: np.ndarray, values_pa, record_valid=None):
     return pa.ListArray.from_arrays(off_pa, values_pa)
 
 
+def _unpack_list_chunk(decoded):
+    """decode_chunk's LIST result -> (lengths, values, record_valid or None)
+    — the one place that knows the container's return shape."""
+    if len(decoded) == 3:
+        return decoded
+    lengths, values = decoded
+    return lengths, values, None
+
+
 def _list_series(decoded, elem: str) -> pd.Series:
     """Decoded LIST chunk tuple -> pandas series of arrays (with null lists
     and null elements restored)."""
     import pyarrow as pa
 
-    if len(decoded) == 3:
-        lengths, values, record_valid = decoded
-    else:
-        (lengths, values), record_valid = decoded, None
+    lengths, values, record_valid = _unpack_list_chunk(decoded)
     if elem in ("bytes", "binary"):
         binary = elem == "binary"
         if isinstance(values, tuple) and len(values) == 3:
@@ -288,10 +294,7 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
             if kind == "list:int64":
                 import pyarrow as pa
 
-                if len(decoded) == 3:
-                    lengths, values, record_valid = decoded
-                else:
-                    (lengths, values), record_valid = decoded, None
+                lengths, values, record_valid = _unpack_list_chunk(decoded)
                 if isinstance(values, tuple):
                     vals_full, elem_valid = values  # zero-filled + mask
                 else:
@@ -310,10 +313,7 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
             elif kind in ("list:float32", "list:float64"):
                 import pyarrow as pa
 
-                if len(decoded) == 3:
-                    lengths, values, record_valid = decoded
-                else:
-                    (lengths, values), record_valid = decoded, None
+                lengths, values, record_valid = _unpack_list_chunk(decoded)
                 if isinstance(values, tuple):
                     vals_full, elem_valid = values  # full-length with fill
                 else:
@@ -346,6 +346,18 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
                     out[name] = _string_array_from_flat(*decoded, binary=binary).to_pandas()
             elif isinstance(decoded, tuple):
                 out[name] = _nullable_series(decoded[0], decoded[1], kind)
+            elif kind in ("float32", "float64"):
+                # even a chunk with ZERO nulls must return floats as a
+                # masked extension array: Spark's pandas->Arrow serializer
+                # masks plain numpy series with series.isnull(), which is
+                # True for NaN — a bare ndarray would turn decoded NaN
+                # values into NULL on the return hop
+                out[name] = pd.Series(
+                    pd.arrays.FloatingArray(
+                        np.asarray(decoded, dtype=kind),
+                        mask=np.zeros(len(decoded), dtype=bool),
+                    )
+                )
             else:
                 out[name] = decoded
         return pd.DataFrame(out)

@@ -157,21 +157,14 @@ def _ba_from_series(ser: pd.Series, binary: bool):
     import pyarrow as pa
 
     arr = pa.Array.from_pandas(ser, type=pa.binary() if binary else pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        raise ValueError("byte-array chunk exceeds 2^31 bytes; page the column")
     null_count = int(arr.null_count)
     valid = None
     if null_count:
         valid = ~np.asarray(arr.is_null())
         arr = arr.drop_null()
-    if len(arr):
-        offs = np.frombuffer(arr.buffers()[1], np.int32)[
-            arr.offset : arr.offset + len(arr) + 1
-        ].astype(np.int64)
-        lengths = np.diff(offs)
-        data = arr.buffers()[2].slice(
-            int(offs[0]), int(offs[-1] - offs[0])
-        ).to_pybytes()
-    else:
-        lengths, data = np.empty(0, np.int64), b""
+    lengths, data = bytearrays.flat_from_arrow(arr)
     return lengths, data, valid, null_count, arr
 
 

@@ -231,34 +231,43 @@ def lookup_docs(store: ChunkStore, doc_ids: list[str]) -> DataFrame:
         .distinct()
     )
     hits = store.read_chunks().join(F.broadcast(cand), "chunk_id", "left_semi")
-    if "bloom" in hits.columns:
-        import pandas as pd
-        from pyspark.sql.types import BooleanType
-
-        from . import bloom as bloom_mod
-
-        key_hs = [bloom_mod.key_hashes(d) for d in doc_ids]
-
-        @F.pandas_udf(BooleanType())
-        def _any_key_hits(bm):
-            return pd.Series(
-                [
-                    b is None
-                    or any(
-                        bloom_mod.might_contain(bytes(b), h1, h2)
-                        for h1, h2 in key_hs
-                    )
-                    for b in bm
-                ]
-            )
-
-        misses = (
-            hits.where((F.col("column") == "doc_id") & F.col("bloom").isNotNull())
-            .where(~_any_key_hits(F.col("bloom")))
-            .select("chunk_id")
-        )
-        hits = hits.join(F.broadcast(misses), "chunk_id", "left_anti")
+    hits = _bloom_prune(hits, doc_ids)
     return decode_job.decode_chunks(hits).where(F.col("doc_id").isin(doc_ids))
+
+
+def _bloom_prune(hits: DataFrame, doc_ids: list[str]) -> DataFrame:
+    """Drop candidate chunks whose doc_id Bloom filter admits NONE of the
+    requested ids. No-op for stores without the bloom column; chunks with a
+    NULL bloom are always kept."""
+    if "bloom" not in hits.columns:
+        return hits
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    from . import bloom as bloom_mod
+
+    key_hs = [bloom_mod.key_hashes(d) for d in doc_ids]
+
+    @F.pandas_udf(BooleanType())
+    def _any_key_hits(bm):
+        return pd.Series(
+            [
+                b is None
+                or any(
+                    bloom_mod.might_contain(bytes(b), h1, h2)
+                    for h1, h2 in key_hs
+                )
+                for b in bm
+            ]
+        )
+
+    misses = (
+        hits.where((F.col("column") == "doc_id") & F.col("bloom").isNotNull())
+        .where(~_any_key_hits(F.col("bloom")))
+        .select("chunk_id")
+    )
+    return hits.join(F.broadcast(misses), "chunk_id", "left_anti")
 
 
 def encode_with_resume(

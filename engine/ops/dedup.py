@@ -177,7 +177,12 @@ def minhash_lsh_pairs(
     # disk past that. A per-bucket applyInPandas one-pass variant was also
     # measured: 53s vs 3.7s at sf0.1 (per-group overhead on tens of
     # thousands of near-singleton buckets); windows + joins over a cached
-    # exchange keep all per-bucket work JVM-side.
+    # exchange keep all per-bucket work JVM-side. Cache lifetime: the
+    # returned plan is lazy, so nothing here can unpersist deterministically
+    # — Spark's ContextCleaner drops the cached blocks once the returned
+    # DataFrame (and this intermediate) are garbage-collected on the driver;
+    # long-lived drivers looping over many corpora should checkpoint or
+    # trigger cleanup between calls.
     w = Window.partitionBy("band", "bhash")
     tagged = (
         banded.withColumn("_brep", F.min(key_col).over(w))

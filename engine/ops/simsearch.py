@@ -307,7 +307,20 @@ def ivf_assign(
     def _cell(emb):
         if len(emb) == 0:
             return pd.Series([], dtype=np.int32)
-        X = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        if emb.isna().any():
+            # the old expression-tree version silently assigned NULL rows to
+            # cell 0; fail loudly instead — a NULL embedding in an IVF index
+            # is an upstream data bug
+            raise ValueError(
+                "ivf_assign: NULL embedding encountered; filter or impute "
+                "before assignment"
+            )
+        try:
+            X = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        except ValueError as e:
+            raise ValueError(
+                f"ivf_assign: ragged embedding lengths in batch ({e})"
+            ) from e
         d = c_sq[None, :] - 2.0 * (X @ C.T)  # (n, k), |x|^2 omitted
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 

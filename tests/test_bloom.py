@@ -70,10 +70,20 @@ def test_encode_attaches_bloom_and_lookup_prunes(spark, tmp_path):
     assert [r["doc_id"] for r in got] == sorted({ids[0], ids[-1]})
     assert lineage.lookup_docs(store, ["no-such-doc-xyz"]).count() == 0
 
-    # the bloom anti-join actually prunes: an absent key's candidate chunks
-    # are all dropped before decode
-    cand_total = chunks.select("chunk_id").distinct().count()
-    assert cand_total > 0
+    # the bloom anti-join OBSERVABLY prunes: pick an absent key that no
+    # chunk's filter admits (deterministic — iterate candidates until one
+    # clears every bloom; FPR makes the very first almost always clear),
+    # then assert _bloom_prune drops every candidate chunk before decode
+    blooms = [bytes(r["bloom"]) for r in doc_rows.select("bloom").collect()]
+    absent = next(
+        k
+        for k in (f"absent-key-{i}" for i in range(1000))
+        if not any(bloom.might_contain(b, *bloom.key_hashes(k)) for b in blooms)
+    )
+    pruned = lineage._bloom_prune(store.read_chunks(), [absent])
+    assert pruned.count() == 0  # zero payload rows survive for an absent key
+    kept = lineage._bloom_prune(store.read_chunks(), [ids[0]])
+    assert kept.count() > 0  # present keys keep their chunk
     chunks.unpersist()
 
 

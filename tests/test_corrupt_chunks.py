@@ -143,6 +143,20 @@ def test_bad_block_codec_id():
         chunk.decode_chunk(tampered)
 
 
+def test_garbage_compressed_bytes():
+    """Valid header, valid block-codec id, valid CRC over the stored bytes —
+    but the compressed body is garbage: the block library's error must be
+    converted to a clean ValueError at the frame boundary."""
+    vals = np.zeros(4096, np.int32)
+    raw = chunk.compress_chunk(chunk.encode_chunk(vals, "plain", "int32"), "gzip")
+    assert chunk.read_info(raw).flags & chunk.FLAG_COMPRESSED
+    body_len = len(raw) - chunk._HEADER_LEN - 1
+    garbage = bytes([1]) + bytes(np.random.default_rng(3).integers(0, 256, body_len, dtype=np.uint8))
+    tampered = _refit_crc(raw[: chunk._HEADER_LEN] + garbage)
+    with pytest.raises(ValueError, match="corrupt chunk payload"):
+        chunk.decode_chunk(tampered)
+
+
 def test_codec_swapped_onto_wrong_payload(blob):
     """Valid CRC, but the codec id points a different kernel at the payload:
     must surface as a clean ValueError, whatever the kernel tripped on."""

@@ -48,6 +48,43 @@ def test_list_int64_float_detour_raises():
         encode_job._encode_group(pdf, {"v": ("list:int64", None)})
 
 
+def test_nan_survives_null_free_chunk(spark):
+    """A float chunk with NaN but ZERO nulls must still return NaN as a
+    VALUE: Spark's serializer masks plain numpy series with isnull() (NaN
+    included), so the decode path must hand back a masked extension array
+    even when nothing is null."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        F.when(F.col("id") % 7 == 0, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=512,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    )
+    assert chunks.where(F.col("column") == "v").first()["null_count"] == 0
+    out = decode_job.decode_table(chunks, cols)
+    n_nan = out.where(F.isnan("v")).count()
+    n_null = out.where(F.col("v").isNull()).count()
+    assert (n_nan, n_null) == (15, 0)
+
+
+def test_ivf_assign_null_embedding_fails_loudly(spark):
+    from engine.ops import simsearch
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<double>"
+    )
+    cents = np.array([[0.0, 0.0], [1.0, 1.0]])
+    with pytest.raises(Exception, match="NULL embedding"):
+        simsearch.ivf_assign(df, cents).collect()
+
+
 def test_string_offsets_overflow_guard():
     """Concatenated byte-array payload past 2^31 bytes must raise, not wrap
     int32 Arrow offsets into silently corrupt values."""
