@@ -391,6 +391,126 @@ FROM planted
 """
 
 
+def _q_rt_bool_compressed(spark, sf_dir) -> DataFrame:
+    """BOOLEAN RLE value encoding + gzip block compression + WriterProperties,
+    oracle-gated end to end (the three pytest-only rows of VERDICT r2: the
+    rle_bool codec, §2.2 block codecs, and the properties layer). The query
+    asserts the run-structured bool column auto-selected ``rle_bool``
+    (reference RleValueEncoder, src/encodings/encoding.rs:422-501) and that
+    at least the compressible string column's frames carry FLAG_COMPRESSED
+    (reference page compression, src/file/writer.rs:443-466) — then decodes
+    through gzip and re-aggregates."""
+    encode_job, decode_job = _engine(spark)
+    from engine.properties import WriterProperties
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        "event_type",
+        # long runs within each event_type bucket -> rle_bool
+        (F.col("event_id") % 2000 < 1000).alias("flag"),
+        F.when(F.col("event_id") % 3 != 0, F.col("event_id") % 2 == 0).alias(
+            "flag_n"
+        ),
+        # deliberately compressible: near-constant 200+ chars -> tiny gzip
+        F.concat(F.lit("x" * 200), F.col("event_type")).alias("tag"),
+    )
+    cols = encode_job.derive_columns(ev)
+    props = WriterProperties(rows_per_bucket=2048, compression="gzip")
+    chunks = encode_job.encode_table(
+        ev, columns=cols, props=props,
+        bucket_key="event_type", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    dec = decode_job.decode_table(chunks, cols)
+    agg = dec.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("flag").cast("long")).alias("n_true"),
+        F.count("flag_n").cast("long").alias("nn"),
+        F.sum(F.col("flag_n").cast("long")).alias("n_true_n"),
+        F.sum(F.length("tag").cast("long")).alias("tag_len"),
+    )
+    # frame byte 8 is the flags field; bit 2 = FLAG_COMPRESSED
+    flags_bit = (
+        F.conv(F.hex(F.substring(F.col("payload"), 8, 1)), 16, 10)
+        .cast("int")
+        .bitwiseAND(F.lit(2))
+    )
+    audit = chunks.agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_set(F.when(F.col("column") == "flag", F.col("codec")))
+            ),
+            ",",
+        ).alias("flag_codec"),
+        F.min(F.when(F.col("column") == "tag", flags_bit)).cast("long").alias(
+            "tag_compressed"
+        ),
+    )
+    return agg.crossJoin(audit)
+
+
+_ORACLE_RT_BOOL_COMPRESSED = """
+WITH planted AS (
+  SELECT event_id,
+         event_type,
+         (event_id % 2000 < 1000) AS flag,
+         CASE WHEN event_id % 3 != 0 THEN event_id % 2 = 0 END AS flag_n,
+         concat(repeat('x', 200), event_type) AS tag
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       COUNT(flag_n) AS nn,
+       CAST(SUM(CASE WHEN flag_n THEN 1 ELSE 0 END) AS BIGINT) AS n_true_n,
+       CAST(SUM(length(tag)) AS BIGINT) AS tag_len,
+       'rle_bool' AS flag_codec,
+       CAST(2 AS BIGINT) AS tag_compressed
+FROM planted GROUP BY event_type
+"""
+
+
+def _q_point_lookup(spark, sf_dir) -> DataFrame:
+    """Bloom-pruned point lookup through a ChunkStore: encode the documents
+    corpus with ``bloom_columns=['doc_id']``, look up present + absent keys,
+    return the decoded rows. Absent keys drop every candidate chunk BEFORE
+    payload decode (parquet column-chunk bloom analog; the reference carries
+    only min/max Statistics, src/file/statistics.rs:246-440)."""
+    import tempfile
+    import uuid as _uuid
+
+    _engine(spark)
+    from engine import lineage
+    from engine.jobs import encode as encode_job
+
+    seq = _seq_from_documents(spark, sf_dir)
+    d = os.path.join(tempfile.gettempdir(), f"sg_lookup_{_uuid.uuid4().hex}")
+    store = lineage.ChunkStore(spark, d)
+    chunks = encode_job.encode_table(
+        seq, rows_per_bucket=128, bloom_columns=["doc_id"]
+    )
+    store.commit(chunks)
+    ids = ["3", "77", "141", "absent-a", "absent-b"]
+    out = lineage.lookup_docs(store, ids)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+_ORACLE_POINT_LOOKUP = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       source,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> length(w))) AS BIGINT) AS tok_sum
+FROM documents WHERE doc_id IN (3, 77, 141)
+"""
+
+
 def _q_token_histogram(spark, sf_dir) -> DataFrame:
     """Aggregation over COMPRESSED data: per-chunk flat decode + bincount,
     no record reassembly — shuffle carries (token, partial count), cost
@@ -1330,6 +1450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_events_table"] = _q_rt_events_table
     q["rt_nullable_table"] = _q_rt_nullable_table
     q["rt_nan_floats"] = _q_rt_nan_floats
+    q["rt_bool_compressed"] = _q_rt_bool_compressed
+    q["point_lookup"] = _q_point_lookup
     q["rt_nested_table"] = _q_rt_nested_table
     q["rt_delta_ba_sorted_ids"] = _q_rt_delta_ba_sorted_ids
     q["rt_binary_table"] = _q_rt_binary_table
@@ -1372,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
     o["rt_events_table"] = _ORACLE_RT_EVENTS
     o["rt_nullable_table"] = _ORACLE_RT_NULLABLE
     o["rt_nan_floats"] = _ORACLE_RT_NAN_FLOATS
+    o["rt_bool_compressed"] = _ORACLE_RT_BOOL_COMPRESSED
+    o["point_lookup"] = _ORACLE_POINT_LOOKUP
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["rt_binary_table"] = _ORACLE_RT_BINARY
