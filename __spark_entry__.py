@@ -1109,6 +1109,58 @@ def _q_events_hourly(spark, sf_dir) -> DataFrame:
     )
 
 
+def _q_events_hourly_stream(spark, sf_dir) -> DataFrame:
+    """Structured Streaming replay of events_hourly: readStream over the
+    events parquet with an availableNow trigger, watermarked tumbling
+    1-hour windows, complete-mode memory sink — the streaming operator
+    path (withWatermark + window + agg, engine/streaming.py's shape)
+    hash-checked against the SAME DuckDB oracle as the batch query. The
+    n_events/sum_value totals can only match if every row flowed through
+    the streaming source exactly once."""
+    import uuid as _uuid
+
+    import tempfile
+
+    ev_schema = _read(spark, sf_dir, "events").schema
+    # the file streaming source requires a DIRECTORY; stage the (read-only)
+    # table file behind a symlink in a fresh temp dir
+    stage = os.path.join(tempfile.gettempdir(), f"sg_stream_{_uuid.uuid4().hex}")
+    os.makedirs(stage)
+    os.symlink(
+        os.path.realpath(f"{sf_dir}/events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    stream = spark.readStream.schema(ev_schema).parquet(stage)
+    agg = (
+        # watermarks require TIMESTAMP (ts is NTZ in the table); the
+        # NTZ -> TZ -> NTZ round trip preserves the wall clock in any
+        # session timezone, so `hour` matches the batch query exactly
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"evh_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_tpch_q3(spark, sf_dir) -> DataFrame:
     """Join demo: revenue per order for urgent orders (broadcast-able dims)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -1471,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q1"] = _q_tpch_q1
     q["tpch_q3"] = _q_tpch_q3
     q["events_hourly"] = _q_events_hourly
+    q["events_hourly_stream"] = _q_events_hourly_stream
     q["top_suppliers_per_nation"] = _q_top_suppliers_per_nation
     q["knn_lsh"] = _q_knn_lsh
     q["knn_ivf"] = _q_knn_ivf
@@ -1515,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
     o["tpch_q1"] = _ORACLE_TPCH_Q1
     o["tpch_q3"] = _ORACLE_TPCH_Q3
     o["events_hourly"] = _ORACLE_EVENTS_HOURLY
+    o["events_hourly_stream"] = _ORACLE_EVENTS_HOURLY
     o["top_suppliers_per_nation"] = _ORACLE_TOP_SUPPLIERS
     o["knn_lsh"] = _ORACLE_KNN_RECALL
     o["knn_ivf"] = _ORACLE_KNN_RECALL
