@@ -39,8 +39,10 @@ _POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 
 
 def _bit_widths(x: np.ndarray) -> np.ndarray:
-    """Exact vectorized bit_length for uint64 values."""
-    return (x[:, None] >= _POW2[None, :]).sum(axis=1).astype(np.uint8)
+    """Exact vectorized bit_length for uint64 values: count of powers of two
+    <= x via binary search over the 64 thresholds (6 comparisons per value
+    instead of the 64 a broadcast >= matrix pays)."""
+    return np.searchsorted(_POW2, x, side="right").astype(np.uint8)
 
 
 def _zigzag_array(v: np.ndarray) -> np.ndarray:
