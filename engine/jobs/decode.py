@@ -132,7 +132,21 @@ def _list_series(decoded, elem: str) -> pd.Series:
     return _list_array(lengths, values_pa, record_valid).to_pandas()
 
 
+def _check_group_consistent(pdf: pd.DataFrame) -> None:
+    """All column rows of one chunk must agree on n_docs — the reference's
+    row-group row-count consistency check (src/file/writer.rs:303-313); a
+    disagreement means a corrupt or mixed-up store."""
+    nd = pdf["n_docs"].to_numpy()
+    if len(nd) and (nd != nd[0]).any():
+        cid = pdf["chunk_id"].iloc[0]
+        raise ValueError(
+            f"chunk {cid!r}: columns disagree on row count "
+            f"({sorted(set(int(x) for x in nd))})"
+        )
+
+
 def _decode_group(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
+    _check_group_consistent(pdf)
     blobs = {r["column"]: r["payload"] for _, r in pdf.iterrows()}
     n_docs = int(pdf["n_docs"].iloc[0])
 
@@ -275,6 +289,8 @@ def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
     }
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        if "n_docs" in pdf.columns:
+            _check_group_consistent(pdf)
         blobs = dict(zip(pdf["column"], pdf["payload"]))
         n_docs = int(pdf["n_docs"].iloc[0]) if "n_docs" in pdf.columns else None
         out = {}

@@ -166,6 +166,28 @@ def test_codec_swapped_onto_wrong_payload(blob):
             chunk.decode_chunk(tampered)
 
 
+def test_chunk_row_count_disagreement_fails(spark):
+    """Columns of one chunk disagreeing on n_docs (corrupt/mixed-up store)
+    must fail decode cleanly — the reference's row-group row-count
+    consistency check (src/file/writer.rs:303-313)."""
+    from pyspark.sql import functions as F
+
+    from engine import datagen
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = datagen.generate_spark(spark, 100)
+    chunks = encode_job.encode_table(df, rows_per_bucket=64)
+    bad = chunks.withColumn(
+        "n_docs",
+        F.when(F.col("column") == "n_tok", F.col("n_docs") + 1).otherwise(
+            F.col("n_docs")
+        ),
+    )
+    with pytest.raises(Exception, match="disagree on row count"):
+        decode_job.decode_chunks(bad).count()
+
+
 def test_valid_roundtrip_still_works(blob):
     out = chunk.decode_chunk(blob)
     assert np.array_equal(out, np.arange(100, dtype=np.int32))
