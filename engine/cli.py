@@ -8,6 +8,7 @@ Usage::
     python -m engine.cli read   <store_dir> [num_records]
     python -m engine.cli schema <store_dir>
     python -m engine.cli chunks <store_dir>      # per-chunk lineage/metrics
+    python -m engine.cli lookup <store_dir> <doc_id> [doc_id ...]  # point lookup
     python -m engine.cli read-parquet   <path> [n]   # plain parquet files
     python -m engine.cli schema-parquet <path>
 """
@@ -69,6 +70,16 @@ def cmd_chunks(store_dir: str) -> None:
     )
 
 
+def cmd_lookup(store_dir: str, doc_ids: list[str]) -> None:
+    """Point lookup by doc_id: decodes only candidate chunks (bucket-plan
+    recomputation + Bloom pruning when the store carries filters)."""
+    from engine.lineage import ChunkStore, lookup_docs
+
+    spark = _spark()
+    store = ChunkStore(spark, store_dir)
+    lookup_docs(store, doc_ids).show(len(doc_ids) + 1, truncate=80)
+
+
 def cmd_read_parquet(path: str, n: int = 10) -> None:
     """Print records of a plain parquet file/dataset — the literal
     ``parquet-read`` UX (``src/bin/parquet-read.rs:30-94``) for users coming
@@ -93,6 +104,11 @@ def main() -> None:
         cmd_schema(store)
     elif cmd == "chunks":
         cmd_chunks(store)
+    elif cmd == "lookup":
+        if len(sys.argv) < 4:
+            print(__doc__)
+            raise SystemExit(2)
+        cmd_lookup(store, sys.argv[3:])
     elif cmd == "read-parquet":
         cmd_read_parquet(store, int(sys.argv[3]) if len(sys.argv) > 3 else 10)
     elif cmd == "schema-parquet":

@@ -192,3 +192,20 @@ def test_compressed_chunk_roundtrip_arbitrary(vals):
     arr = np.array(vals, np.int32)
     blob = chunk.compress_chunk(chunk.encode_chunk(arr, "plain", "int32"), "gzip")
     np.testing.assert_array_equal(chunk.decode_chunk(blob), arr)
+
+
+@given(
+    members=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=200),
+    probes=st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=50),
+)
+def test_bloom_never_false_negative(members, probes):
+    from engine import bloom
+    from engine.codecs import bytearrays
+
+    lengths, data = bytearrays.flat_from_values(members)
+    bm = bloom.build(lengths, data)
+    for m in members:
+        assert bloom.might_contain(bm, *bloom.key_hashes(m))
+    # probes may false-positive (bounded rate) but must never crash
+    for p in probes:
+        bloom.might_contain(bm, *bloom.key_hashes(p))
