@@ -235,12 +235,51 @@ def _nullable_series(vals: np.ndarray, valid: np.ndarray, kind: str) -> pd.Serie
     return pd.Series(arr)
 
 
-def decode_table(chunks_df: DataFrame, columns: dict) -> DataFrame:
+def decode_table(
+    chunks_df: DataFrame, columns: dict, select: list[str] | None = None
+) -> DataFrame:
     """Generic decode for any table encoded via ``encode_table`` with a
     ``columns`` spec (name -> (kind, ...)). The inverse of the generic
     ``derive_columns`` path: list columns are only supported through the
     specialized tokenized-sequences decoder. Nullable chunks (FLAG_NULLABLE)
-    come back with their nulls restored from the def-level section."""
+    come back with their nulls restored from the def-level section.
+
+    ``select``: optional projection — only the requested columns' payload
+    rows are shuffled and deserialized (the generic-table analog of
+    ``decode_chunks(columns=...)``; reference ``RowIter`` with a projected
+    schema, ``src/record/reader.rs:588-686``). Schema-evolution safe: a
+    chunk written before EVERY requested column existed still contributes
+    its rows (all-NULL), sized from a metadata-only scan that never reads
+    payload bytes."""
+    if select is not None:
+        unknown = [c for c in select if c not in columns]
+        if unknown:
+            raise ValueError(f"select: unknown columns {unknown}")
+        requested = set(select)
+        sub = {k: v for k, v in columns.items() if k in requested}
+        pruned = chunks_df.where(F.col("column").isin(list(sub)))
+        out = decode_table(pruned, sub)
+        # chunks with NONE of the requested columns fell out of the groupBy
+        # entirely; restore them as all-NULL rows sized by n_docs (Catalyst
+        # prunes this scan to (chunk_id, column, n_docs) — no payloads)
+        orphans = (
+            chunks_df.select("chunk_id", "column", "n_docs")
+            .groupBy("chunk_id")
+            .agg(
+                F.max(F.col("column").isin(list(sub))).alias("_has"),
+                F.max("n_docs").alias("n_docs"),
+            )
+            .where(~F.col("_has") & (F.col("n_docs") > 0))
+        )
+        null_rows = orphans.select(
+            F.explode(F.sequence(F.lit(1), F.col("n_docs"))).alias("_i")
+        ).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in out.schema.fields
+            ]
+        )
+        return out.unionByName(null_rows)
     from pyspark.sql.types import ArrayType, StructType, _parse_datatype_string
 
     from pyspark.sql.types import BooleanType, IntegerType

@@ -60,3 +60,58 @@ def test_projected_decode(spark):
     tok = decode_job.decode_chunks(chunks, columns=["tokens"]).toPandas()
     assert list(tok.columns) == ["tokens"] and len(tok) == 120
     chunks.unpersist()
+
+
+def test_decode_table_projection(spark):
+    """decode_table(select=...): only requested columns' payload rows enter
+    the decode, results match a full decode + select, and chunks written
+    before every requested column existed still contribute all-NULL rows."""
+    from pyspark.sql import functions as F
+
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    old = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        (F.col("id") * 2).cast("double").alias("a"),
+    )
+    new = spark.range(100, 200).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        (F.col("id") * 2).cast("double").alias("a"),
+        F.concat(F.lit("v"), F.col("id")).alias("b"),  # added later
+    )
+    cols_old = encode_job.derive_columns(old)
+    cols_new = encode_job.derive_columns(new)
+    ch_old = encode_job.encode_table(
+        old, columns=cols_old, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+        chunk_suffix="era1",
+    )
+    ch_new = encode_job.encode_table(
+        new, columns=cols_new, rows_per_bucket=64,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+        chunk_suffix="era2",
+    )
+    chunks = ch_old.unionByName(ch_new, allowMissingColumns=True).persist()
+
+    # projection over a column both eras have
+    got = decode_job.decode_table(chunks, cols_new, select=["a"])
+    assert got.columns == ["a"]
+    assert got.count() == 200
+    assert got.agg(F.sum("a")).first()[0] == float(sum(i * 2 for i in range(200)))
+
+    # projection over the era-2-only column: era-1 chunks (which carry NO
+    # requested column at all) come back as all-NULL rows, not lost rows
+    got_b = decode_job.decode_table(chunks, cols_new, select=["b"])
+    assert got_b.count() == 200
+    assert got_b.where(F.col("b").isNull()).count() == 100
+    assert got_b.where(F.col("b").isNotNull()).count() == 100
+
+    # unknown column fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        decode_job.decode_table(chunks, cols_new, select=["nope"])
+    chunks.unpersist()
