@@ -943,6 +943,51 @@ FROM planted a JOIN planted b
 """
 
 
+def _q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Pairs -> CLUSTERS -> keep/drop decisions: MinHash-LSH candidates,
+    exact Jaccard verification at 1.0, then distributed connected
+    components (min-label propagation + pointer jumping,
+    engine/ops/graph.py) assign every document a transitive cluster id and
+    exactly one survivor. Two planted copies per document make clusters of
+    size >= 3, so transitivity is actually exercised (A~B, B~C may arrive
+    without (A, C)). The oracle replays the semantics with a SQL window
+    min over exact-text groups."""
+    from engine.ops import dedup, graph
+
+    _engine(spark)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        docs.union(
+            docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        ).union(
+            docs.select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+        )
+    )
+    cand = dedup.minhash_lsh_pairs(planted, num_hashes=32, bands=16)
+    pairs = dedup.ngram_jaccard_pairs(planted, cand, threshold=1.0).select(
+        "id_a", "id_b"
+    )
+    out = graph.dedup_decisions(planted, pairs)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("cluster").cast("long"), "keep"
+    )
+
+
+_ORACLE_DEDUP_CLUSTERS = """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM planted
+"""
+
+
 def _q_token_count(spark, sf_dir) -> DataFrame:
     from engine.ops import textstats
 
@@ -1516,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = _q_dedup_exact
     q["pipeline_end_to_end"] = _q_pipeline_end_to_end
     q["near_dup_verified"] = _q_near_dup_verified
+    q["dedup_clusters"] = _q_dedup_clusters
     q["token_count"] = _q_token_count
     q["quality_score"] = _q_quality
     q["fingerprint"] = _q_fingerprint
@@ -1561,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_exact"] = _ORACLE_DEDUP_EXACT
     o["pipeline_end_to_end"] = _ORACLE_PIPELINE
     o["near_dup_verified"] = _ORACLE_NEAR_DUP
+    o["dedup_clusters"] = _ORACLE_DEDUP_CLUSTERS
     o["token_count"] = _ORACLE_TOKEN_COUNT
     o["quality_score"] = _ORACLE_QUALITY
     o["fingerprint"] = _ORACLE_FINGERPRINT

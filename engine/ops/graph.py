@@ -1,0 +1,95 @@
+"""Connected components over candidate-pair edges — the cluster-assignment
+step that turns dedup PAIRS into dedup DECISIONS (cluster id + survivor).
+
+Not in the reference (it has no relational layer at all, SURVEY §2.6); this
+is the standard last stage of a web-scale dedup pipeline: MinHash/SimHash
+propose pairs, Jaccard verifies them, connected components makes the keep/
+drop call transitive (A~B and B~C must land A, B, C in one cluster even if
+(A, C) was never proposed).
+
+Algorithm: iterative min-label propagation with pointer jumping (path
+halving). Per iteration: one join of edges with labels + one min-aggregate
+(shuffle ~ |edges|), then one label-to-label join that halves pointer
+chains — so convergence is O(log diameter) iterations, not O(diameter).
+Duplicate clusters are near-cliques/stars from the pairing stages, so 2-3
+iterations is typical. Each iteration ends in ``localCheckpoint`` — without
+it the lineage (and Catalyst analysis time) doubles per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 25,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    the smallest node id reachable from the node. Raises if ``max_iters``
+    rounds do not converge (pathological diameter — raise the cap)."""
+    sym = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "comp")
+        new = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: comp <- comp(comp) halves label-chain length, so
+        # long chains converge in O(log n) rounds instead of O(n)
+        hop = new.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new = (
+            new.join(hop, "comp", "left")
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
+
+
+def dedup_decisions(
+    docs: DataFrame,
+    edges: DataFrame,
+    key_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Per-document dedup decision from verified near-dup edges:
+    (key, cluster, keep) — cluster = min reachable id (documents touching no
+    edge are their own cluster), keep = this key IS the cluster minimum.
+    Exactly one survivor per cluster."""
+    comp = connected_components(edges, max_iters=max_iters)
+    out = (
+        docs.select(F.col(key_col))
+        .join(comp.withColumnRenamed("node", key_col), key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("comp", F.col(key_col)).alias("cluster"),
+        )
+    )
+    return out.withColumn("keep", F.col(key_col) == F.col("cluster"))

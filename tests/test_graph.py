@@ -1,0 +1,74 @@
+"""Connected components / dedup decisions (engine/ops/graph.py) against a
+union-find reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.ops import graph
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in n_edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_converges_logarithmically(spark):
+    """A 200-node path graph — the worst diameter case — must converge
+    within the iteration cap (pointer jumping keeps rounds O(log n))."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = graph.connected_components(df, max_iters=25).toPandas()
+    assert (out["comp"] == 0).all() and len(out) == 201
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = np.random.default_rng(5)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(
+            rng.integers(0, 300, 400), rng.integers(0, 300, 400)
+        )
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dict(
+        graph.connected_components(df).toPandas()[["node", "comp"]].itertuples(
+            index=False, name=None
+        )
+    )
+    want = _union_find(edges)
+    # canonical representative on both sides = min of component
+    assert got == want
+
+
+def test_dedup_decisions_singletons_and_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 9)], "id_a long, id_b long"
+    )
+    out = graph.dedup_decisions(docs, edges).toPandas().set_index("doc_id")
+    assert out.loc[7, "cluster"] == 1 and not out.loc[7, "keep"]
+    assert out.loc[4, "cluster"] == 1 and not out.loc[4, "keep"]
+    assert out.loc[1, "keep"] and out.loc[2, "keep"]
+    assert out.loc[9, "cluster"] == 2 and not out.loc[9, "keep"]
+    # untouched docs are their own surviving cluster
+    for i in (0, 3, 5, 6, 8):
+        assert out.loc[i, "cluster"] == i and out.loc[i, "keep"]
+    # exactly one survivor per cluster
+    g = out.reset_index().groupby("cluster")["keep"].sum()
+    assert (g == 1).all()
