@@ -542,13 +542,19 @@ def token_histogram(chunks_df: DataFrame, column: str = "tokens") -> DataFrame:
 
 
 def decode_table_pruned(
-    chunks_df: DataFrame, columns: dict, column: str, lo, hi
+    chunks_df: DataFrame, columns: dict, column: str, lo, hi,
+    select: list[str] | None = None,
 ) -> DataFrame:
     """Generic-table variant of :func:`decode_chunks_pruned` — string and
-    float predicates prune too (vmin_s/vmax_s, vmin_d/vmax_d)."""
+    float predicates prune too (vmin_s/vmax_s, vmin_d/vmax_d). ``select``
+    composes projection with the pruning: stats rows drive chunk selection,
+    then only the requested columns' payloads decode (the predicate column
+    need not be selected)."""
     from pyspark.sql import functions as F
 
     keep = _pruned_chunk_ids(chunks_df, column, lo, hi)
     return decode_table(
-        chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"), columns
+        chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"),
+        columns,
+        select=select,
     )

@@ -115,3 +115,32 @@ def test_decode_table_projection(spark):
     with pytest.raises(ValueError, match="unknown columns"):
         decode_job.decode_table(chunks, cols_new, select=["nope"])
     chunks.unpersist()
+
+
+def test_pruned_decode_with_projection(spark):
+    """Predicate pruning composes with projection: stats select the chunks,
+    then only the requested (non-predicate) column's payload decodes."""
+    from pyspark.sql import functions as F
+
+    from engine.jobs import decode as decode_job
+    from engine.jobs import encode as encode_job
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 500, F.lit("lo")).otherwise(F.lit("hi")).alias("grp"),
+        F.when(F.col("id") < 500, (F.col("id") % 10).cast("double"))
+        .otherwise((F.col("id") % 10 + 1000).cast("double"))
+        .alias("value"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="grp", salt_col="event_id", sort_col="event_id",
+    ).persist()
+    out = decode_job.decode_table_pruned(
+        chunks, cols, "value", 0.0, 100.0, select=["name"]
+    )
+    assert out.columns == ["name"]
+    assert out.count() == 500  # only 'lo' chunks decoded
+    chunks.unpersist()
