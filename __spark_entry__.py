@@ -237,11 +237,18 @@ def _q_rt_events_table(spark, sf_dir) -> DataFrame:
         bucket_key="event_type", salt_col="event_id", sort_col="event_id",
     )
     dec = decode_job.decode_table(chunks, cols)
+    # sum of FULL microsecond timestamps overflows int64 past ~5k rows per
+    # group (1.7e15 each, ANSI mode throws at sf0.1) — sum the value mod 1e9
+    # instead (still corruption-sensitive) and pin the full range via min/max
     return dec.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("event_id").cast("long").alias("sum_id"),
         F.sum("user_id").cast("long").alias("sum_user"),
-        F.sum("ts_us").cast("long").alias("sum_ts"),
+        F.sum(F.pmod(F.col("ts_us"), F.lit(1_000_000_000)))
+        .cast("long")
+        .alias("sum_ts_mod"),
+        F.min("ts_us").cast("long").alias("min_ts"),
+        F.max("ts_us").cast("long").alias("max_ts"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
@@ -252,7 +259,9 @@ SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(event_id) AS BIGINT) AS sum_id,
        CAST(SUM(user_id) AS BIGINT) AS sum_user,
-       CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts,
+       CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT) AS sum_ts_mod,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts,
        ROUND(MIN(value), 6) AS min_value,
        ROUND(MAX(value), 6) AS max_value
 FROM events GROUP BY event_type
@@ -911,9 +920,12 @@ FROM documents GROUP BY md5(text)
 
 def _q_near_dup_verified(spark, sf_dir) -> DataFrame:
     """Full dedup pipeline: MinHash-LSH candidates -> exact n-gram Jaccard
-    verification at threshold 1.0. Identical texts collide on EVERY band, so
-    the J=1.0 result set is deterministic and equals the SQL exact-dup pairs
-    (the oracle); lower thresholds exercise the same pipeline approximately."""
+    verification at threshold 1.0. Exact-duplicate groups collapse to STAR
+    edges (min-id representative -> member) before banding — linear in
+    duplicate mass by design — so the deterministic J=1.0 result set is the
+    per-md5-group star, which the oracle replays with a window min. (The
+    all-pairs/star distinction is immaterial transitively; dedup_clusters
+    verifies that equivalence through connected components.)"""
     from engine.ops import dedup
 
     _engine(spark)
@@ -936,10 +948,12 @@ WITH planted AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000000 AS doc_id, text FROM documents
+),
+g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM planted
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM planted a JOIN planted b
-  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+SELECT rep AS id_a, doc_id AS id_b FROM g WHERE doc_id != rep
 """
 
 

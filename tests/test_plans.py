@@ -104,6 +104,34 @@ def test_ivf_assign_flat_plan_at_k256(spark):
     assert (got.sort_index().to_numpy() == want).all()
 
 
+def test_decode_table_projection_pushes_column_filter(spark, tmp_path):
+    """decode_table(select=...) over a chunk store pushes the column filter
+    into the parquet scan, so unrequested columns' payload bytes never leave
+    storage."""
+    from engine import lineage
+    from engine.jobs import encode as encode_job
+
+    ev = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        F.lit("g").alias("grp"),
+        (F.col("id") / 3).cast("double").alias("a"),
+        F.concat(F.lit("t"), F.col("id")).alias("b"),
+    )
+    cols = encode_job.derive_columns(ev)
+    store = lineage.ChunkStore(spark, str(tmp_path / "s"))
+    store.commit(
+        encode_job.encode_table(
+            ev, columns=cols, rows_per_bucket=64,
+            bucket_key="grp", salt_col="event_id", sort_col="event_id",
+        )
+    )
+    out = decode_job.decode_table(store.read_chunks(), cols, select=["a"])
+    plan = _plan(out)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "column" in m.group(1), plan
+    assert out.count() == 200
+
+
 def test_chunk_store_scan_pushes_filters(spark, tmp_path):
     """Catalyst pushes the column filter into the parquet scan of the chunk
     store, so a projected decode never reads other columns' payload bytes."""
