@@ -191,3 +191,45 @@ def test_chunk_row_count_disagreement_fails(spark):
 def test_valid_roundtrip_still_works(blob):
     out = chunk.decode_chunk(blob)
     assert np.array_equal(out, np.arange(100, dtype=np.int32))
+
+
+def test_fuzz_random_blobs_never_escape_valueerror():
+    """Direct analog of the reference's fuzz target (fuzz/src/main.rs:14-32):
+    arbitrary bytes into the frame decoder must either decode or raise
+    ValueError — never IndexError/KeyError/numpy chaos. Seeds mirror the
+    fuzz corpus: pure noise, noise with a valid magic, and mutated valid
+    frames."""
+    rng = np.random.default_rng(1234)
+    base = chunk.encode_chunk(np.arange(64, dtype=np.int32), "plain", "int32")
+    cases = []
+    for n in (0, 1, 4, 35, 36, 37, 100, 500):
+        cases.append(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+        cases.append(chunk.MAGIC + bytes(rng.integers(0, 256, max(n - 4, 0), dtype=np.uint8)))
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+        cases.append(bytes(blob))
+    for blob in cases:
+        try:
+            chunk.decode_chunk(blob)
+        except ValueError:
+            pass  # the contract
+
+
+def test_fuzz_mutated_list_and_compressed_frames():
+    lengths = np.array([3, 0, 2], np.int32)
+    lst = chunk.encode_chunk_list(lengths, np.arange(5, dtype=np.int64), "int64")
+    comp = chunk.compress_chunk(
+        chunk.encode_chunk(np.zeros(4096, np.int32), "plain", "int32"), "gzip"
+    )
+    rng = np.random.default_rng(99)
+    for base in (lst, comp):
+        for _ in range(200):
+            blob = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                blob[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+            try:
+                chunk.decode_chunk(bytes(blob))
+            except ValueError:
+                pass
