@@ -415,8 +415,11 @@ def _q_rt_bool_compressed(spark, sf_dir) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select(
         F.col("event_id").cast("long"),
         "event_type",
-        # long runs within each event_type bucket -> rle_bool
-        (F.col("event_id") % 2000 < 1000).alias("flag"),
+        # ONE run boundary at any scale: buckets hold a hash-subsample of
+        # event_ids SORTED ascending, so a threshold flag yields <= 2 runs
+        # per chunk regardless of bucket count — a modulo flag's run length
+        # shrinks with bucket_n and flips the selector at larger sf
+        (F.col("event_id") < 5000).alias("flag"),
         F.when(F.col("event_id") % 3 != 0, F.col("event_id") % 2 == 0).alias(
             "flag_n"
         ),
@@ -461,7 +464,7 @@ _ORACLE_RT_BOOL_COMPRESSED = """
 WITH planted AS (
   SELECT event_id,
          event_type,
-         (event_id % 2000 < 1000) AS flag,
+         (event_id < 5000) AS flag,
          CASE WHEN event_id % 3 != 0 THEN event_id % 2 = 0 END AS flag_n,
          concat(repeat('x', 200), event_type) AS tag
   FROM events
@@ -484,20 +487,22 @@ def _q_point_lookup(spark, sf_dir) -> DataFrame:
     return the decoded rows. Absent keys drop every candidate chunk BEFORE
     payload decode (parquet column-chunk bloom analog; the reference carries
     only min/max Statistics, src/file/statistics.rs:246-440)."""
+    import hashlib
     import tempfile
-    import uuid as _uuid
 
     _engine(spark)
     from engine import lineage
-    from engine.jobs import encode as encode_job
 
     seq = _seq_from_documents(spark, sf_dir)
-    d = os.path.join(tempfile.gettempdir(), f"sg_lookup_{_uuid.uuid4().hex}")
+    # deterministic per-sf_dir store + resume: repeated invocations reuse
+    # the encoded store (second run anti-joins committed chunks and writes
+    # nothing) instead of leaking one full store per call
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sg_lookup_{tag}")
     store = lineage.ChunkStore(spark, d)
-    chunks = encode_job.encode_table(
-        seq, rows_per_bucket=128, bloom_columns=["doc_id"]
+    lineage.encode_with_resume(
+        spark, seq, store, rows_per_bucket=128, bloom_columns=["doc_id"]
     )
-    store.commit(chunks)
     ids = ["3", "77", "141", "absent-a", "absent-b"]
     out = lineage.lookup_docs(store, ids)
     return out.select(
@@ -1178,46 +1183,63 @@ def _q_events_hourly_stream(spark, sf_dir) -> DataFrame:
     the streaming source exactly once."""
     import uuid as _uuid
 
+    import hashlib
     import tempfile
 
     ev_schema = _read(spark, sf_dir, "events").schema
     # the file streaming source requires a DIRECTORY; stage the (read-only)
-    # table file behind a symlink in a fresh temp dir
-    stage = os.path.join(tempfile.gettempdir(), f"sg_stream_{_uuid.uuid4().hex}")
-    os.makedirs(stage)
-    os.symlink(
-        os.path.realpath(f"{sf_dir}/events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
-    stream = spark.readStream.schema(ev_schema).parquet(stage)
-    agg = (
-        # watermarks require TIMESTAMP (ts is NTZ in the table); the
-        # NTZ -> TZ -> NTZ round trip preserves the wall clock in any
-        # session timezone, so `hour` matches the batch query exactly
-        stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .select(
-            F.col("window.start").cast("timestamp_ntz").alias("hour"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    # table file behind a symlink — deterministic per sf_dir, so repeated
+    # invocations reuse one stage dir instead of leaking temp dirs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"sg_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.realpath(f"{sf_dir}/events.parquet"), link)
+    # Pin the session timezone to UTC for the WHOLE build+run: F.window
+    # aligns buckets to the UTC epoch while the NTZ->TIMESTAMP cast uses the
+    # session tz, so a half-hour-offset ambient tz (Asia/Kolkata) would put
+    # every bucket at :30 and mis-count windows. The pin must precede
+    # readStream/plan construction — the streaming runner clones the session
+    # (and its conf) when the stream is DEFINED, not when it starts
+    # (verified empirically: pinning only around start() still bucketed at
+    # :30 under a +05:30 session tz).
     name = f"evh_stream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        stream = spark.readStream.schema(ev_schema).parquet(stage)
+        agg = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("hour"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # materialize under UTC, then drop the memory sink so repeated
+        # invocations don't accumulate complete-mode state in the driver
+        out = spark.table(name).localCheckpoint()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _q_tpch_q3(spark, sf_dir) -> DataFrame:

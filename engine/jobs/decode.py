@@ -247,29 +247,50 @@ def decode_table(
     ``select``: optional projection — only the requested columns' payload
     rows are shuffled and deserialized (the generic-table analog of
     ``decode_chunks(columns=...)``; reference ``RowIter`` with a projected
-    schema, ``src/record/reader.rs:588-686``). Schema-evolution safe: a
-    chunk written before EVERY requested column existed still contributes
-    its rows (all-NULL), sized from a metadata-only scan that never reads
-    payload bytes."""
+    schema, ``src/record/reader.rs:588-686``). Output columns follow the
+    requested order. Schema-evolution safe: a chunk written before EVERY
+    requested column existed still contributes its rows (all-NULL), sized
+    from a metadata-only scan that never reads payload bytes."""
     if select is not None:
         unknown = [c for c in select if c not in columns]
         if unknown:
             raise ValueError(f"select: unknown columns {unknown}")
-        requested = set(select)
-        sub = {k: v for k, v in columns.items() if k in requested}
+        # request order is honored in the output schema (dict comprehension
+        # over `select`, matching decode_chunks(columns=...) semantics)
+        sub = {k: columns[k] for k in select}
         pruned = chunks_df.where(F.col("column").isin(list(sub)))
         out = decode_table(pruned, sub)
         # chunks with NONE of the requested columns fell out of the groupBy
         # entirely; restore them as all-NULL rows sized by n_docs (Catalyst
-        # prunes this scan to (chunk_id, column, n_docs) — no payloads)
+        # prunes this scan to (chunk_id, column, n_docs) — no payloads).
+        # assert_true enforces the same per-chunk row-count consistency the
+        # decode path checks — a corrupt store must not silently fill with
+        # max(n_docs)
         orphans = (
             chunks_df.select("chunk_id", "column", "n_docs")
             .groupBy("chunk_id")
             .agg(
                 F.max(F.col("column").isin(list(sub))).alias("_has"),
-                F.max("n_docs").alias("n_docs"),
+                F.min("n_docs").alias("_ndmin"),
+                F.max("n_docs").alias("_ndmax"),
             )
-            .where(~F.col("_has") & (F.col("n_docs") > 0))
+            .where(~F.col("_has") & (F.col("_ndmax") > 0))
+            # the check rides INSIDE the consumed expression (a side column
+            # holding assert_true would be pruned by Catalyst)
+            .withColumn(
+                "n_docs",
+                F.when(
+                    F.col("_ndmin") == F.col("_ndmax"), F.col("_ndmax")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("chunk "),
+                            F.col("chunk_id"),
+                            F.lit(": columns disagree on row count"),
+                        )
+                    )
+                ),
+            )
         )
         null_rows = orphans.select(
             F.explode(F.sequence(F.lit(1), F.col("n_docs"))).alias("_i")
@@ -548,10 +569,15 @@ def decode_table_pruned(
     """Generic-table variant of :func:`decode_chunks_pruned` — string and
     float predicates prune too (vmin_s/vmax_s, vmin_d/vmax_d). ``select``
     composes projection with the pruning: stats rows drive chunk selection,
-    then only the requested columns' payloads decode (the predicate column
-    need not be selected)."""
+    then only the requested columns' payloads decode. The predicate column
+    is force-included in the selection when absent: pruning is CHUNK-
+    granular, so the caller must still apply the row-level predicate — and
+    cannot do that without the column (dropping it would silently return
+    out-of-range rows from chunks whose stats merely overlap the bound)."""
     from pyspark.sql import functions as F
 
+    if select is not None and column not in select:
+        select = [*select, column]
     keep = _pruned_chunk_ids(chunks_df, column, lo, hi)
     return decode_table(
         chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"),

@@ -30,9 +30,14 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``; component =
     the smallest node id reachable from the node. Raises if ``max_iters``
     rounds do not converge (pathological diameter — raise the cap)."""
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # checkpoint the edge list too: it joins into EVERY iteration, and
+        # its upstream lineage (an LSH/Jaccard pipeline in the dedup flow)
+        # would otherwise re-execute per round
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -141,6 +141,14 @@ def test_pruned_decode_with_projection(spark):
     out = decode_job.decode_table_pruned(
         chunks, cols, "value", 0.0, 100.0, select=["name"]
     )
-    assert out.columns == ["name"]
+    # the predicate column is force-included: pruning is chunk-granular, so
+    # the caller must be able to apply the row-level predicate afterwards
+    assert out.columns == ["name", "value"]
     assert out.count() == 500  # only 'lo' chunks decoded
+    assert out.where(F.col("value") <= 100.0).count() == 500
+    # explicit select keeps the requested order
+    out2 = decode_job.decode_table_pruned(
+        chunks, cols, "value", 0.0, 100.0, select=["value", "name"]
+    )
+    assert out2.columns == ["value", "name"]
     chunks.unpersist()
