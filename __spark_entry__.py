@@ -1323,24 +1323,94 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 
 
 # --------------------------------------------------------------------------
-# non-SQL-expressible ops (driver records rows-only checks)
+# LSH candidate stages, gated via planted-pair subset assertions
+# (VERDICT r3 #3: the FULL candidate list on arbitrary input is
+# LSH-dependent and not SQL-expressible, but a planted deterministic
+# subset IS — same technique as simhash_planted / near_dup_verified)
 # --------------------------------------------------------------------------
 
 
 def _q_minhash_pairs(spark, sf_dir) -> DataFrame:
+    """Candidate-stage oracle for ``minhash_lsh_pairs`` alone (no Jaccard
+    verification stage, unlike near_dup_verified): plant one exact
+    duplicate per document. Identical texts agree on every band hash, and
+    the exact-collapse star deterministically links each md5-group member
+    to its min-id representative — an edge set expressible as a SQL window
+    min. Asserting that set is a SUBSET of the candidate output gates the
+    banding + star-collapse stages directly; any dropped planted edge is a
+    hash mismatch."""
     from engine.ops import dedup
 
     _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.union(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    cand = dedup.minhash_lsh_pairs(planted, num_hashes=32, bands=8)
+    w = Window.partitionBy(F.md5("text"))
+    expected = (
+        planted.withColumn("rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    found = expected.join(
+        cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    return found.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+_ORACLE_MINHASH_PAIRS = """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+),
+g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM planted
+)
+SELECT rep AS id_a, doc_id AS id_b FROM g WHERE doc_id != rep
+"""
 
 
 def _q_simhash_pairs(spark, sf_dir) -> DataFrame:
+    """Radius-8 SimHash configuration oracle (simhash_planted covers
+    radius 3 with its default 4 blocks; max_hamming=8 exercises the wider
+    block split): identical planted texts share a 64-bit signature, so the
+    hamming-0 star rep-map must connect every planted pair. Signature-
+    equal groups can absorb distinct docs, hence the rep-equality check
+    rather than direct edge membership."""
     from engine.ops import dedup
 
     _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(docs, max_hamming=8)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.union(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    pairs = dedup.simhash_near_dup_pairs(planted, max_hamming=8)
+    rep_map = pairs.where(F.col("hamming") == 0).select(
+        F.col("id_b").alias("node"), F.col("id_a").alias("rep")
+    )
+    expected = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10_000_000).alias("id_b"),
+    )
+    ra = rep_map.withColumnRenamed("node", "id_a").withColumnRenamed("rep", "rep_a")
+    rb = rep_map.withColumnRenamed("node", "id_b").withColumnRenamed("rep", "rep_b")
+    found = (
+        expected.join(ra, "id_a", "left")
+        .join(rb, "id_b", "left")
+        .where(
+            F.coalesce(F.col("rep_a"), F.col("id_a"))
+            == F.coalesce(F.col("rep_b"), F.col("id_b"))
+        )
+    )
+    return found.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+_ORACLE_SIMHASH_PAIRS = """
+SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents
+"""
 
 
 def _recall_vs_bruteforce(emb, queries, approx, floor: float) -> DataFrame:
@@ -1611,7 +1681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_ivf"] = _q_knn_ivf
     q["simhash_planted"] = _q_simhash_planted
     q["embedding_dedup_planted"] = _q_embedding_dedup_planted
-    # rows-only (non-SQL-expressible)
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
     q["lang_id"] = _q_lang_id
@@ -1656,6 +1725,8 @@ def oracle_sql() -> dict[str, str]:
     o["knn_lsh"] = _ORACLE_KNN_RECALL
     o["knn_ivf"] = _ORACLE_KNN_RECALL
     o["simhash_planted"] = _ORACLE_SIMHASH_PLANTED
+    o["minhash_pairs"] = _ORACLE_MINHASH_PAIRS
+    o["simhash_pairs"] = _ORACLE_SIMHASH_PAIRS
     o["embedding_dedup_planted"] = _ORACLE_EMB_DEDUP
     o["lang_id"] = _lang_oracle()
     # _media_parquet() also ensures the shared file exists before DuckDB
