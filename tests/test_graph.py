@@ -72,3 +72,61 @@ def test_dedup_decisions_singletons_and_survivors(spark):
     # exactly one survivor per cluster
     g = out.reset_index().groupby("cluster")["keep"].sum()
     assert (g == 1).all()
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-iteration state to reliable
+    DataFrame.checkpoint(): results identical to the localCheckpoint
+    default, and the checkpoint files actually land in the directory
+    (stable storage — the thing that survives an executor loss)."""
+    import os
+
+    ckdir = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 3), (5, 21)],
+        "id_a long, id_b long",
+    )
+    base = {
+        (r["node"], r["comp"])
+        for r in graph.connected_components(edges).collect()
+    }
+    reliable = {
+        (r["node"], r["comp"])
+        for r in graph.connected_components(
+            edges, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert reliable == base
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert found, "no checkpoint files written to checkpoint_dir"
+
+
+def test_minhash_materialize_releases_cache(spark):
+    """materialize=True computes the pair list eagerly, unpersists the
+    internal banded exchange, and hands back a persisted DataFrame; after
+    the caller's unpersist() the cached-RDD count is back to its pre-call
+    level (VERDICT r3 #6: deterministic cache lifetime)."""
+    from engine.ops import dedup
+
+    def n_cached():
+        return len(
+            [
+                i
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.isCached()
+            ]
+        )
+
+    rows = [(i, f"document text number {i % 7} with shared shingles") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    before = n_cached()
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, materialize=True)
+    # internal exchange released; only the returned handle remains cached
+    assert n_cached() == before + 1
+    assert pairs.count() > 0
+    pairs.unpersist(blocking=True)
+    assert n_cached() == before
