@@ -1462,14 +1462,20 @@ def _q_knn_lsh(spark, sf_dir) -> DataFrame:
 
 def _q_knn_ivf(spark, sf_dir) -> DataFrame:
     """IVF ANN (8 coarse centroids, nprobe=3), oracled by recall@10 >= 0.8
-    against brute force (measured 0.9-1.0 at sf0.01)."""
+    against brute force (measured 0.8-0.9 across sf0.001/0.01/0.1).
+    Training is DISTRIBUTED (VERDICT r3 #5): the driver sample supplies
+    only the deterministic init (iters=0); the Lloyd rounds run over the
+    full table via refine_centroids (ivf_assign + one JVM-side groupBy per
+    round) — bit-identical centroids to the old driver-side training at
+    this scale, but the full-table pass scales with the cluster."""
     from engine.ops import simsearch
 
     _engine(spark)
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    cents = simsearch.train_centroids(emb, k=8, iters=2)
+    init = simsearch.train_centroids(emb, k=8, iters=0)
+    cents = simsearch.refine_centroids(emb, init, iters=2)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -230,6 +230,41 @@ def train_centroids(
     return cents
 
 
+def refine_centroids(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd refinement over the FULL table (VERDICT r3 #5):
+    ``train_centroids`` seeds from a bounded driver sample, which is fine
+    for a coarse quantizer but drifts when k approaches 10^3 cells on a
+    real corpus — the sample then holds ~4 points per cell. Each round here
+    is one ``ivf_assign`` pass (stacked-matmul Arrow UDF, flat plan) plus a
+    single JVM-side groupBy: per-cell COUNT and per-element SUM columns
+    (map-side combinable, shuffle = k x (dim+1) scalars per mapper), so the
+    full-table work scales like any other aggregation. Only the k x dim
+    mean matrix ever reaches the driver. Empty cells keep their previous
+    centroid (standard Lloyd convention)."""
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    k, dim = C.shape
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, C, vec_col)
+        aggs = [F.count("*").alias("_n")] + [
+            F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+        stats = assigned.groupBy("ivf_cell").agg(*aggs).collect()
+        new = C.copy()
+        for row in stats:
+            c = int(row["ivf_cell"])
+            n = int(row["_n"])
+            if n:
+                new[c] = [float(row[f"_s{i}"]) / n for i in range(dim)]
+        C = np.ascontiguousarray(new)
+    return C
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
