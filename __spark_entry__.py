@@ -497,7 +497,15 @@ def _q_point_lookup(spark, sf_dir) -> DataFrame:
     # deterministic per-sf_dir store + resume: repeated invocations reuse
     # the encoded store (second run anti-joins committed chunks and writes
     # nothing) instead of leaking one full store per call
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from engine import chunk as chunk_mod
+
+    # the tag carries the chunk frame VERSION + the encode knobs: a format
+    # or layout change between rounds must invalidate the cached store, or
+    # encode_with_resume would skip re-encoding and the new decoder would
+    # read a stale-format store (ADVICE r3)
+    tag = hashlib.md5(
+        f"{sf_dir}|v{chunk_mod.VERSION}|rpb128|bloom:doc_id".encode()
+    ).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"sg_lookup_{tag}")
     store = lineage.ChunkStore(spark, d)
     lineage.encode_with_resume(
@@ -1194,8 +1202,14 @@ def _q_events_hourly_stream(spark, sf_dir) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"sg_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.realpath(f"{sf_dir}/events.parquet"), link)
+    target = os.path.realpath(f"{sf_dir}/events.parquet")
+    if not (os.path.islink(link) and os.readlink(link) == target):
+        # atomic create-or-refresh: symlink to a unique temp name, then
+        # rename over the final path — two concurrent runs race safely and
+        # a stale link (source replaced) is corrected (ADVICE r3)
+        tmp_link = f"{link}.{os.getpid()}.{_uuid.uuid4().hex[:6]}.tmp"
+        os.symlink(target, tmp_link)
+        os.replace(tmp_link, link)
     # Pin the session timezone to UTC for the WHOLE build+run: F.window
     # aligns buckets to the UTC epoch while the NTZ->TIMESTAMP cast uses the
     # session tz, so a half-hour-offset ambient tz (Asia/Kolkata) would put

@@ -41,28 +41,54 @@ def _sized_bits(n_values: int) -> int:
     return m
 
 
+# raw value bytes processed per vectorized segment: the hash math holds
+# ~5 uint64 temporaries of the segment's byte count (byte upcast, within,
+# weights, products, cumsum), so 32 MiB segments bound peak transient
+# memory near 1.3 GiB even for a 2^31-byte chunk column (ADVICE r3: the
+# unsegmented version needed ~8x the whole payload). Tests shrink this to
+# force multi-segment runs.
+_SEG_BYTES = 1 << 25
+
+
 def _poly_hashes_flat(lengths: np.ndarray, data: bytes, mult: np.uint64) -> np.ndarray:
     """Polynomial hash per value over the flat byte stream: h = sum of
-    byte[j] * mult^(j+1), all uint64 wraparound, one cumsum — zero per-value
-    Python. Empty values hash to 0 (then salted by length downstream)."""
+    byte[j] * mult^(j+1), all uint64 wraparound, one cumsum per segment —
+    zero per-value Python. Each value's hash depends only on its own bytes
+    (the exponent restarts per value), so the stream splits cleanly at
+    value boundaries into ``_SEG_BYTES``-bounded segments; an oversized
+    single value gets a segment of its own. Empty values hash to 0 (then
+    salted by length downstream)."""
     lens = np.asarray(lengths, dtype=np.int64)
-    b = np.frombuffer(data, np.uint8).astype(np.uint64)
+    n = len(lens)
     offsets = np.concatenate(([0], np.cumsum(lens)))
-    if b.size:
-        within = (
-            np.arange(b.size, dtype=np.int64)
-            - np.repeat(offsets[:-1], lens)
-        ).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            weights = np.power(mult, within + np.uint64(1))
-            c = np.concatenate(
-                (np.zeros(1, np.uint64), np.cumsum(b * weights, dtype=np.uint64))
-            )
-        h = c[offsets[1:]] - c[offsets[:-1]]
-    else:
-        h = np.zeros(len(lens), np.uint64)
+    out = np.empty(n, np.uint64)
+    start = 0
+    while start < n:
+        end = (
+            int(np.searchsorted(offsets, offsets[start] + _SEG_BYTES, side="right"))
+            - 1
+        )
+        if end <= start:
+            end = start + 1
+        seg_lens = lens[start:end]
+        lo, hi = int(offsets[start]), int(offsets[end])
+        b = np.frombuffer(data, np.uint8, count=hi - lo, offset=lo).astype(np.uint64)
+        offs = (offsets[start : end + 1] - lo).astype(np.int64)
+        if b.size:
+            within = (
+                np.arange(b.size, dtype=np.int64) - np.repeat(offs[:-1], seg_lens)
+            ).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                weights = np.power(mult, within + np.uint64(1))
+                c = np.concatenate(
+                    (np.zeros(1, np.uint64), np.cumsum(b * weights, dtype=np.uint64))
+                )
+            out[start:end] = c[offs[1:]] - c[offs[:-1]]
+        else:
+            out[start:end] = 0
+        start = end
     with np.errstate(over="ignore"):
-        return h * mult + lens.astype(np.uint64)
+        return out * mult + lens.astype(np.uint64)
 
 
 def _poly_hash_one(value: bytes, mult: int) -> int:

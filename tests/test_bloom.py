@@ -94,3 +94,34 @@ def test_bloom_rejects_non_byte_columns(spark):
     df = datagen.generate_spark(spark, 50)
     with pytest.raises(ValueError, match="bloom_columns"):
         encode_job.encode_table(df, bloom_columns=["n_tok"]).count()
+
+
+def test_poly_hashes_segmented_matches_unsegmented(monkeypatch):
+    """Hashes are identical whatever the segment size: force tiny segments
+    (including cuts around empty values and one value larger than a whole
+    segment) and compare with the single-segment result."""
+    import numpy as np
+
+    from engine import bloom
+
+    rng = np.random.default_rng(19)
+    lens = [0, 3, 0, 17, 1, 200, 0, 8, 64, 0]
+    data = rng.integers(0, 256, sum(lens)).astype(np.uint8).tobytes()
+    lengths = np.array(lens, np.int64)
+    want1 = bloom._poly_hashes_flat(lengths, data, bloom._M1)
+    want2 = bloom._poly_hashes_flat(lengths, data, bloom._M2)
+    for seg in (1, 7, 16, 64):
+        monkeypatch.setattr(bloom, "_SEG_BYTES", seg)
+        np.testing.assert_array_equal(
+            bloom._poly_hashes_flat(lengths, data, bloom._M1), want1
+        )
+        np.testing.assert_array_equal(
+            bloom._poly_hashes_flat(lengths, data, bloom._M2), want2
+        )
+    monkeypatch.undo()
+    # scalar twin still agrees value-by-value
+    off = 0
+    for i, ln in enumerate(lens):
+        v = data[off : off + ln]
+        off += ln
+        assert bloom._poly_hash_one(v, int(bloom._M1)) == int(want1[i])
