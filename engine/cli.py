@@ -27,13 +27,20 @@ def _spark():
     return spark
 
 
-def cmd_read(store_dir: str, n: int = 10) -> None:
+def read_df(store):
+    """Decoded records of a chunk store — the DataFrame behind ``read``
+    (kept separate so the driver's oracle gate can hash it; the command
+    only adds ``show``)."""
     from engine.jobs import decode as decode_job
+
+    return decode_job.decode_chunks(store.read_chunks())
+
+
+def cmd_read(store_dir: str, n: int = 10) -> None:
     from engine.lineage import ChunkStore
 
     spark = _spark()
-    store = ChunkStore(spark, store_dir)
-    decode_job.decode_chunks(store.read_chunks()).show(n, truncate=80)
+    read_df(ChunkStore(spark, store_dir)).show(n, truncate=80)
 
 
 def cmd_schema(store_dir: str) -> None:
@@ -54,8 +61,15 @@ def cmd_chunks(store_dir: str) -> None:
     from engine.lineage import ChunkStore
 
     spark = _spark()
-    store = ChunkStore(spark, store_dir)
-    (
+    chunks_df(ChunkStore(spark, store_dir)).show(100, truncate=False)
+
+
+def chunks_df(store):
+    """Per-(column, codec) lineage metrics — the DataFrame behind
+    ``chunks``."""
+    from pyspark.sql import functions as F
+
+    return (
         store.read_lineage()
         .groupBy("column", "codec")
         .agg(
@@ -66,7 +80,6 @@ def cmd_chunks(store_dir: str) -> None:
             F.round(F.sum("enc_bytes") / F.sum("raw_bytes"), 4).alias("ratio"),
         )
         .orderBy("column", "codec")
-        .show(100, truncate=False)
     )
 
 

@@ -1,0 +1,48 @@
+"""CLI surface: DataFrame cores (oracle-gated via cli_read in the driver)
+plus argv dispatch and the printed form."""
+
+import pytest
+
+from engine import cli
+from engine.lineage import ChunkStore, encode_with_resume
+
+
+@pytest.fixture(scope="module")
+def store_dir(spark, tmp_path_factory):
+    from engine import datagen
+
+    d = str(tmp_path_factory.mktemp("cli_store"))
+    df = spark.createDataFrame(datagen.generate_pandas(200, seed=9))
+    encode_with_resume(spark, df, ChunkStore(spark, d), rows_per_bucket=64)
+    return d
+
+
+def test_read_df_roundtrip(spark, store_dir):
+    out = cli.read_df(ChunkStore(spark, store_dir))
+    assert out.count() == 200
+    assert {"doc_id", "tokens", "n_tok", "source"} <= set(out.columns)
+
+
+def test_chunks_df_metrics(spark, store_dir):
+    pdf = cli.chunks_df(ChunkStore(spark, store_dir)).toPandas()
+    assert (pdf["enc"] > 0).all() and (pdf["raw"] > 0).all()
+    assert set(pdf["column"]) >= {"tokens", "doc_id"}
+    assert (pdf["ratio"] > 0).all()
+
+
+def test_main_dispatch(monkeypatch, capsys, store_dir, spark):
+    # route the CLI onto the shared test session instead of building one
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    monkeypatch.setattr("sys.argv", ["engine.cli", "chunks", store_dir])
+    cli.main()
+    out = capsys.readouterr().out
+    assert "tokens" in out and "codec" in out
+
+    monkeypatch.setattr("sys.argv", ["engine.cli", "read", store_dir, "5"])
+    cli.main()
+    out = capsys.readouterr().out
+    assert "doc_id" in out
+
+    monkeypatch.setattr("sys.argv", ["engine.cli", "nope", "x"])
+    with pytest.raises(SystemExit):
+        cli.main()
