@@ -112,21 +112,22 @@ def test_minhash_materialize_releases_cache(spark):
     level (VERDICT r3 #6: deterministic cache lifetime)."""
     from engine.ops import dedup
 
-    def n_cached():
-        return len(
-            [
-                i
-                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-                if i.isCached()
-            ]
-        )
+    def cached_ids():
+        # ids, not counts: other suites sharing the session may hold (or
+        # lazily drop) their own cached RDDs while this test runs — only
+        # RDDs introduced by THIS call matter
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.isCached()
+        }
 
     rows = [(i, f"document text number {i % 7} with shared shingles") for i in range(60)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    before = n_cached()
+    before = cached_ids()
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, materialize=True)
     # internal exchange released; only the returned handle remains cached
-    assert n_cached() == before + 1
+    assert len(cached_ids() - before) == 1
     assert pairs.count() > 0
     pairs.unpersist(blocking=True)
-    assert n_cached() == before
+    assert not (cached_ids() - before)
