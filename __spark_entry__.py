@@ -496,14 +496,17 @@ def _lookup_store(spark, sf_dir):
     # the tag carries the chunk frame VERSION + the encode knobs: a format
     # or layout change between rounds must invalidate the cached store, or
     # encode_with_resume would skip re-encoding and the new decoder would
-    # read a stale-format store (ADVICE r3)
+    # read a stale-format store (ADVICE r3). Knobs are interpolated from
+    # the SAME variables passed below so they cannot silently drift.
+    rpb = 128
+    bloom_columns = ["doc_id"]
     tag = hashlib.md5(
-        f"{sf_dir}|v{chunk_mod.VERSION}|rpb128|bloom:doc_id".encode()
+        f"{sf_dir}|v{chunk_mod.VERSION}|rpb{rpb}|bloom:{','.join(bloom_columns)}".encode()
     ).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"sg_lookup_{tag}")
     store = lineage.ChunkStore(spark, d)
     lineage.encode_with_resume(
-        spark, seq, store, rows_per_bucket=128, bloom_columns=["doc_id"]
+        spark, seq, store, rows_per_bucket=rpb, bloom_columns=bloom_columns
     )
     return store
 
@@ -1425,12 +1428,14 @@ SELECT rep AS id_a, doc_id AS id_b FROM g WHERE doc_id != rep
 
 
 def _q_simhash_pairs(spark, sf_dir) -> DataFrame:
-    """Radius-8 SimHash configuration oracle (simhash_planted covers
-    radius 3 with its default 4 blocks; max_hamming=8 exercises the wider
-    block split): identical planted texts share a 64-bit signature, so the
-    hamming-0 star rep-map must connect every planted pair. Signature-
-    equal groups can absorb distinct docs, hence the rep-equality check
-    rather than direct edge membership."""
+    """Radius-5 SimHash configuration oracle (simhash_planted covers
+    radius 3 / 4 blocks; max_hamming=5 auto-raises to 6 near-equal blocks,
+    exercising the generalized pigeonhole split the r4 review added — the
+    old fixed 16-bit split silently lost recall past radius 3): identical
+    planted texts share a 64-bit signature, so the hamming-0 star rep-map
+    must connect every planted pair. Signature-equal groups can absorb
+    distinct docs, hence the rep-equality check rather than direct edge
+    membership."""
     from engine.ops import dedup
 
     _engine(spark)
@@ -1438,7 +1443,7 @@ def _q_simhash_pairs(spark, sf_dir) -> DataFrame:
     planted = docs.union(
         docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
     )
-    pairs = dedup.simhash_near_dup_pairs(planted, max_hamming=8)
+    pairs = dedup.simhash_near_dup_pairs(planted, max_hamming=5)
     rep_map = pairs.where(F.col("hamming") == 0).select(
         F.col("id_b").alias("node"), F.col("id_a").alias("rep")
     )

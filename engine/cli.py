@@ -56,8 +56,6 @@ def cmd_schema(store_dir: str) -> None:
 
 
 def cmd_chunks(store_dir: str) -> None:
-    from pyspark.sql import functions as F
-
     from engine.lineage import ChunkStore
 
     spark = _spark()

@@ -9,10 +9,16 @@ of the Arrow-batched encode path), with the dedicated python packages
 built without a codec. LZO is unimplemented, like the reference
 (``src/compression.rs:77``).
 
-pyarrow's raw block codecs require the decompressed size up front, so the
-pyarrow-backed payloads carry their own u64-LE uncompressed-length prefix
-(``_SIZED_MAGIC`` + length + blocks). Decompress auto-detects the prefix,
-so stores written by either backend read back with either.
+pyarrow's raw block codecs require the decompressed size up front, so all
+non-gzip payloads carry a u64-LE uncompressed-length prefix (``_SIZED_MAGIC``
++ length + the codec's standard stream). BOTH backends write this frame and
+both auto-detect it on read: the inner stream is the codec's interchange
+format (zstd frame / LZ4 frame / raw snappy / raw brotli), which pyarrow and
+the dedicated packages each understand, so stores written by either backend
+read back with either. A legacy UNPREFIXED stream (written before the frame
+existed) decodes through the dedicated package when installed — pyarrow
+alone cannot, because the size is unrecoverable; that path raises a clear
+error naming the missing package.
 
 By default our chunks stay UNCOMPRESSED — matching the reference's default
 (``src/file/properties.rs:59``) and keeping the size-parity metric about
@@ -25,18 +31,28 @@ from __future__ import annotations
 import struct
 import zlib
 
-# Prefix marking a payload framed by the pyarrow backend:
-# magic (4) | u64-LE uncompressed length | raw codec blocks.
-# The magic disambiguates from a native-library stream (zstd frames start
-# 0x28B52FFD, lz4 frames 0x04224D18, brotli/snappy have no fixed magic but
-# cannot begin with these four bytes followed by a plausible length for any
-# payload we produce, because we only ever *write* one framing per backend
-# and try the prefixed parse first, falling back on any mismatch).
+# Prefix of every non-gzip payload: magic (4) | u64-LE uncompressed length
+# | the codec's standard stream. The magic disambiguates from a legacy
+# unprefixed stream (zstd frames start 0x28B52FFD, lz4 frames 0x04224D18;
+# no codec stream we ever wrote begins with these four bytes).
 _SIZED_MAGIC = b"SGZ1"
 
 
+def _frame(raw_len: int, comp: bytes) -> bytes:
+    return _SIZED_MAGIC + struct.pack("<Q", raw_len) + comp
+
+
+def _unframe(data: bytes):
+    """(inner stream, uncompressed size) for a prefixed payload, or
+    (data, None) for a legacy unprefixed stream."""
+    if len(data) >= 12 and data[:4] == _SIZED_MAGIC:
+        (n,) = struct.unpack("<Q", data[4:12])
+        return data[12:], n
+    return data, None
+
+
 class _PaCodec:
-    """pyarrow.Codec adapter with an explicit uncompressed-size frame."""
+    """pyarrow.Codec adapter over the shared sized frame."""
 
     def __init__(self, name: str, pa_name: str | None = None):
         import pyarrow as pa
@@ -45,17 +61,39 @@ class _PaCodec:
         self._codec = pa.Codec(pa_name or name)
 
     def compress(self, data: bytes) -> bytes:
-        comp = self._codec.compress(data, asbytes=True)
-        return _SIZED_MAGIC + struct.pack("<Q", len(data)) + comp
+        return _frame(len(data), self._codec.compress(data, asbytes=True))
 
     def decompress(self, data: bytes) -> bytes:
-        if len(data) < 12 or data[:4] != _SIZED_MAGIC:
+        inner, n = _unframe(data)
+        if n is not None:
+            return self._codec.decompress(inner, decompressed_size=n, asbytes=True)
+        # legacy unprefixed stream: pyarrow cannot decompress without the
+        # size — route through the dedicated package when installed
+        native = _NATIVE_MAKERS[self.name]()
+        if native is None:
             raise ValueError(
-                f"{self.name}: payload lacks the sized-frame prefix; "
-                "was it written by a native codec library?"
+                f"{self.name}: legacy unprefixed stream needs the dedicated "
+                f"{self.name} package, which is not installed"
             )
-        (n,) = struct.unpack("<Q", data[4:12])
-        return self._codec.decompress(data[12:], decompressed_size=n, asbytes=True)
+        return native.decompress(data)
+
+
+class _NativeCodec:
+    """Dedicated-package adapter over the same sized frame: writes are
+    byte-interchangeable with _PaCodec (both carry the codec's standard
+    stream inside the frame) and reads accept legacy unprefixed streams."""
+
+    def __init__(self, name: str, comp, decomp):
+        self.name = name
+        self._comp = comp
+        self._decomp = decomp
+
+    def compress(self, data: bytes) -> bytes:
+        return _frame(len(data), self._comp(data))
+
+    def decompress(self, data: bytes) -> bytes:
+        inner, n = _unframe(data)
+        return self._decomp(inner if n is not None else data)
 
 
 class _Gzip:
@@ -78,52 +116,39 @@ def _try_import(maker):
 def _make_snappy():
     import snappy
 
-    class _Snappy:
-        name = "snappy"
-        compress = staticmethod(snappy.compress)
-        decompress = staticmethod(snappy.decompress)
-
-    return _Snappy()
+    return _NativeCodec("snappy", snappy.compress, snappy.decompress)
 
 
 def _make_zstd():
     import zstandard
 
-    class _Zstd:
-        name = "zstd"
-
-        def compress(self, data: bytes) -> bytes:
-            return zstandard.ZstdCompressor(level=1).compress(data)
-
-        def decompress(self, data: bytes) -> bytes:
-            return zstandard.ZstdDecompressor().decompress(data)
-
-    return _Zstd()
+    return _NativeCodec(
+        "zstd",
+        lambda d: zstandard.ZstdCompressor(level=1).compress(d),
+        lambda d: zstandard.ZstdDecompressor().decompress(d),
+    )
 
 
 def _make_lz4():
     import lz4.frame
 
-    class _Lz4:
-        name = "lz4"
-        compress = staticmethod(lz4.frame.compress)
-        decompress = staticmethod(lz4.frame.decompress)
-
-    return _Lz4()
+    return _NativeCodec("lz4", lz4.frame.compress, lz4.frame.decompress)
 
 
 def _make_brotli():
     import brotli
 
-    class _Brotli:
-        name = "brotli"
+    return _NativeCodec(
+        "brotli", lambda d: brotli.compress(d, quality=1), brotli.decompress
+    )
 
-        def compress(self, data: bytes) -> bytes:
-            return brotli.compress(data, quality=1)
 
-        decompress = staticmethod(brotli.decompress)
-
-    return _Brotli()
+_NATIVE_MAKERS = {
+    "snappy": lambda: _try_import(_make_snappy),
+    "zstd": lambda: _try_import(_make_zstd),
+    "lz4": lambda: _try_import(_make_lz4),
+    "brotli": lambda: _try_import(_make_brotli),
+}
 
 
 def _make_pa(name: str, pa_name: str | None = None):
@@ -149,10 +174,10 @@ def create_codec(name: str | None):
         return None
     codecs = {
         "gzip": lambda: _Gzip(),
-        "snappy": lambda: _make_pa("snappy") or _try_import(_make_snappy),
-        "zstd": lambda: _make_pa("zstd") or _try_import(_make_zstd),
-        "lz4": lambda: _make_pa("lz4") or _try_import(_make_lz4),
-        "brotli": lambda: _make_pa("brotli") or _try_import(_make_brotli),
+        "snappy": lambda: _make_pa("snappy") or _NATIVE_MAKERS["snappy"](),
+        "zstd": lambda: _make_pa("zstd") or _NATIVE_MAKERS["zstd"](),
+        "lz4": lambda: _make_pa("lz4") or _NATIVE_MAKERS["lz4"](),
+        "brotli": lambda: _make_pa("brotli") or _NATIVE_MAKERS["brotli"](),
     }
     if name not in codecs:
         raise ValueError(f"unknown compression codec: {name}")

@@ -328,47 +328,70 @@ def _encode_group_sorted(
                     lengths, ba, "bytes", valid=valid, elem_valid=elem_valid
                 )
             else:
+                import pyarrow as pa
+
                 np_elem = np.dtype(bool) if elem == "bool" else np.dtype(elem)
-                # nulled child slots surface as NaN (numeric) / None (bool
-                # object) — identical to what the Spark Arrow->pandas hop
-                # produces, so the downstream na logic covers both sources
-                flat0 = (
-                    child.to_numpy(zero_copy_only=False)
-                    if len(child)
-                    else np.empty(0, np_elem)
-                )
                 evcol = f"{col}{EVALID_SUFFIX}"
-                if evcol in pdf.columns:
-                    # companion path: int64 elements arrived exact (zero-
-                    # filled, never through float64); validity rides as a
-                    # parallel bool-array column
-                    ev_ser = pdf[evcol]
-                    _, ev_child = _list_from_series(
-                        ev_ser[~na] if null_count else ev_ser, binary=False
-                    )
-                    ev_flat = (
-                        ev_child.to_numpy(zero_copy_only=False).astype(bool)
-                        if len(ev_child)
-                        else np.empty(0, bool)
-                    )
-                    elem_na = ~ev_flat
-                elif flat0.dtype == object:
-                    elem_na = pd.isna(flat0)
-                elif np.issubdtype(flat0.dtype, np.floating):
-                    # int lists with nulls arrive as float+NaN from Arrow;
-                    # for float lists NaN means NULL (same convention as
-                    # scalar float columns)
-                    elem_na = np.isnan(flat0.astype("float64"))
-                else:
-                    elem_na = None
-                if elem_na is not None and elem_na.any():
+                if (
+                    evcol not in pdf.columns
+                    and child.null_count
+                    and pa.types.is_integer(child.type)
+                ):
+                    # Arrow preserved exact integers ALONGSIDE element
+                    # validity (object-list input, e.g. [2**60, None]):
+                    # shred from the Arrow buffers directly — the old
+                    # to_numpy hop rendered this case as float64 + NaN and
+                    # tripped the 2^53 guard on values it used to encode
+                    # exactly (r4 review)
+                    elem_na = np.asarray(child.is_null())
                     elem_valid = ~elem_na
-                    dense = flat0[elem_valid].astype(np_elem)
-                    src = flat0[elem_valid]
+                    dense = (
+                        child.drop_null()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np_elem, copy=False)
+                    )
+                    flat0 = src = dense  # exact; guard below is a no-op
                 else:
-                    elem_valid = None
-                    dense = flat0.astype(np_elem)
-                    src = flat0
+                    # nulled child slots surface as NaN (numeric) / None
+                    # (bool object) — identical to what the Spark
+                    # Arrow->pandas hop produces, so the downstream na
+                    # logic covers both sources
+                    flat0 = (
+                        child.to_numpy(zero_copy_only=False)
+                        if len(child)
+                        else np.empty(0, np_elem)
+                    )
+                    if evcol in pdf.columns:
+                        # companion path: int64 elements arrived exact
+                        # (zero-filled, never through float64); validity
+                        # rides as a parallel bool-array column
+                        ev_ser = pdf[evcol]
+                        _, ev_child = _list_from_series(
+                            ev_ser[~na] if null_count else ev_ser, binary=False
+                        )
+                        ev_flat = (
+                            ev_child.to_numpy(zero_copy_only=False).astype(bool)
+                            if len(ev_child)
+                            else np.empty(0, bool)
+                        )
+                        elem_na = ~ev_flat
+                    elif flat0.dtype == object:
+                        elem_na = pd.isna(flat0)
+                    elif np.issubdtype(flat0.dtype, np.floating):
+                        # int lists with nulls arrive as float+NaN from the
+                        # SPARK hop; for float lists NaN means NULL (same
+                        # convention as scalar float columns)
+                        elem_na = np.isnan(flat0.astype("float64"))
+                    else:
+                        elem_na = None
+                    if elem_na is not None and elem_na.any():
+                        elem_valid = ~elem_na
+                        dense = flat0[elem_valid].astype(np_elem)
+                        src = flat0[elem_valid]
+                    else:
+                        elem_valid = None
+                        dense = flat0.astype(np_elem)
+                        src = flat0
                 if elem == "int64" and np.issubdtype(flat0.dtype, np.floating):
                     # same misuse guard as _scalar_dense: int64 list elements
                     # that detoured through float64 round above 2^53

@@ -213,7 +213,9 @@ def minhash_lsh_pairs(
     if materialize:
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         pairs.count()
-        tagged.unpersist()
+        # blocking: the determinism contract is that cached-block usage is
+        # back to pre-call level the moment this returns
+        tagged.unpersist(blocking=True)
     return pairs
 
 
@@ -366,6 +368,20 @@ def simhash(
     return agg.select(F.col(key_col), sig.alias("simhash"))
 
 
+def _block_layout(blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block: 64 bits split into ``blocks`` contiguous
+    near-equal blocks. Shared by the banding expressions and the pigeonhole
+    property test."""
+    if not 1 <= blocks <= 64:
+        raise ValueError(f"blocks must be in [1, 64], got {blocks}")
+    widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offs, acc = [], 0
+    for w in widths:
+        offs.append(acc)
+        acc += w
+    return list(zip(offs, widths))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -381,18 +397,28 @@ def simhash_near_dup_pairs(
     1. identical signatures collapse via star edges to the min-id holder
        (hamming 0 by construction — this is where viral-duplicate mass
        lives, and it never enters a bucket join);
-    2. DISTINCT signatures pigeonhole over ``blocks`` 16-bit blocks (any
-       pair within distance 3 shares >=1 exact block) and pair all-vs-all
-       within a block bucket — bounded by the number of distinct signatures
-       colliding on 16 bits, not by duplicate counts. Widen blocks (fewer,
-       larger) if distinct-signature collisions ever dominate.
+    2. DISTINCT signatures pigeonhole over ``blocks`` contiguous near-equal
+       bit blocks and pair all-vs-all within a block bucket — bounded by
+       the number of distinct signatures colliding on a block, not by
+       duplicate counts.
+
+    The pigeonhole guarantee needs ``blocks >= max_hamming + 1`` (d
+    differing bits can touch at most d blocks, leaving one exact match);
+    ``blocks`` is auto-raised to that minimum — the r4 review caught the
+    old fixed 16-bit split silently missing hamming-4..8 pairs when called
+    with ``max_hamming=8``. Narrower blocks admit more bucket collisions
+    (candidate count ~ n^2 / 2^width per block), so large radii cost more;
+    that is the standard LSH tradeoff, not a knob to hide.
 
     Clusters recover transitively via edge union.
     """
+    if blocks < max_hamming + 1:
+        blocks = max_hamming + 1
     sig = simhash(docs, text_col, key_col)
     # level 1: same-signature star edges (one window, no join)
     edges1, distinct_sig = _star_collapse(sig, "simhash", key_col)
     same_sig = edges1.select("id_a", "id_b", F.lit(0).alias("hamming"))
+    layout = _block_layout(blocks)
     blocked = distinct_sig.select(
         key_col,
         "simhash",
@@ -401,11 +427,14 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bval"),
+                        (
+                            F.col("simhash")
+                            if w >= 64
+                            else F.shiftrightunsigned(F.col("simhash"), off)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                        ).alias("bval"),
                     )
-                    for i in range(blocks)
+                    for i, (off, w) in enumerate(layout)
                 ]
             )
         ).alias("bb"),

@@ -26,17 +26,85 @@ the way the reference's file protocol lands every page
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, functions as F
 
 
+def _hadoop_rm(sc, path_str: str) -> None:
+    """Recursive delete through Hadoop's FileSystem API — works for any
+    scheme Spark can checkpoint to (file://, hdfs://, s3a://...)."""
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+
+
+class _LocalCkpt:
+    """Executor-local checkpoints (single-machine default)."""
+
+    def sym(self, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint()
+
+    labels = sym
+
+    def finish(self) -> None:
+        pass
+
+
+class _ReliableCkpt:
+    """Reliable per-iteration checkpoints with bounded storage.
+
+    Each call gets a UNIQUE subdirectory under ``checkpoint_dir`` (two jobs
+    pointed at different dirs never mix files), and label-state rounds
+    rotate: once round k materializes, round k-2 is deleted (k-1 is still
+    referenced by the convergence count), so at most two rounds plus the
+    edge list live on storage however long the job runs. ``finish()``
+    removes everything but the final round — the caller may delete the
+    whole subdir once done with the returned DataFrame.
+
+    Caveat (documented, not hidden): Spark has ONE global checkpoint-dir
+    pointer per SparkContext, so reliable-mode calls must not run
+    concurrently from multiple driver threads of the same context — a
+    checkpoint could land in (and be cleaned with) the other call's
+    directory. Serialize such calls or use separate applications.
+    """
+
+    def __init__(self, sc, checkpoint_dir: str):
+        self.sc = sc
+        self.base = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex[:8]}"
+        self._label_dirs: list[str] = []
+        self._round = 0
+
+    def _ck(self, df: DataFrame, d: str) -> DataFrame:
+        self.sc.setCheckpointDir(d)
+        return df.checkpoint()  # eager: files exist when this returns
+
+    def sym(self, df: DataFrame) -> DataFrame:
+        return self._ck(df, f"{self.base}/sym")
+
+    def labels(self, df: DataFrame) -> DataFrame:
+        d = f"{self.base}/labels-r{self._round}"
+        self._round += 1
+        out = self._ck(df, d)
+        self._label_dirs.append(d)
+        if len(self._label_dirs) > 2:
+            _hadoop_rm(self.sc, self._label_dirs.pop(0))
+        return out
+
+    def finish(self) -> None:
+        for d in self._label_dirs[:-1]:
+            _hadoop_rm(self.sc, d)
+        self._label_dirs = self._label_dirs[-1:]
+        _hadoop_rm(self.sc, f"{self.base}/sym")
+
+
 def _checkpointer(df_any: DataFrame, checkpoint_dir: str | None):
-    """Reliable checkpoint when a directory is configured, executor-local
-    otherwise. Setting the dir is idempotent and scoped to the SparkContext."""
+    """Reliable checkpoint manager when a directory is configured,
+    executor-local otherwise."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
-    sc = df_any.sparkSession.sparkContext
-    sc.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint()
+        return _LocalCkpt()
+    return _ReliableCkpt(df_any.sparkSession.sparkContext, checkpoint_dir)
 
 
 def connected_components(
@@ -52,14 +120,14 @@ def connected_components(
     ``checkpoint_dir``: stable-storage path for reliable per-iteration
     checkpoints (use on real clusters); defaults to executor-local."""
     ckpt = _checkpointer(edges, checkpoint_dir)
-    sym = ckpt(
+    sym = ckpt.sym(
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         # checkpoint the edge list too: it joins into EVERY iteration, and
         # its upstream lineage (an LSH/Jaccard pipeline in the dedup flow)
         # would otherwise re-execute per round
     )
-    labels = ckpt(
+    labels = ckpt.labels(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
@@ -79,7 +147,7 @@ def connected_components(
         hop = new.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
-        new = ckpt(
+        new = ckpt.labels(
             new.join(hop, "comp", "left")
             .select("node", F.coalesce("comp2", "comp").alias("comp"))
         )
@@ -91,6 +159,10 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            # converged: superseded rounds + the edge list are dead weight
+            # on stable storage — drop them (the final round stays for the
+            # caller's DataFrame)
+            ckpt.finish()
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations"

