@@ -209,3 +209,61 @@ def test_bloom_never_false_negative(members, probes):
     # probes may false-positive (bounded rate) but must never crash
     for p in probes:
         bloom.might_contain(bm, *bloom.key_hashes(p))
+
+
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.integers(-(2**62), 2**62 - 1),  # beyond float64 exactness
+                ),
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_encode_group_list_int64_arbitrary(rows):
+    """The GROUP-LEVEL list:int64 path (pandas -> Arrow ListArray lift ->
+    shred, r4) round-trips arbitrary null lists / null elements / empties /
+    ints beyond 2^53 exactly — the r4 review found the old to_numpy hop
+    destroyed big ints when element nulls were present."""
+    import pandas as pd
+
+    from engine import chunk
+    from engine.jobs import encode as encode_job
+
+    pdf = pd.DataFrame(
+        {
+            "chunk_id": ["c"] * len(rows),
+            # zero-padded: _encode_group sorts by doc_id, keep input order
+            "doc_id": [f"d{i:04d}" for i in range(len(rows))],
+            "v": pd.Series(rows, dtype=object),
+        }
+    )
+    out = encode_job._encode_group(pdf, {"v": ("list:int64", None)})
+    row = out[out["column"] == "v"].iloc[0]
+    decoded = chunk.decode_chunk(row["payload"])
+    # unwrap: (lengths, values[, record_valid]) with values possibly
+    # (dense, elem_valid)
+    valid = np.array([x is not None for x in rows], bool)
+    if not valid.all():
+        lengths, values, rec_valid = decoded
+        np.testing.assert_array_equal(rec_valid, valid)
+    else:
+        lengths, values = decoded
+    dense_rows = [x for x in rows if x is not None]
+    np.testing.assert_array_equal(lengths, [len(x) for x in dense_rows])
+    flat = [e for x in dense_rows for e in x]
+    if isinstance(values, tuple):
+        dense, elem_valid = values
+        np.testing.assert_array_equal(elem_valid, [e is not None for e in flat])
+        np.testing.assert_array_equal(
+            dense[elem_valid], [e for e in flat if e is not None]
+        )
+    else:
+        np.testing.assert_array_equal(values, flat)
