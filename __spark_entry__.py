@@ -1674,6 +1674,42 @@ def _media_parquet() -> str:
     return path
 
 
+def _decodable_media_parquet() -> str:
+    """Deterministic REAL-format media parquet (netpbm + WAV payloads with
+    generation-frozen expected features) shared by both gate sides."""
+    import tempfile
+
+    from engine.ops import multimodal
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v1.parquet")
+    if not os.path.exists(path):
+        multimodal.write_decodable_media_parquet(path, n=48, seed=7, dim=8)
+    return path
+
+
+def _q_media_decode(spark, sf_dir) -> DataFrame:
+    """REAL media decode gate (r4 — upgrades the multimodal component from
+    stub-only): payloads are actual binary netpbm images and PCM WAV files;
+    extract_features sniffs the magic, decodes with the pure-numpy/stdlib
+    parsers and recomputes dimensions/channel means/stds/RMS/zero-crossing
+    statistics. The oracle replays the feature vector FROZEN at generation
+    time, so a broken parser or drifted statistic is a hash mismatch.
+    Compressed formats stay stubbed (no PIL/ffmpeg here) and are gated
+    separately by media_features."""
+    from engine.ops import multimodal
+
+    _engine(spark)
+    media = spark.read.parquet(_decodable_media_parquet())
+    feats = multimodal.extract_features(
+        media.select([f.name for f in multimodal.MEDIA_SCHEMA.fields]), dim=8
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
+
+
 def _q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal feature extraction over an opaque-binary media table read
     from parquet; n_bytes/content_sha are oracle-checked by DuckDB over the
@@ -1748,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs"] = _q_simhash_pairs
     q["lang_id"] = _q_lang_id
     q["media_features"] = _q_media_features
+    q["media_decode"] = _q_media_decode
     return q
 
 
@@ -1795,6 +1832,11 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = _lang_oracle()
     # _media_parquet() also ensures the shared file exists before DuckDB
     # reads it, whatever order the driver evaluates the two sides in
+    o["media_decode"] = (
+        "SELECT media_id, kind, "
+        + ", ".join(f"expected_feature[{i + 1}] AS f{i}" for i in range(8))
+        + f" FROM read_parquet('{_decodable_media_parquet()}')"
+    )
     o["media_features"] = (
         "SELECT media_id, kind, "
         "CAST(octet_length(content) AS BIGINT) AS n_bytes, "

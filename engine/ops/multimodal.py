@@ -1,10 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side machinery (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is STUBBED behind
-``FAKE_DECODE`` because no image/audio libraries exist in this container —
-swap ``_decode_image_bytes`` for PIL/libvips on a real cluster.
+Decode status (r4): REAL decoders exist for the uncompressed container
+formats the standard library + numpy can parse — netpbm images (P5
+grayscale / P6 RGB, ``decode_ppm``) and RIFF/WAVE PCM audio
+(``decode_wav``) — and ``extract_features`` sniffs magic bytes to route
+them through real feature extraction (dimensions, per-channel mean/std,
+RMS, zero-crossings). COMPRESSED formats (JPEG/PNG/MP3/MP4) remain
+stubbed behind ``FAKE_DECODE`` (deterministic hash-seeded vector) because
+no PIL/libvips/ffmpeg exists in this container — swap ``_fake_feature``
+for a real library on a cluster that has one.
 
 Scale notes: media bytes never enter a shuffle — feature extraction is a
 ``mapInPandas`` projection; only the (small) extracted features flow
@@ -31,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-FAKE_DECODE = True  # container has no PIL/libvips/ffmpeg; see module docstring
+FAKE_DECODE = True  # COMPRESSED formats only; netpbm/WAV decode for real
 
 MEDIA_SCHEMA = StructType(
     [
@@ -56,17 +61,104 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
-    """STUB decode -> deterministic fake feature vector.
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """REAL netpbm binary decode (P5 grayscale -> (h, w, 1), P6 RGB ->
+    (h, w, 3)), pure numpy — no imaging library needed for the uncompressed
+    interchange format. Raises ValueError on malformed input (same
+    fail-clean contract as the chunk decoders)."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm stream (want P5/P6 magic)")
+    channels = 3 if buf[:2] == b"P6" else 1
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#'); pixel data begins after the single
+    # whitespace byte following maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated netpbm header")
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated netpbm comment")
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end : end + 1].isspace():
+                end += 1
+            fields.append(int(buf[pos:end]))
+            pos = end
+    w, h, maxval = fields
+    pos += 1  # the single whitespace after maxval
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
+    need = w * h * channels
+    if len(buf) - pos < need:
+        raise ValueError("truncated netpbm pixel data")
+    data = np.frombuffer(buf, np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, channels)
 
-    Real implementation: PIL.Image.open -> resize -> channel means etc.
-    The fake is a pure function of the bytes so tests are reproducible.
-    """
+
+def decode_wav(buf: bytes):
+    """REAL RIFF/WAVE PCM decode via the stdlib ``wave`` module:
+    (samples int16 ndarray of shape (n, channels), sample_rate)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(buf)) as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            n, ch, sr = wf.getnframes(), wf.getnchannels(), wf.getframerate()
+            raw = wf.readframes(n)
+    except wave.Error as e:
+        raise ValueError(f"malformed WAV stream: {e}") from e
+    samples = np.frombuffer(raw, np.int16).reshape(-1, ch)
+    return samples, sr
+
+
+def _fake_feature(buf: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for COMPRESSED formats (JPEG/PNG/MP3/MP4):
+    a pure function of the bytes so tests are reproducible. Swap for
+    PIL/libvips/ffmpeg on a cluster that has them."""
     if not FAKE_DECODE:
-        raise NotImplementedError("media decode requires PIL/libvips (not in container)")
+        raise NotImplementedError("compressed media decode requires PIL/ffmpeg")
     h = hashlib.sha256(buf).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
     return rng.standard_normal(dim).astype(np.float32)
+
+
+def _pad(vals: list, dim: int) -> np.ndarray:
+    out = np.zeros(dim, np.float32)
+    out[: min(len(vals), dim)] = np.asarray(vals[:dim], np.float32)
+    return out
+
+
+def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
+    """Feature vector per media payload, routed by magic bytes: real
+    decode + real statistics for netpbm images and WAV audio, the
+    deterministic fake for everything else (compressed formats)."""
+    if buf[:2] in (b"P5", b"P6"):
+        img = decode_ppm(buf).astype(np.float64)
+        h, w, c = img.shape
+        means = img.reshape(-1, c).mean(axis=0)
+        stds = img.reshape(-1, c).std(axis=0)
+        vals = [w, h, c, *means, *np.zeros(3 - c), *stds, *np.zeros(3 - c)]
+        return _pad(vals, dim)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        samples, sr = decode_wav(buf)
+        x = samples.astype(np.float64)
+        rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+        zc = (
+            float((np.diff(np.signbit(x[:, 0])).sum()) / max(len(x) - 1, 1))
+            if len(x) > 1
+            else 0.0
+        )
+        vals = [sr, len(samples), samples.shape[1], rms, zc, float(np.abs(x).mean())]
+        return _pad(vals, dim)
+    return _fake_feature(buf, dim)
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
@@ -164,6 +256,102 @@ def write_fake_media_parquet(path: str, n: int = 64, seed: int = 42) -> str:
             "height": pa.array(cols[4], pa.int32()),
             "sample_rate": pa.array(cols[5], pa.int32()),
             "n_frames": pa.array(cols[6], pa.int32()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (binary P5/P6, 8-bit)."""
+    img = np.asarray(img, np.uint8)
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("netpbm supports 1 (P5) or 3 (P6) channels")
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (16-bit PCM)."""
+    import io
+    import wave
+
+    samples = np.asarray(samples, np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return bio.getvalue()
+
+
+def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
+    """Deterministic REAL-format media rows (netpbm images + PCM WAVs) with
+    the feature vector FROZEN at generation time: the gate recomputes
+    features by actually decoding the bytes, so a broken parser or changed
+    statistic diverges from the stored expectation and fails the hash."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            c = 3 if i % 4 == 0 else 1
+            img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+            content = encode_ppm(img)
+            kind, width, height, sr, nf = "image", w, h, None, None
+        else:
+            sr = int(rng.choice([8000, 16000]))
+            ns = int(rng.integers(64, 512))
+            ch = 2 if i % 4 == 3 else 1
+            wave_s = (
+                rng.integers(-(2**14), 2**14, (ns, ch)).astype(np.int16)
+            )
+            content = encode_wav(wave_s, sr)
+            kind, width, height, nf = "audio", None, None, None
+        feat = _decode_image_bytes(content, dim)
+        rows.append(
+            (
+                f"d-{i:06d}",
+                kind,
+                content,
+                width,
+                height,
+                sr,
+                nf,
+                [float(v) for v in feat],
+            )
+        )
+    return rows
+
+
+def write_decodable_media_parquet(
+    path: str, n: int = 48, seed: int = 7, dim: int = 8
+) -> str:
+    """Pure-pyarrow writer for the decodable media table (shared-file
+    oracle pattern, like :func:`write_fake_media_parquet`)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = decodable_media_rows(n, seed, dim)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.string()),
+            "kind": pa.array(cols[1], pa.string()),
+            "content": pa.array(cols[2], pa.binary()),
+            "width": pa.array(cols[3], pa.int32()),
+            "height": pa.array(cols[4], pa.int32()),
+            "sample_rate": pa.array(cols[5], pa.int32()),
+            "n_frames": pa.array(cols[6], pa.int32()),
+            "expected_feature": pa.array(cols[7], pa.list_(pa.float64())),
         }
     )
     tmp = f"{path}.tmp.{os.getpid()}"

@@ -361,3 +361,55 @@ def test_simhash_blocks_auto_raised(spark):
     ham = bin(int(sigs.loc[0]) ^ int(sigs.loc[100])).count("1")
     found = ((pairs[["id_a", "id_b"]].values == [0, 100]).all(axis=1)).any()
     assert found == (ham <= 8), (ham, pairs)
+
+
+def test_ppm_wav_decoders_roundtrip_and_fail_clean():
+    """Real media decoders: encode->decode round-trips bit-exact for P5/P6
+    images and 16-bit PCM WAV (mono + stereo); malformed inputs raise clean
+    ValueErrors (same contract as the chunk decoders)."""
+    import numpy as np
+    import pytest
+
+    from engine.ops import multimodal as M
+
+    rng = np.random.default_rng(3)
+    for shape in [(11, 7, 3), (5, 9, 1), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        np.testing.assert_array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    # header with a comment line parses too
+    img = rng.integers(0, 256, (3, 4, 3)).astype(np.uint8)
+    buf = b"P6\n# a comment\n4 3\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(M.decode_ppm(buf), img)
+    for ch in (1, 2):
+        s = rng.integers(-(2**14), 2**14, (257, ch)).astype(np.int16)
+        out, sr = M.decode_wav(M.encode_wav(s, 8000))
+        assert sr == 8000
+        np.testing.assert_array_equal(out, s)
+    with pytest.raises(ValueError, match="netpbm"):
+        M.decode_ppm(b"JFIF not a pnm")
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_ppm(b"P6\n100 100\n255\n\x00\x01")
+    with pytest.raises(ValueError, match="malformed WAV"):
+        M.decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunkjunk")
+
+
+def test_extract_features_routes_by_magic(spark):
+    """extract_features mixes real decodes (netpbm dims/means, WAV
+    rate/frames) with the declared fake for unrecognized (compressed)
+    payloads in one mapInPandas pass."""
+    import numpy as np
+
+    from engine.ops import multimodal as M
+
+    img = np.full((4, 6, 3), 200, np.uint8)
+    wav = M.encode_wav(np.full(100, 1000, np.int16), 16000)
+    rows = [
+        ("a", "image", M.encode_ppm(img), 6, 4, None, None),
+        ("b", "audio", wav, None, None, 16000, None),
+        ("c", "image", b"\x89PNG fake compressed payload", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: list(r["feature"]) for r in M.extract_features(media, dim=8).collect()}
+    assert out["a"][:6] == [6.0, 4.0, 3.0, 200.0, 200.0, 200.0]  # w,h,c,means
+    assert out["b"][0] == 16000.0 and out["b"][1] == 100.0 and out["b"][3] == 1000.0
+    assert out["c"] != out["a"] and len(out["c"]) == 8  # deterministic fake
