@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+import uuid as _uuid
 from collections.abc import Callable
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -564,6 +565,77 @@ def _q_cli_read(spark, sf_dir) -> DataFrame:
 
 
 _ORACLE_CLI_READ = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       source,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> length(w))) AS BIGINT) AS tok_sum
+FROM documents
+"""
+
+
+def _q_stream_encode(spark, sf_dir) -> DataFrame:
+    """Streaming ENCODE gate (r4): the documents corpus replays through
+    readStream (availableNow) -> encode_stream (foreachBatch routes every
+    micro-batch through the SAME bucket plan + exactly-once lineage commit
+    as batch encode, chunk ids scoped by batch) -> the resulting store is
+    decoded batch-side and hashed per document against the raw-SQL oracle.
+    Repeated invocations are resume no-ops (committed chunks skipped), so
+    the store is deterministic per sf_dir + chunk-format version."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    _engine(spark)
+    from engine import chunk as chunk_mod, lineage, streaming
+    from engine.jobs import decode as decode_job
+
+    doc_schema = _read(spark, sf_dir, "documents").schema
+    tag = hashlib.md5(
+        f"{sf_dir}|v{chunk_mod.VERSION}|stream_encode|rpb256".encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"sg_stream_enc_{tag}")
+    stage = os.path.join(base, "in")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    target = os.path.realpath(f"{sf_dir}/documents.parquet")
+    if not (os.path.islink(link) and os.readlink(link) == target):
+        tmp_link = f"{link}.{os.getpid()}.{_uuid.uuid4().hex[:6]}.tmp"
+        os.symlink(target, tmp_link)
+        os.replace(tmp_link, link)
+    store = lineage.ChunkStore(spark, os.path.join(base, "store"))
+    docs = spark.readStream.schema(doc_schema).parquet(stage)
+    toks = F.sort_array(
+        F.transform(F.split(F.col("text"), " "), lambda w: F.length(w).cast("int"))
+    )
+    seq_stream = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+    # fresh streaming checkpoint per invocation: the STORE is what carries
+    # exactly-once semantics (resume anti-join), so replaying all batches
+    # against an existing store writes 0 new chunks
+    ckpt = os.path.join(base, f"ckpt-{_uuid.uuid4().hex[:8]}")
+    q = streaming.encode_stream(
+        seq_stream, store, ckpt, trigger={"availableNow": True},
+        rows_per_bucket=256,
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    dec = decode_job.decode_chunks(store.read_chunks())
+    return dec.select(
+        "doc_id",
+        F.col("n_tok").cast("long"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+_ORACLE_STREAM_ENCODE = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        source,
@@ -1229,7 +1301,6 @@ def _q_events_hourly_stream(spark, sf_dir) -> DataFrame:
     hash-checked against the SAME DuckDB oracle as the batch query. The
     n_events/sum_value totals can only match if every row flowed through
     the streaming source exactly once."""
-    import uuid as _uuid
 
     import hashlib
     import tempfile
@@ -1780,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_planted"] = _q_simhash_planted
     q["embedding_dedup_planted"] = _q_embedding_dedup_planted
     q["cli_read"] = _q_cli_read
+    q["stream_encode"] = _q_stream_encode
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
     q["lang_id"] = _q_lang_id
@@ -1801,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
     o["rt_bool_compressed"] = _ORACLE_RT_BOOL_COMPRESSED
     o["point_lookup"] = _ORACLE_POINT_LOOKUP
     o["cli_read"] = _ORACLE_CLI_READ
+    o["stream_encode"] = _ORACLE_STREAM_ENCODE
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["rt_binary_table"] = _ORACLE_RT_BINARY
