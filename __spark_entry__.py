@@ -645,6 +645,46 @@ FROM documents
 """
 
 
+def _q_schema_evolution(spark, sf_dir) -> DataFrame:
+    """Schema-evolution gate (r4, previously pytest-only): one store, two
+    commits with different schemas — even doc_ids encode WITHOUT the lang
+    column, odd doc_ids encode WITH it — then ONE decode under the union
+    schema must orphan-fill lang as typed NULL for the pre-evolution rows
+    (parquet missing-column semantics). The oracle replays the phase split
+    with a CASE on doc_id parity."""
+    encode_job, decode_job = _engine(spark)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang",
+        "source",
+    )
+    v1 = docs.where(F.col("doc_id").cast("long") % 2 == 0).drop("lang")
+    v2 = docs.where(F.col("doc_id").cast("long") % 2 == 1)
+    enc = dict(rows_per_bucket=256, bucket_key="source", salt_col="doc_id",
+               sort_col="doc_id")
+    c1 = encode_job.encode_table(
+        v1, columns=encode_job.derive_columns(v1), chunk_suffix="p1", **enc
+    )
+    c2 = encode_job.encode_table(
+        v2, columns=encode_job.derive_columns(v2), chunk_suffix="p2", **enc
+    )
+    out = decode_job.decode_table(
+        c1.unionByName(c2), encode_job.derive_columns(v2)
+    )
+    return out.select("doc_id", "n_chars", "lang", "source")
+
+
+_ORACLE_SCHEMA_EVOLUTION = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       n_chars,
+       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+       source
+FROM documents
+"""
+
+
 def _q_token_histogram(spark, sf_dir) -> DataFrame:
     """Aggregation over COMPRESSED data: per-chunk flat decode + bincount,
     no record reassembly — shuffle carries (token, partial count), cost
@@ -1852,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dedup_planted"] = _q_embedding_dedup_planted
     q["cli_read"] = _q_cli_read
     q["stream_encode"] = _q_stream_encode
+    q["schema_evolution"] = _q_schema_evolution
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
     q["lang_id"] = _q_lang_id
@@ -1874,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
     o["point_lookup"] = _ORACLE_POINT_LOOKUP
     o["cli_read"] = _ORACLE_CLI_READ
     o["stream_encode"] = _ORACLE_STREAM_ENCODE
+    o["schema_evolution"] = _ORACLE_SCHEMA_EVOLUTION
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["rt_binary_table"] = _ORACLE_RT_BINARY
