@@ -685,6 +685,55 @@ FROM documents
 """
 
 
+def _q_snapshot_commits(spark, sf_dir) -> DataFrame:
+    """Iceberg-style snapshot-commit gate (r4, previously pytest-only):
+    encode the corpus into a table_format='snapshot' store in TWO
+    optimistic manifest commits (web sources first, the rest second), then
+    decode what the LATEST published snapshot exposes — the union of both
+    commits, every document exactly once (atomic publish + invisible
+    staging dirs + resume anti-join all on the gated path). Fresh store
+    per invocation; the result is MATERIALIZED (localCheckpoint) so the
+    returned plan no longer depends on store files, and the store is
+    removed before returning."""
+    encode_job, decode_job = _engine(spark)
+    import tempfile
+
+    from engine import lineage
+
+    seq = _seq_from_documents(spark, sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(), f"sg_snap_{_uuid.uuid4().hex[:8]}"
+    )
+    store = lineage.ChunkStore(spark, d, table_format="snapshot")
+    web = seq.where(F.col("source").startswith("web"))
+    rest = seq.where(~F.col("source").startswith("web"))
+    lineage.encode_with_resume(spark, web, store, rows_per_bucket=256)
+    lineage.encode_with_resume(spark, rest, store, rows_per_bucket=256)
+    dec = decode_job.decode_chunks(store.read_chunks())
+    out = dec.select(
+        "doc_id",
+        F.col("n_tok").cast("long"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("tok_sum"),
+    ).localCheckpoint()
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+_ORACLE_SNAPSHOT_COMMITS = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       source,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> length(w))) AS BIGINT) AS tok_sum
+FROM documents
+"""
+
+
 def _q_token_histogram(spark, sf_dir) -> DataFrame:
     """Aggregation over COMPRESSED data: per-chunk flat decode + bincount,
     no record reassembly — shuffle carries (token, partial count), cost
@@ -1893,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cli_read"] = _q_cli_read
     q["stream_encode"] = _q_stream_encode
     q["schema_evolution"] = _q_schema_evolution
+    q["snapshot_commits"] = _q_snapshot_commits
     q["minhash_pairs"] = _q_minhash_pairs
     q["simhash_pairs"] = _q_simhash_pairs
     q["lang_id"] = _q_lang_id
@@ -1916,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
     o["cli_read"] = _ORACLE_CLI_READ
     o["stream_encode"] = _ORACLE_STREAM_ENCODE
     o["schema_evolution"] = _ORACLE_SCHEMA_EVOLUTION
+    o["snapshot_commits"] = _ORACLE_SNAPSHOT_COMMITS
     o["rt_nested_table"] = _ORACLE_RT_NESTED
     o["rt_delta_ba_sorted_ids"] = _ORACLE_DELTA_BA
     o["rt_binary_table"] = _ORACLE_RT_BINARY
