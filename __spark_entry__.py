@@ -61,10 +61,11 @@ def _seq_from_lineitem(spark, sf_dir, tok_expr: str) -> DataFrame:
     )
 
 
-def _seq_from_documents(spark, sf_dir) -> DataFrame:
-    """tokens = sorted word lengths of documents.text (realistic skewed small
-    ints; exercises the auto-selector)."""
-    docs = _read(spark, sf_dir, "documents")
+def _seq_transform(docs: DataFrame) -> DataFrame:
+    """documents -> tokenized_sequences: tokens = sorted word lengths of
+    text (realistic skewed small ints; exercises the auto-selector).
+    Shared by the batch derivation and the streaming gate so the two can
+    never diverge from the oracle SQL."""
     toks = F.sort_array(
         F.transform(F.split(F.col("text"), " "), lambda w: F.length(w).cast("int"))
     )
@@ -74,6 +75,24 @@ def _seq_from_documents(spark, sf_dir) -> DataFrame:
         F.size(toks).cast("int").alias("n_tok"),
         F.col("source"),
     )
+
+
+def _seq_tok_sum_select(df: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, source, tok_sum) projection of a decoded sequence
+    table — the shared output shape of the full-decode gates (cli_read,
+    stream_encode, snapshot_commits), all checked by _ORACLE_SEQ_FULL."""
+    return df.select(
+        "doc_id",
+        F.col("n_tok").cast("long"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+        ).alias("tok_sum"),
+    )
+
+
+def _seq_from_documents(spark, sf_dir) -> DataFrame:
+    return _seq_transform(_read(spark, sf_dir, "documents"))
 
 
 def _roundtrip_agg(spark, seq_df: DataFrame, token_codec: str | None) -> DataFrame:
@@ -522,15 +541,7 @@ def _q_point_lookup(spark, sf_dir) -> DataFrame:
 
     store = _lookup_store(spark, sf_dir)
     ids = ["3", "77", "141", "absent-a", "absent-b"]
-    out = lineage.lookup_docs(store, ids)
-    return out.select(
-        "doc_id",
-        F.col("n_tok").cast("long"),
-        "source",
-        F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
-        ).alias("tok_sum"),
-    )
+    return _seq_tok_sum_select(lineage.lookup_docs(store, ids))
 
 
 _ORACLE_POINT_LOOKUP = """
@@ -553,18 +564,12 @@ def _q_cli_read(spark, sf_dir) -> DataFrame:
     from engine import cli
 
     store = _lookup_store(spark, sf_dir)
-    df = cli.read_df(store)
-    return df.select(
-        "doc_id",
-        F.col("n_tok").cast("long"),
-        "source",
-        F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
-        ).alias("tok_sum"),
-    )
+    return _seq_tok_sum_select(cli.read_df(store))
 
 
-_ORACLE_CLI_READ = """
+# shared by cli_read / stream_encode / snapshot_commits: all three decode
+# the full documents-derived sequence table through different write paths
+_ORACLE_SEQ_FULL = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        source,
@@ -572,6 +577,7 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                                     w -> length(w))) AS BIGINT) AS tok_sum
 FROM documents
 """
+_ORACLE_CLI_READ = _ORACLE_SEQ_FULL
 
 
 def _q_stream_encode(spark, sf_dir) -> DataFrame:
@@ -591,8 +597,9 @@ def _q_stream_encode(spark, sf_dir) -> DataFrame:
     from engine.jobs import decode as decode_job
 
     doc_schema = _read(spark, sf_dir, "documents").schema
+    rpb = 256
     tag = hashlib.md5(
-        f"{sf_dir}|v{chunk_mod.VERSION}|stream_encode|rpb256".encode()
+        f"{sf_dir}|v{chunk_mod.VERSION}|stream_encode|rpb{rpb}".encode()
     ).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"sg_stream_enc_{tag}")
     stage = os.path.join(base, "in")
@@ -604,45 +611,21 @@ def _q_stream_encode(spark, sf_dir) -> DataFrame:
         os.symlink(target, tmp_link)
         os.replace(tmp_link, link)
     store = lineage.ChunkStore(spark, os.path.join(base, "store"))
-    docs = spark.readStream.schema(doc_schema).parquet(stage)
-    toks = F.sort_array(
-        F.transform(F.split(F.col("text"), " "), lambda w: F.length(w).cast("int"))
-    )
-    seq_stream = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
-        F.col("source"),
-    )
+    seq_stream = _seq_transform(spark.readStream.schema(doc_schema).parquet(stage))
     # fresh streaming checkpoint per invocation: the STORE is what carries
     # exactly-once semantics (resume anti-join), so replaying all batches
     # against an existing store writes 0 new chunks
     ckpt = os.path.join(base, f"ckpt-{_uuid.uuid4().hex[:8]}")
     q = streaming.encode_stream(
         seq_stream, store, ckpt, trigger={"availableNow": True},
-        rows_per_bucket=256,
+        rows_per_bucket=rpb,
     )
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    dec = decode_job.decode_chunks(store.read_chunks())
-    return dec.select(
-        "doc_id",
-        F.col("n_tok").cast("long"),
-        "source",
-        F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
-        ).alias("tok_sum"),
-    )
+    return _seq_tok_sum_select(decode_job.decode_chunks(store.read_chunks()))
 
 
-_ORACLE_STREAM_ENCODE = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-       source,
-       CAST(list_sum(list_transform(string_split(text, ' '),
-                                    w -> length(w))) AS BIGINT) AS tok_sum
-FROM documents
-"""
+_ORACLE_STREAM_ENCODE = _ORACLE_SEQ_FULL
 
 
 def _q_schema_evolution(spark, sf_dir) -> DataFrame:
@@ -709,14 +692,8 @@ def _q_snapshot_commits(spark, sf_dir) -> DataFrame:
     rest = seq.where(~F.col("source").startswith("web"))
     lineage.encode_with_resume(spark, web, store, rows_per_bucket=256)
     lineage.encode_with_resume(spark, rest, store, rows_per_bucket=256)
-    dec = decode_job.decode_chunks(store.read_chunks())
-    out = dec.select(
-        "doc_id",
-        F.col("n_tok").cast("long"),
-        "source",
-        F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
-        ).alias("tok_sum"),
+    out = _seq_tok_sum_select(
+        decode_job.decode_chunks(store.read_chunks())
     ).localCheckpoint()
     import shutil
 
@@ -724,14 +701,7 @@ def _q_snapshot_commits(spark, sf_dir) -> DataFrame:
     return out
 
 
-_ORACLE_SNAPSHOT_COMMITS = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-       source,
-       CAST(list_sum(list_transform(string_split(text, ' '),
-                                    w -> length(w))) AS BIGINT) AS tok_sum
-FROM documents
-"""
+_ORACLE_SNAPSHOT_COMMITS = _ORACLE_SEQ_FULL
 
 
 def _q_token_histogram(spark, sf_dir) -> DataFrame:

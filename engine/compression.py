@@ -59,6 +59,7 @@ class _PaCodec:
 
         self.name = name
         self._codec = pa.Codec(pa_name or name)
+        self._native = None  # lazily-built legacy-stream fallback
 
     def compress(self, data: bytes) -> bytes:
         return _frame(len(data), self._codec.compress(data, asbytes=True))
@@ -69,7 +70,10 @@ class _PaCodec:
             return self._codec.decompress(inner, decompressed_size=n, asbytes=True)
         # legacy unprefixed stream: pyarrow cannot decompress without the
         # size — route through the dedicated package when installed
-        native = _NATIVE_MAKERS[self.name]()
+        # (cached: a legacy store hits this once per CHUNK)
+        if self._native is None:
+            self._native = _NATIVE_MAKERS[self.name]()
+        native = self._native
         if native is None:
             raise ValueError(
                 f"{self.name}: legacy unprefixed stream needs the dedicated "

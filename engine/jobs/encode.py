@@ -184,9 +184,15 @@ def _list_from_series(ser: pd.Series, binary: bool):
 
     if len(ser) == 0:
         return np.empty(0, np.int32), pa.array([], type=pa.binary() if binary else pa.null())
-    arr = pa.Array.from_pandas(
-        ser, type=pa.list_(pa.binary()) if binary else None
-    )
+    try:
+        arr = pa.Array.from_pandas(
+            ser, type=pa.list_(pa.binary()) if binary else None
+        )
+    except OverflowError as e:
+        raise ValueError(
+            "list elements out of int64 range (Arrow cannot represent "
+            "Python ints above 2^63-1 in a signed child)"
+        ) from e
     if isinstance(arr, pa.ChunkedArray):
         raise ValueError("list chunk exceeds 2^31 child values/bytes; page the column")
     lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int32)
@@ -345,10 +351,19 @@ def _encode_group_sorted(
                     # exactly (r4 review)
                     elem_na = np.asarray(child.is_null())
                     elem_valid = ~elem_na
-                    dense = (
-                        child.drop_null()
-                        .to_numpy(zero_copy_only=False)
-                        .astype(np_elem, copy=False)
+                    try:
+                        # checked cast: Arrow may have inferred uint64 for
+                        # Python ints above int64 max — a bare numpy astype
+                        # would WRAP those silently (r4 review #2)
+                        dense_arr = child.drop_null().cast(
+                            pa.from_numpy_dtype(np_elem)
+                        )
+                    except pa.lib.ArrowInvalid as e:
+                        raise ValueError(
+                            f"list:{elem} elements out of range for {elem}: {e}"
+                        ) from e
+                    dense = dense_arr.to_numpy(zero_copy_only=False).astype(
+                        np_elem, copy=False
                     )
                     flat0 = src = dense  # exact; guard below is a no-op
                 else:
@@ -384,6 +399,18 @@ def _encode_group_sorted(
                         elem_na = np.isnan(flat0.astype("float64"))
                     else:
                         elem_na = None
+                    if (
+                        flat0.dtype.kind == "u"
+                        and np_elem.kind == "i"
+                        and flat0.size
+                        and flat0.max() > np.iinfo(np_elem).max
+                    ):
+                        # uint64 ndarray children above int64 max would WRAP
+                        # under a bare astype (r4 review #2)
+                        raise ValueError(
+                            f"list:{elem} elements out of range for {elem} "
+                            "(unsigned values above the signed max)"
+                        )
                     if elem_na is not None and elem_na.any():
                         elem_valid = ~elem_na
                         dense = flat0[elem_valid].astype(np_elem)

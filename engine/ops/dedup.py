@@ -412,6 +412,11 @@ def simhash_near_dup_pairs(
 
     Clusters recover transitively via edge union.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63] (64-bit signatures can't "
+            f"pigeonhole distance {max_hamming})"
+        )
     if blocks < max_hamming + 1:
         blocks = max_hamming + 1
     sig = simhash(docs, text_col, key_col)

@@ -51,6 +51,9 @@ class _LocalCkpt:
     def finish(self) -> None:
         pass
 
+    def abort(self) -> None:
+        pass
+
 
 class _ReliableCkpt:
     """Reliable per-iteration checkpoints with bounded storage.
@@ -75,6 +78,16 @@ class _ReliableCkpt:
         self.base = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex[:8]}"
         self._label_dirs: list[str] = []
         self._round = 0
+        # remember the app's own checkpoint dir so finish()/abort() can
+        # restore the GLOBAL pointer — leaving it aimed at our ephemeral
+        # subdir would route later unrelated df.checkpoint() calls into a
+        # directory the caller is invited to delete (r4 review #2)
+        prev = sc._jsc.sc().getCheckpointDir()
+        self._prev_dir = prev.get() if prev.isDefined() else None
+
+    def _restore_pointer(self) -> None:
+        if self._prev_dir is not None:
+            self.sc.setCheckpointDir(self._prev_dir)
 
     def _ck(self, df: DataFrame, d: str) -> DataFrame:
         self.sc.setCheckpointDir(d)
@@ -97,6 +110,14 @@ class _ReliableCkpt:
             _hadoop_rm(self.sc, d)
         self._label_dirs = self._label_dirs[-1:]
         _hadoop_rm(self.sc, f"{self.base}/sym")
+        self._restore_pointer()
+
+    def abort(self) -> None:
+        """Failure-path cleanup: the iteration state is useless after a
+        non-convergence/crash (no resume protocol on it), so remove the
+        whole per-call subdir and restore the checkpoint pointer."""
+        _hadoop_rm(self.sc, self.base)
+        self._restore_pointer()
 
 
 def _checkpointer(df_any: DataFrame, checkpoint_dir: str | None):
@@ -120,6 +141,14 @@ def connected_components(
     ``checkpoint_dir``: stable-storage path for reliable per-iteration
     checkpoints (use on real clusters); defaults to executor-local."""
     ckpt = _checkpointer(edges, checkpoint_dir)
+    try:
+        return _cc_loop(ckpt, edges, max_iters, id_a, id_b)
+    except BaseException:
+        ckpt.abort()
+        raise
+
+
+def _cc_loop(ckpt, edges, max_iters, id_a, id_b) -> DataFrame:
     sym = ckpt.sym(
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

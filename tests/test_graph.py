@@ -131,3 +131,26 @@ def test_minhash_materialize_releases_cache(spark):
     assert pairs.count() > 0
     pairs.unpersist(blocking=True)
     assert not (cached_ids() - before)
+
+
+def test_reliable_checkpoint_abort_cleans_and_restores(spark, tmp_path):
+    """Failure path (r4 review): non-convergence removes the per-call
+    checkpoint subdir entirely and restores the application's own global
+    checkpoint dir pointer."""
+    import os
+
+    prior = str(tmp_path / "app_ckpt")
+    spark.sparkContext.setCheckpointDir(prior)
+    ckdir = str(tmp_path / "cc_ckpt")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(edges, max_iters=1, checkpoint_dir=ckdir)
+    leftovers = os.listdir(ckdir) if os.path.isdir(ckdir) else []
+    assert not leftovers, leftovers
+    # Spark resolves setCheckpointDir to an internal uuid subdir; restoring
+    # to the RESOLVED path keeps later checkpoints inside the app's tree
+    got = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert got.isDefined() and "app_ckpt" in got.get()
+    assert "cc_ckpt" not in got.get()

@@ -118,3 +118,32 @@ def test_list_int64_object_nulls_stay_exact():
         elem_valid, [True, False, True, False, True]
     )
     np.testing.assert_array_equal(values[elem_valid], [big, 7, big + 1])
+
+
+def test_list_int64_uint64_overflow_raises():
+    """Ints above int64 max must fail loudly, never wrap negative (r4
+    review #2). Two entry shapes: Python-int object lists die at Arrow
+    inference (converted to a contextual ValueError); numpy uint64-array
+    children infer list<uint64> and must be caught before the signed
+    astype would wrap them."""
+    pdf = pd.DataFrame(
+        {
+            "chunk_id": ["c"] * 2,
+            "doc_id": ["a", "b"],
+            "v": [[2**63 + 5, None], [1]],
+        }
+    )
+    with pytest.raises(ValueError, match="int64"):
+        encode_job._encode_group(pdf, {"v": ("list:int64", None)})
+    pdf2 = pd.DataFrame(
+        {
+            "chunk_id": ["c"] * 2,
+            "doc_id": ["a", "b"],
+            "v": [
+                np.array([2**63 + 5], np.uint64),
+                np.array([1], np.uint64),
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        encode_job._encode_group(pdf2, {"v": ("list:int64", None)})

@@ -358,7 +358,9 @@ def test_simhash_blocks_auto_raised(spark):
     # the 20 identical docs form one star; the near-dup joins via banding
     # iff its signature is within 8 bits — compute the truth directly
     sigs = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
-    ham = bin(int(sigs.loc[0]) ^ int(sigs.loc[100])).count("1")
+    # mask to 64 bits: signatures are signed LongType (bit 63 set ->
+    # negative), and bin() on a negative XOR counts magnitude bits
+    ham = bin((int(sigs.loc[0]) ^ int(sigs.loc[100])) & ((1 << 64) - 1)).count("1")
     found = ((pairs[["id_a", "id_b"]].values == [0, 100]).all(axis=1)).any()
     assert found == (ham <= 8), (ham, pairs)
 
