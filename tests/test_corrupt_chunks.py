@@ -233,3 +233,36 @@ def test_fuzz_mutated_list_and_compressed_frames():
                 chunk.decode_chunk(bytes(blob))
             except ValueError:
                 pass
+
+
+def test_corrupt_sized_frame_fails_clean():
+    """SGZ1-framed block-codec payloads with a lying length or truncated
+    body raise clean ValueErrors through decode_chunk, never garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from engine import chunk, compression
+
+    vals = np.arange(5000, dtype=np.int32) % 4
+    blob = chunk.encode_chunk(vals, "plain", "int32")
+    comp = chunk.compress_chunk(blob, "zstd")
+    assert chunk.read_info(comp).flags & chunk.FLAG_COMPRESSED
+    # locate the SGZ1 prefix inside the payload (after header + codec id)
+    idx = comp.find(compression._SIZED_MAGIC)
+    assert idx > 0
+    # lie about the uncompressed size (too small AND too large)
+    for lying in (1, 1 << 40):
+        bad = bytearray(comp)
+        bad[idx + 4 : idx + 12] = struct.pack("<Q", lying)
+        # CRC covers stored bytes, so this is caught at the checksum layer
+        with pytest.raises(ValueError, match="checksum"):
+            chunk.decode_chunk(bytes(bad))
+    # codec-level: a lying size that passes no CRC (direct codec use)
+    codec = compression.create_codec("zstd")
+    framed = bytearray(codec.compress(b"payload" * 100))
+    framed[4:12] = struct.pack("<Q", 3)
+    with pytest.raises(Exception):
+        out = codec.decompress(bytes(framed))
+        assert out != b"payload" * 100  # if no raise, must not be silent-wrong

@@ -267,3 +267,31 @@ def test_encode_group_list_int64_arbitrary(rows):
         )
     else:
         np.testing.assert_array_equal(values, flat)
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decode_ppm_never_crashes_unclean(data):
+    """The netpbm parser on arbitrary bytes either returns a valid array or
+    raises ValueError — never IndexError/struct errors/segfault-shaped
+    surprises (it parses untrusted media payloads)."""
+    from engine.ops import multimodal as M
+
+    try:
+        img = M.decode_ppm(b"P6" + data)
+    except ValueError:
+        return
+    assert img.ndim == 3
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_decode_ppm_roundtrip_property(w, h, gray, seed):
+    from engine.ops import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 1 if gray else 3)).astype(np.uint8)
+    np.testing.assert_array_equal(M.decode_ppm(M.encode_ppm(img)), img)
