@@ -59,7 +59,9 @@ class _PaCodec:
 
         self.name = name
         self._codec = pa.Codec(pa_name or name)
-        self._native = None  # lazily-built legacy-stream fallback
+        # legacy-stream fallback codec: unset -> not yet checked;
+        # False -> checked, package absent (negative result cached too)
+        self._native = None
 
     def compress(self, data: bytes) -> bytes:
         return _frame(len(data), self._codec.compress(data, asbytes=True))
@@ -70,11 +72,12 @@ class _PaCodec:
             return self._codec.decompress(inner, decompressed_size=n, asbytes=True)
         # legacy unprefixed stream: pyarrow cannot decompress without the
         # size — route through the dedicated package when installed
-        # (cached: a legacy store hits this once per CHUNK)
+        # (cached, including the package-absent outcome: a legacy store
+        # hits this once per CHUNK)
         if self._native is None:
-            self._native = _NATIVE_MAKERS[self.name]()
+            self._native = _NATIVE_MAKERS[self.name]() or False
         native = self._native
-        if native is None:
+        if native is False:
             raise ValueError(
                 f"{self.name}: legacy unprefixed stream needs the dedicated "
                 f"{self.name} package, which is not installed"

@@ -400,16 +400,23 @@ def _encode_group_sorted(
                     else:
                         elem_na = None
                     if (
-                        flat0.dtype.kind == "u"
+                        flat0.dtype.kind in "ui"
                         and np_elem.kind == "i"
                         and flat0.size
-                        and flat0.max() > np.iinfo(np_elem).max
+                        and (
+                            flat0.max() > np.iinfo(np_elem).max
+                            or (
+                                flat0.dtype.kind == "i"
+                                and flat0.min() < np.iinfo(np_elem).min
+                            )
+                        )
                     ):
-                        # uint64 ndarray children above int64 max would WRAP
-                        # under a bare astype (r4 review #2)
+                        # integer children outside the target range would
+                        # WRAP under a bare astype — covers uint64 above
+                        # int64 max AND int64 children narrowing to
+                        # list:int32 (r4 review #2 + #3)
                         raise ValueError(
-                            f"list:{elem} elements out of range for {elem} "
-                            "(unsigned values above the signed max)"
+                            f"list:{elem} elements out of range for {elem}"
                         )
                     if elem_na is not None and elem_na.any():
                         elem_valid = ~elem_na

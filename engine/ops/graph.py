@@ -78,16 +78,33 @@ class _ReliableCkpt:
         self.base = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex[:8]}"
         self._label_dirs: list[str] = []
         self._round = 0
-        # remember the app's own checkpoint dir so finish()/abort() can
-        # restore the GLOBAL pointer — leaving it aimed at our ephemeral
-        # subdir would route later unrelated df.checkpoint() calls into a
-        # directory the caller is invited to delete (r4 review #2)
+        # remember a restore target so finish()/abort() never leave the
+        # GLOBAL pointer aimed at our ephemeral subdir (later unrelated
+        # df.checkpoint() calls would land in a directory the caller is
+        # invited to delete). getCheckpointDir returns the RESOLVED path
+        # (restore target + an internal uuid Spark appends per set), so
+        # naively re-capturing per call would nest one uuid level deeper
+        # each time; the last restore target is cached on the SparkContext
+        # and reused while the current dir is still a DESCENDANT of it (our
+        # own nesting artifact) — but an app that genuinely re-pointed its
+        # checkpoint dir is respected by re-capturing. With no prior app
+        # dir at all, restore to the caller's checkpoint_dir root (stable,
+        # never deleted by our cleanup).
         prev = sc._jsc.sc().getCheckpointDir()
-        self._prev_dir = prev.get() if prev.isDefined() else None
+        cur = prev.get() if prev.isDefined() else None
+        cached = getattr(sc, "_sg_cc_restore_dir", None)
+        if (
+            cached is not None
+            and cur is not None
+            and cur.startswith(cached.rstrip("/"))
+        ):
+            self._restore_dir = cached
+        else:
+            self._restore_dir = cur if cur is not None else checkpoint_dir
+            sc._sg_cc_restore_dir = self._restore_dir
 
     def _restore_pointer(self) -> None:
-        if self._prev_dir is not None:
-            self.sc.setCheckpointDir(self._prev_dir)
+        self.sc.setCheckpointDir(self._restore_dir)
 
     def _ck(self, df: DataFrame, d: str) -> DataFrame:
         self.sc.setCheckpointDir(d)
@@ -106,18 +123,20 @@ class _ReliableCkpt:
         return out
 
     def finish(self) -> None:
+        # restore FIRST: the pointer must come back even if a transient
+        # filesystem error interrupts the deletes (r4 review #5)
+        self._restore_pointer()
         for d in self._label_dirs[:-1]:
             _hadoop_rm(self.sc, d)
         self._label_dirs = self._label_dirs[-1:]
         _hadoop_rm(self.sc, f"{self.base}/sym")
-        self._restore_pointer()
 
     def abort(self) -> None:
         """Failure-path cleanup: the iteration state is useless after a
-        non-convergence/crash (no resume protocol on it), so remove the
-        whole per-call subdir and restore the checkpoint pointer."""
-        _hadoop_rm(self.sc, self.base)
+        non-convergence/crash (no resume protocol on it), so restore the
+        checkpoint pointer and remove the whole per-call subdir."""
         self._restore_pointer()
+        _hadoop_rm(self.sc, self.base)
 
 
 def _checkpointer(df_any: DataFrame, checkpoint_dir: str | None):
@@ -144,7 +163,10 @@ def connected_components(
     try:
         return _cc_loop(ckpt, edges, max_iters, id_a, id_b)
     except BaseException:
-        ckpt.abort()
+        try:
+            ckpt.abort()
+        except Exception:
+            pass  # best-effort cleanup must never mask the real failure
         raise
 
 

@@ -92,6 +92,11 @@ def decode_ppm(buf: bytes) -> np.ndarray:
             pos = end
     w, h, maxval = fields
     pos += 1  # the single whitespace after maxval
+    if w <= 0 or h <= 0:
+        # a negative token would turn the frombuffer count into
+        # read-everything and reshape would INFER the negative dim —
+        # garbage out instead of an error (r4 review #2)
+        raise ValueError(f"invalid netpbm dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
     need = w * h * channels

@@ -259,10 +259,15 @@ def test_corrupt_sized_frame_fails_clean():
         # CRC covers stored bytes, so this is caught at the checksum layer
         with pytest.raises(ValueError, match="checksum"):
             chunk.decode_chunk(bytes(bad))
-    # codec-level: a lying size that passes no CRC (direct codec use)
+    # codec-level: a lying size that passes no CRC (direct codec use) —
+    # either the backend raises, or the output must differ from the
+    # original payload (silent-correct output with a lying size would mean
+    # the size is ignored and the frame contract is fiction)
     codec = compression.create_codec("zstd")
     framed = bytearray(codec.compress(b"payload" * 100))
     framed[4:12] = struct.pack("<Q", 3)
-    with pytest.raises(Exception):
+    try:
         out = codec.decompress(bytes(framed))
-        assert out != b"payload" * 100  # if no raise, must not be silent-wrong
+    except Exception:
+        out = None
+    assert out != b"payload" * 100

@@ -147,3 +147,31 @@ def test_list_int64_uint64_overflow_raises():
     )
     with pytest.raises(ValueError, match="out of range"):
         encode_job._encode_group(pdf2, {"v": ("list:int64", None)})
+
+
+def test_list_int32_narrowing_overflow_raises():
+    """int64 children narrowing to list:int32 must fail loudly, not wrap
+    (r4 third review: 2**40 silently became 0)."""
+    pdf = pd.DataFrame(
+        {
+            "chunk_id": ["c"] * 2,
+            "doc_id": ["a", "b"],
+            "v": [[2**40], [1]],
+        }
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        encode_job._encode_group(pdf, {"v": ("list:int32", None)})
+    # negative out-of-range too
+    pdf2 = pdf.copy(); pdf2["v"] = [[-(2**40)], [1]]
+    with pytest.raises(ValueError, match="out of range"):
+        encode_job._encode_group(pdf2, {"v": ("list:int32", None)})
+
+
+def test_decode_ppm_negative_dims_raise():
+    """Negative width/height tokens must raise, not produce an inferred-
+    shape garbage array (r4 third review)."""
+    from engine.ops import multimodal as M
+
+    for hdr in (b"P5 -1 1 255 ", b"P6 -1 1 255 ", b"P6 2 -3 255 "):
+        with pytest.raises(ValueError, match="netpbm|dimensions"):
+            M.decode_ppm(hdr + bytes(32))

@@ -280,7 +280,8 @@ def test_decode_ppm_never_crashes_unclean(data):
         img = M.decode_ppm(b"P6" + data)
     except ValueError:
         return
-    assert img.ndim == 3
+    assert img.ndim == 3 and all(s > 0 for s in img.shape)
+    assert img.shape[2] == 3
 
 
 @given(
