@@ -118,8 +118,12 @@ def decode_wav(buf: bytes):
                 raise ValueError("only 16-bit PCM WAV supported")
             n, ch, sr = wf.getnframes(), wf.getnchannels(), wf.getframerate()
             raw = wf.readframes(n)
-    except wave.Error as e:
+    except (wave.Error, EOFError) as e:
+        # the stdlib parser raises EOFError (not wave.Error) on truncated
+        # chunks — caught by fuzzing; both map to the fail-clean contract
         raise ValueError(f"malformed WAV stream: {e}") from e
+    if ch <= 0 or sr <= 0:
+        raise ValueError(f"malformed WAV stream: {ch} channels, rate {sr}")
     samples = np.frombuffer(raw, np.int16).reshape(-1, ch)
     return samples, sr
 

@@ -296,3 +296,16 @@ def test_decode_ppm_roundtrip_property(w, h, gray, seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, 1 if gray else 3)).astype(np.uint8)
     np.testing.assert_array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+def test_decode_wav_never_crashes_unclean(data):
+    """decode_wav on arbitrary RIFF-prefixed bytes either returns samples
+    or raises ValueError (untrusted payload contract, same as netpbm)."""
+    from engine.ops import multimodal as M
+
+    try:
+        samples, sr = M.decode_wav(b"RIFF" + data)
+    except ValueError:
+        return
+    assert samples.ndim == 2 and sr > 0
