@@ -96,7 +96,9 @@ class _ReliableCkpt:
         if (
             cached is not None
             and cur is not None
-            and cur.startswith(cached.rstrip("/"))
+            # component-aligned descendant check: a bare prefix match would
+            # wrongly treat /x/ckpt2 as a descendant of /x/ck
+            and (cur == cached or cur.startswith(cached.rstrip("/") + "/"))
         ):
             self._restore_dir = cached
         else:
