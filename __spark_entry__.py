@@ -1192,7 +1192,11 @@ def _q_token_count(spark, sf_dir) -> DataFrame:
     _engine(spark)
     docs = _read(spark, sf_dir, "documents")
     return textstats.token_count(docs).select(
-        F.col("doc_id").cast("long"), "n_words", "n_chars", "n_tokens_est"
+        F.col("doc_id").cast("long"),
+        "n_words",
+        "n_chars",
+        "n_tokens_est",
+        "n_tokens_regex",
     )
 
 
@@ -1201,7 +1205,10 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) + CEIL(length(text) / 4.0) AS BIGINT)
-         AS n_tokens_est
+         AS n_tokens_est,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+         AS n_tokens_regex
 FROM documents
 """
 
@@ -1811,7 +1818,7 @@ def _decodable_media_parquet() -> str:
 
     from engine.ops import multimodal
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v1.parquet")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v2.parquet")
     if not os.path.exists(path):
         multimodal.write_decodable_media_parquet(path, n=48, seed=7, dim=8)
     return path
@@ -1837,6 +1844,28 @@ def _q_media_decode(spark, sf_dir) -> DataFrame:
         "media_id",
         "kind",
         *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
+
+
+def _q_media_resize(spark, sf_dir) -> DataFrame:
+    """Resize-stage gate (r4): netpbm payloads run through resize_media
+    (decode -> pure-numpy nearest-neighbor 8x8 -> re-encode) and the
+    re-encoded thumbnail bytes are sha-hashed Spark-side against the
+    generation-frozen expectation; absolute index-sampling semantics are
+    pinned separately in pytest against numpy."""
+    from engine.ops import multimodal
+
+    _engine(spark)
+    media = spark.read.parquet(_decodable_media_parquet())
+    imgs = media.where(F.col("kind") == "image").select(
+        [f.name for f in multimodal.MEDIA_SCHEMA.fields]
+    )
+    resized = multimodal.resize_media(imgs, 8, 8)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("resized_sha"),
     )
 
 
@@ -1918,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = _q_lang_id
     q["media_features"] = _q_media_features
     q["media_decode"] = _q_media_decode
+    q["media_resize"] = _q_media_resize
     return q
 
 
@@ -1968,6 +1998,11 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id"] = _lang_oracle()
     # _media_parquet() also ensures the shared file exists before DuckDB
     # reads it, whatever order the driver evaluates the two sides in
+    o["media_resize"] = (
+        "SELECT media_id, CAST(8 AS INTEGER) AS width, "
+        "CAST(8 AS INTEGER) AS height, resized_sha "
+        f"FROM read_parquet('{_decodable_media_parquet()}') WHERE kind = 'image'"
+    )
     o["media_decode"] = (
         "SELECT media_id, kind, "
         + ", ".join(f"expected_feature[{i + 1}] AS f{i}" for i in range(8))

@@ -324,6 +324,15 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
             content = encode_wav(wave_s, sr)
             kind, width, height, nf = "audio", None, None, None
         feat = _decode_image_bytes(content, dim)
+        # frozen expectation for the RESIZE stage too: sha of the
+        # re-encoded 8x8 nearest-neighbor thumbnail (images only)
+        resized_sha = (
+            hashlib.sha256(
+                encode_ppm(resize_image(decode_ppm(content), 8, 8))
+            ).hexdigest()
+            if kind == "image"
+            else None
+        )
         rows.append(
             (
                 f"d-{i:06d}",
@@ -334,6 +343,7 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
                 sr,
                 nf,
                 [float(v) for v in feat],
+                resized_sha,
             )
         )
     return rows
@@ -361,9 +371,55 @@ def write_decodable_media_parquet(
             "sample_rate": pa.array(cols[5], pa.int32()),
             "n_frames": pa.array(cols[6], pa.int32()),
             "expected_feature": pa.array(cols[7], pa.list_(pa.float64())),
+            "resized_sha": pa.array(cols[8], pa.string()),
         }
     )
     tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
     return path
+
+
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index sampling (the standard
+    thumbnail/normalization step before feature extraction; no imaging
+    library needed). Works for any channel count."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"invalid resize target {out_w}x{out_h}")
+    h, w, _ = img.shape
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[rows[:, None], cols[None, :], :]
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """mapInPandas resize stage: netpbm image payloads are decoded,
+    nearest-neighbor resized and re-encoded as netpbm (so the output
+    column is the same opaque-binary media shape and can feed any
+    downstream stage, including the engine's BinaryType encode);
+    non-image payloads pass through untouched. Bytes never enter a
+    shuffle — this is a projection."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            ws, hs = [], []
+            for b in pdf["content"]:
+                if b[:2] in (b"P5", b"P6"):
+                    resized = resize_image(decode_ppm(b), out_w, out_h)
+                    out.append(encode_ppm(resized))
+                    ws.append(out_w)
+                    hs.append(out_h)
+                else:
+                    out.append(b)
+                    ws.append(None)
+                    hs.append(None)
+            res = pdf.copy()
+            res["content"] = out
+            res["width"] = pd.array(ws, dtype="Int32")
+            res["height"] = pd.array(hs, dtype="Int32")
+            yield res
+
+    return media.mapInPandas(run, media.schema)

@@ -16,10 +16,18 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer shape, restricted to portable ASCII classes so
+# Java regex (Spark) and RE2 (DuckDB/ANSI oracles) agree byte-for-byte:
+# letter runs | digit runs | runs of other non-space symbols
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_count(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate (chars/3.2 is the
-    classic heuristic; kept integer-exact as ceil(chars/4) + word count so the
-    SQL oracle matches bit-for-bit)."""
+    """Whitespace token count + TWO subword estimates: the classic
+    chars-ratio heuristic (integer-exact as ceil(chars/4) + word count so
+    the SQL oracle matches bit-for-bit) and a real BPE-ish REGEX
+    pre-tokenization count (letter/digit/symbol runs — the split shape
+    GPT-2's pre-tokenizer uses before merges)."""
     words = F.split(F.col(text_col), " ")
     n_chars = F.length(text_col)
     return docs.select(
@@ -27,6 +35,9 @@ def token_count(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
         F.size(words).cast("long").alias("n_words"),
         n_chars.cast("long").alias("n_chars"),
         (F.size(words) + F.ceil(n_chars / 4)).cast("long").alias("n_tokens_est"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_regex"),
     )
 
 

@@ -415,3 +415,33 @@ def test_extract_features_routes_by_magic(spark):
     assert out["a"][:6] == [6.0, 4.0, 3.0, 200.0, 200.0, 200.0]  # w,h,c,means
     assert out["b"][0] == 16000.0 and out["b"][1] == 100.0 and out["b"][3] == 1000.0
     assert out["c"] != out["a"] and len(out["c"]) == 8  # deterministic fake
+
+
+def test_resize_media_roundtrip(spark):
+    """resize_media decodes netpbm payloads, nearest-neighbor resizes and
+    re-encodes; non-image payloads pass through untouched. The resized
+    payload must itself decode to the target shape with exact
+    nearest-neighbor pixel values."""
+    import numpy as np
+
+    from engine.ops import multimodal as M
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 12, 3)).astype(np.uint8)
+    wav = M.encode_wav(np.zeros(10, np.int16), 8000)
+    rows = [
+        ("i", "image", M.encode_ppm(img), 12, 16, None, None),
+        ("a", "audio", wav, None, None, 8000, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.resize_media(media, 6, 4).collect()}
+    got = M.decode_ppm(bytes(out["i"]["content"]))
+    np.testing.assert_array_equal(got, M.resize_image(img, 6, 4))
+    assert (out["i"]["width"], out["i"]["height"]) == (6, 4)
+    assert bytes(out["a"]["content"]) == wav  # untouched passthrough
+    # pure-numpy resize semantics: exact index sampling
+    np.testing.assert_array_equal(
+        M.resize_image(img, 12, 16), img[(np.arange(16) * 16 // 16)][:, np.arange(12)]
+    )
+    with pytest.raises(ValueError, match="resize"):
+        M.resize_image(img, 0, 4)
