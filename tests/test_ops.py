@@ -279,31 +279,89 @@ def test_refine_centroids_matches_numpy_lloyd(spark):
     assert got.shape == (k, dim) and not np.isnan(got).any()
 
 
-def test_refine_centroids_single_agg_per_round(spark):
-    """Each refinement round is ONE full-table aggregation (flat in k):
-    plan of the per-round stats query contains a single HashAggregate pair
-    over dim+1 agg columns, no joins, no per-row Python beyond the
-    ArrowEvalPython assignment stage."""
+def test_lloyd_stats_flat_plan_at_dim512(spark):
+    """Each refinement round's stats query must have a plan size independent
+    of BOTH k and dim (VERDICT r4 #2): the per-dimension element_at
+    aggregate build put dim expressions into Catalyst; the mapInPandas
+    partial-stats + applyInPandas merge keeps the plan to one Arrow stage,
+    one tiny partial shuffle, no joins, no per-dim expressions — verified
+    at dim=512, k=32, mirroring test_ivf_assign_flat_plan_at_k256."""
     import numpy as np
 
     from engine.ops import simsearch
-    from pyspark.sql import functions as F
 
     rng = np.random.default_rng(3)
-    X = rng.standard_normal((100, 8))
+    k, dim, n = 32, 512, 200
+    X = rng.standard_normal((n, dim))
     df = spark.createDataFrame(
-        [(int(i), [float(v) for v in X[i]]) for i in range(100)],
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    assigned = simsearch.ivf_assign(df, X[:4].copy())
-    dim = 8
-    aggs = [F.count("*").alias("_n")] + [
-        F.sum(F.element_at(F.col("embedding"), i + 1)).alias(f"_s{i}")
-        for i in range(dim)
-    ]
-    plan = assigned.groupBy("ivf_cell").agg(*aggs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1, plan
-    assert "Join" not in plan, plan
+    stats = simsearch.lloyd_stats(df, X[:k].copy())
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" not in plan, plan[:1000]
+    assert "Join" not in plan, plan[:1000]
+    assert len(plan) < 4000, (len(plan), plan[:500])
+    # and the stats are exactly the numpy reference partial sums
+    got = stats.toPandas().sort_values("ivf_cell")
+    c_sq = (X[:k] * X[:k]).sum(axis=1)
+    cells = (c_sq[None, :] - 2.0 * (X @ X[:k].T)).argmin(axis=1)
+    want_n = np.bincount(cells, minlength=k)
+    want_s = np.zeros((k, dim))
+    np.add.at(want_s, cells, X)
+    nz = np.flatnonzero(want_n)
+    assert (got["ivf_cell"].to_numpy() == nz).all()
+    assert (got["_n"].to_numpy() == want_n[nz]).all()
+    assert np.allclose(np.stack(got["_s"].to_numpy()), want_s[nz], atol=1e-9)
+
+
+def test_train_centroids_memory_bounded_at_k1024(spark):
+    """Seed k-means at k=1024, dim=512 must run in far under 1 GB of driver
+    temporaries (VERDICT r4 #1): the matmul distance form peaks at the
+    (sample x k) matrix, not the (sample x k x dim) cube (~16 GB here).
+    tracemalloc tracks numpy allocations, so the peak is measured, not
+    inferred."""
+    import tracemalloc
+
+    import numpy as np
+
+    from engine.ops import simsearch
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((4096, 512))
+    tracemalloc.start()
+    cents = simsearch._kmeans_np(X, k=1024, iters=2)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert cents.shape == (1024, 512) and not np.isnan(cents).any()
+    assert peak < 1 << 30, f"peak driver temp {peak/2**20:.0f} MiB"
+
+
+def test_train_centroids_hash_stratified_sample_deterministic(spark):
+    """The seed sample is drawn by seeded-hash rank, not first-N-by-id
+    (VERDICT r4 #4): repeated calls give bit-identical centroids, a
+    different seed gives a different (still deterministic) sample, and the
+    selected vectors differ from the first-N-by-id prefix on an id-ordered
+    table (the bias being removed)."""
+    import numpy as np
+
+    from engine.ops import simsearch
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 8
+    X = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    a = simsearch.train_centroids(df, k=8, iters=0, sample=64)
+    b = simsearch.train_centroids(df, k=8, iters=0, sample=64)
+    assert np.array_equal(a, b)
+    c = simsearch.train_centroids(df, k=8, iters=0, sample=64, seed=1)
+    assert np.array_equal(c, simsearch.train_centroids(df, k=8, iters=0, sample=64, seed=1))
+    assert not np.array_equal(a, c)
+    # not the first-N-by-id prefix: at least one seed centroid is not X[:8]
+    assert not np.allclose(a, X[:8])
 
 
 def test_simhash_block_layout_pigeonhole():
