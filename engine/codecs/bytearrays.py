@@ -112,13 +112,25 @@ def decode_delta_byte_array(buf: bytes | np.ndarray, n: int) -> tuple[np.ndarray
     plen = int.from_bytes(raw[:4].tobytes(), "little")
     prefix = delta_for.decode(raw[4 : 4 + plen], n, "int32").astype(np.int64)
     suffix_lens, suffix_data = decode_delta_length(raw[4 + plen :], n)
+    return reassemble_front_coded(prefix, suffix_lens, suffix_data)
+
+
+def reassemble_front_coded(
+    prefix: np.ndarray, suffix_lens: np.ndarray, suffix_data: bytes
+) -> tuple[np.ndarray, bytes]:
+    """Rebuild (lengths, concat data) from front-coded parts. Shared by the
+    engine's own DELTA_BYTE_ARRAY frame decode and the real-parquet
+    golden-file reader (``engine/parquet_compat.py``), whose streams carry
+    the identical (prefix, suffix) grammar without the 4-byte framing.
+
+    Reconstruction is inherently sequential across values (each prefix
+    copies from its predecessor), but every copy is a bulk C slice; the
+    loop carries plain Python ints (.tolist(), ~3x cheaper than numpy
+    scalar indexing). A fully vectorized per-column origin resolution was
+    measured SLOWER (0.9x) — the per-column forward-fill over n values
+    costs more than the interpreter loop it removes."""
+    n = len(prefix)
     lengths = prefix + suffix_lens
-    # Reconstruction is inherently sequential across values (each prefix
-    # copies from its predecessor), but every copy is a bulk C slice; the
-    # loop carries plain Python ints (.tolist(), ~3x cheaper than numpy
-    # scalar indexing). A fully vectorized per-column origin resolution was
-    # measured SLOWER (0.9x) — the per-column forward-fill over n values
-    # costs more than the interpreter loop it removes.
     out = bytearray(int(lengths.sum()))
     offs = np.concatenate(([0], np.cumsum(lengths))).tolist()
     soffs = np.concatenate(([0], np.cumsum(suffix_lens))).tolist()

@@ -133,9 +133,30 @@ def encode(values: np.ndarray, dtype: str = "int32") -> bytes:
     return header + out.tobytes()
 
 
-def decode(buf: bytes | np.ndarray, n: int | None = None, dtype: str = "int32") -> np.ndarray:
-    utype, itype, nbits = _I32[dtype]
+def decode_stream(
+    buf: bytes | np.ndarray, dtype: str = "int32"
+) -> tuple[np.ndarray, int]:
+    """Decode ONE self-delimiting DELTA_BINARY_PACKED stream from the head
+    of ``buf`` -> (all ``total_value_count`` values, bytes consumed).
+
+    Real parquet embeds these streams back-to-back with no outer framing
+    (DELTA_BYTE_ARRAY = prefix stream + suffix-length stream + raw suffix
+    bytes), so the consumer needs the end position — the stream is only
+    delimited by walking its own block headers, which the layout pass here
+    does anyway. Trailing bytes after the last block are ignored."""
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    return _decode_impl(raw, None, dtype)
+
+
+def decode(buf: bytes | np.ndarray, n: int | None = None, dtype: str = "int32") -> np.ndarray:
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    return _decode_impl(raw, n, dtype)[0]
+
+
+def _decode_impl(
+    raw: np.ndarray, n: int | None, dtype: str
+) -> tuple[np.ndarray, int]:
+    utype, itype, nbits = _I32[dtype]
     pos = 0
     block_size, pos = bitpack.uleb128_decode(raw, pos)
     num_mini, pos = bitpack.uleb128_decode(raw, pos)
@@ -144,8 +165,10 @@ def decode(buf: bytes | np.ndarray, n: int | None = None, dtype: str = "int32") 
     first = bitpack.zigzag_decode(zz_first)
     if n is None:
         n = total
-    if n == 0:
-        return np.empty(0, dtype=itype)
+    if n == 0 or total == 0:
+        # consumed is exact only when the stream itself is empty (total=0);
+        # an n=0 truncating read of a non-empty stream doesn't walk blocks
+        return np.empty(0, dtype=itype), pos
     mini_size = block_size // num_mini
     mask = (1 << nbits) - 1
 
@@ -201,4 +224,4 @@ def decode(buf: bytes | np.ndarray, n: int | None = None, dtype: str = "int32") 
         result = acc.astype(np.uint32).view(np.int32)
     else:
         result = acc.view(np.int64)
-    return result[:n]
+    return result[:n], pos

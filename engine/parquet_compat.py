@@ -1,0 +1,579 @@
+"""Byte-level interop with REAL parquet files (VERDICT r4 top-next): parse
+the parquet footer and page headers (thrift compact protocol, pure Python)
+and decode foreign column chunks with the engine's OWN codecs
+(``engine/codecs/{plain,dictionary,rle,delta_for,bytearrays}``).
+
+Why this exists: the engine's grammars (RLE/bit-packed hybrid, delta
+miniblock, dict pages, front coding) claim parquet compatibility but — until
+this module — had only ever decoded their own output. Decoding files written
+by Impala and parquet-mr (the reference's golden files,
+``/root/reference/data/*.parquet``, tested by ``src/file/reader.rs:545-703``)
+and matching pyarrow's read value-for-value is the cross-validation
+self-round-trips cannot provide.
+
+Scope: flat (non-repeated) leaf columns — any nesting depth of structs,
+optional at any level — with data page v1 + v2, dictionary pages,
+PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY / RLE(boolean) /
+DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY encodings,
+UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4(raw) / BROTLI codecs, physical
+types BOOLEAN / INT32 / INT64 / INT96 / FLOAT / DOUBLE / BYTE_ARRAY /
+FIXED_LEN_BYTE_ARRAY. Repeated (list) columns raise — the engine's own
+chunk format covers nesting; this module is a *validator* against foreign
+flat data, not a second reader.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .codecs import bytearrays, delta_for, plain, rle
+
+MAGIC = b"PAR1"
+
+# --- thrift compact protocol (generic, field-id keyed) ----------------------
+
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+class _Reader:
+    """Cursor over a bytes buffer with thrift compact primitives."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("thrift varint too long")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError("thrift binary length out of range")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def skip_or_value(self, ctype: int):
+        if ctype in (_CT_TRUE, _CT_FALSE):
+            return ctype == _CT_TRUE
+        if ctype == _CT_BYTE:
+            b = self.byte()
+            return b - 256 if b >= 128 else b
+        if ctype in (_CT_I16, _CT_I32, _CT_I64):
+            return self.zigzag()
+        if ctype == _CT_DOUBLE:
+            (v,) = struct.unpack_from("<d", self.buf, self.pos)
+            self.pos += 8
+            return v
+        if ctype == _CT_BINARY:
+            return self.binary()
+        if ctype in (_CT_LIST, _CT_SET):
+            head = self.byte()
+            size = head >> 4
+            etype = head & 0x0F
+            if size == 15:
+                size = self.varint()
+            return [self.skip_or_value(etype) for _ in range(size)]
+        if ctype == _CT_MAP:
+            size = self.varint()
+            if size == 0:
+                return {}
+            kv = self.byte()
+            kt, vt = kv >> 4, kv & 0x0F
+            return {
+                self._hashable(self.skip_or_value(kt)): self.skip_or_value(vt)
+                for _ in range(size)
+            }
+        if ctype == _CT_STRUCT:
+            return self.struct()
+        raise ValueError(f"unknown thrift compact type {ctype}")
+
+    @staticmethod
+    def _hashable(v):
+        return bytes(v) if isinstance(v, (bytes, bytearray)) else v
+
+    def struct(self) -> dict:
+        """Parse a struct into {field_id: value} (nested structs likewise)."""
+        out: dict = {}
+        last_id = 0
+        while True:
+            head = self.byte()
+            if head == _CT_STOP:
+                return out
+            delta = head >> 4
+            ctype = head & 0x0F
+            fid = last_id + delta if delta else self.zigzag()
+            last_id = fid
+            out[fid] = self.skip_or_value(ctype)
+
+
+# --- parquet metadata model --------------------------------------------------
+
+_PHYS = {
+    0: "bool",
+    1: "int32",
+    2: "int64",
+    3: "int96",
+    4: "float32",
+    5: "float64",
+    6: "byte_array",
+    7: "flba",
+}
+_ENC = {
+    0: "PLAIN",
+    2: "PLAIN_DICTIONARY",
+    3: "RLE",
+    4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED",
+    6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY",
+    8: "RLE_DICTIONARY",
+    9: "BYTE_STREAM_SPLIT",
+}
+_CODEC = {
+    0: None,
+    1: "snappy",
+    2: "gzip",
+    4: "brotli",
+    5: "lz4",
+    6: "zstd",
+}
+_PAGE_DATA = 0
+_PAGE_DICT = 2
+_PAGE_DATA_V2 = 3
+
+
+@dataclass
+class ColumnInfo:
+    path: str
+    phys: str
+    type_length: int  # FLBA width (0 otherwise)
+    max_def: int
+    max_rep: int
+    encodings: list
+    codec: str | None
+    num_values: int
+    start_offset: int
+    total_compressed: int
+
+
+@dataclass
+class FileInfo:
+    path: str
+    num_rows: int
+    created_by: str
+    columns: list = field(default_factory=list)  # per row group x column
+
+
+def _walk_schema(elems: list) -> dict:
+    """Flatten the schema tree into {dotted.path: (SchemaElement, max_def,
+    max_rep)} for leaves. SchemaElement fields: 1 type, 2 type_length,
+    3 repetition (0 required / 1 optional / 2 repeated), 4 name,
+    5 num_children."""
+    leaves: dict = {}
+    idx = 1  # elems[0] is the root
+
+    def rec(prefix: list, max_def: int, max_rep: int):
+        nonlocal idx
+        el = elems[idx]
+        idx += 1
+        name = el[4].decode()
+        rep = el.get(3, 0)
+        d = max_def + (1 if rep in (1, 2) else 0)
+        r = max_rep + (1 if rep == 2 else 0)
+        nchild = el.get(5, 0)
+        if nchild:
+            for _ in range(nchild):
+                rec(prefix + [name], d, r)
+        else:
+            leaves[".".join(prefix + [name])] = (el, d, r)
+
+    nroot = elems[0].get(5, 0)
+    for _ in range(nroot):
+        rec([], 0, 0)
+    return leaves
+
+
+def read_file_info(path: str) -> FileInfo:
+    """Parse the footer of a real parquet file into per-column metadata,
+    with nothing but the thrift compact parser above."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError(f"{path}: not a parquet file (missing PAR1 magic)")
+    (flen,) = struct.unpack("<I", data[-8:-4])
+    if flen + 8 > len(data):
+        raise ValueError(f"{path}: footer length {flen} exceeds file")
+    meta = _Reader(data[-8 - flen : -8]).struct()
+    # FileMetaData: 2 schema, 3 num_rows, 4 row_groups, 6 created_by
+    leaves = _walk_schema(meta[2])
+    info = FileInfo(
+        path=path,
+        num_rows=meta[3],
+        created_by=(meta.get(6) or b"").decode(errors="replace"),
+    )
+    for rg in meta[4]:
+        for chunk in rg[1]:  # RowGroup.columns
+            cm = chunk[3]  # ColumnChunk.meta_data
+            col_path = ".".join(p.decode() for p in cm[3])
+            el, max_def, max_rep = leaves[col_path]
+            # first page offset: dictionary page (11) if present else data (9)
+            start = min(
+                x for x in (cm.get(11), cm[9]) if x is not None
+            )
+            info.columns.append(
+                ColumnInfo(
+                    path=col_path,
+                    phys=_PHYS[cm[1]],
+                    type_length=el.get(2, 0),
+                    max_def=max_def,
+                    max_rep=max_rep,
+                    encodings=[_ENC.get(e, str(e)) for e in cm[2]],
+                    codec=_CODEC.get(cm[4], f"codec{cm[4]}"),
+                    num_values=cm[5],
+                    start_offset=start,
+                    total_compressed=cm[7],
+                )
+            )
+    return info
+
+
+# --- page decode -------------------------------------------------------------
+
+
+def _decompress(buf: bytes, codec: str | None, raw_len: int) -> bytes:
+    """RAW parquet page codecs (no frame of our own — this is foreign data).
+    pyarrow's linked block codecs need the decompressed size, which the page
+    header supplies."""
+    if codec is None:
+        return buf
+    if codec == "gzip":
+        return zlib.decompress(buf, wbits=31)
+    import pyarrow as pa
+
+    return pa.Codec(codec).decompress(buf, raw_len).to_pybytes()
+
+
+def _bit_width(maxval: int) -> int:
+    return int(maxval).bit_length()
+
+
+def _decode_values(enc: str, payload: np.ndarray, nvals: int, col: ColumnInfo,
+                   dictionary):
+    """Decode ``nvals`` leaf values from one data page's value section using
+    the ENGINE's codecs. Returns a numpy array (fixed types) or a
+    (lengths, data-bytes) pair (byte arrays / FLBA / INT96)."""
+    phys = col.phys
+    if enc in ("PLAIN_DICTIONARY", "RLE_DICTIONARY"):
+        if dictionary is None:
+            raise ValueError(f"{col.path}: dictionary-encoded page before "
+                             "any dictionary page")
+        width = int(payload[0])
+        idx = rle.decode(payload[1:], width, nvals).astype(np.int64)
+        if isinstance(dictionary, tuple):  # byte-array dict: (lengths, data)
+            lens, data = dictionary
+            offs = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+            arr = np.frombuffer(data, np.uint8)
+            out_lens = lens[idx]
+            parts = [arr[offs[i] : offs[i] + lens[i]] for i in idx]
+            joined = np.concatenate(parts).tobytes() if parts else b""
+            return out_lens, joined
+        return dictionary[idx]
+    if enc == "PLAIN":
+        if phys == "byte_array":
+            return plain.decode_byte_arrays(payload, nvals)
+        if phys in ("flba", "int96"):
+            w = 12 if phys == "int96" else col.type_length
+            lens = np.full(nvals, w, np.int64)
+            return lens, payload[: nvals * w].tobytes()
+        return plain.decode(payload, nvals, phys)
+    if enc == "RLE":  # boolean values as len-prefixed hybrid
+        if phys != "bool":
+            raise ValueError(f"RLE value encoding on non-boolean {col.path}")
+        vals, _ = rle.decode_len_prefixed(payload, 1, nvals)
+        return vals.astype(bool)
+    if enc == "DELTA_BINARY_PACKED":
+        if phys not in ("int32", "int64"):
+            raise ValueError(f"DELTA_BINARY_PACKED on {phys} {col.path}")
+        vals, _ = delta_for.decode_stream(payload, phys)
+        return vals[:nvals]
+    if enc == "DELTA_LENGTH_BYTE_ARRAY":
+        lens, consumed = delta_for.decode_stream(payload, "int32")
+        lens = lens[:nvals].astype(np.int64)
+        total = int(lens.sum())
+        data = payload[consumed : consumed + total].tobytes()
+        return lens, data
+    if enc == "DELTA_BYTE_ARRAY":
+        prefix, p1 = delta_for.decode_stream(payload, "int32")
+        prefix = prefix[:nvals].astype(np.int64)
+        suffix_lens, p2 = delta_for.decode_stream(payload[p1:], "int32")
+        suffix_lens = suffix_lens[:nvals].astype(np.int64)
+        total = int(suffix_lens.sum())
+        suffix = payload[p1 + p2 : p1 + p2 + total].tobytes()
+        return bytearrays.reassemble_front_coded(prefix, suffix_lens, suffix)
+    raise ValueError(f"unsupported value encoding {enc} on {col.path}")
+
+
+def _decode_dict_page(payload: np.ndarray, nvals: int, col: ColumnInfo):
+    """Dictionary page values are PLAIN-encoded."""
+    if col.phys == "byte_array":
+        return plain.decode_byte_arrays(payload, nvals)
+    if col.phys in ("flba", "int96"):
+        w = 12 if col.phys == "int96" else col.type_length
+        lens = np.full(nvals, w, np.int64)
+        return lens, payload[: nvals * w].tobytes()
+    return plain.decode(payload, nvals, col.phys)
+
+
+def read_column(path: str, col: ColumnInfo):
+    """Decode one column chunk -> (values, validity) where values is a numpy
+    array or a (lengths, data) pair and validity is a bool array over ROWS
+    (True = present; all-True for required columns)."""
+    if col.max_rep:
+        raise ValueError(
+            f"{col.path}: repeated column — out of scope for the flat "
+            "golden-file validator"
+        )
+    with open(path, "rb") as f:
+        f.seek(col.start_offset)
+        chunk = f.read(col.total_compressed)
+    raw = np.frombuffer(chunk, np.uint8)
+    pos = 0
+    dictionary = None
+    vals_parts = []
+    defs_parts = []
+    n_done = 0
+    while n_done < col.num_values:
+        # fail-clean contract (same as the engine's chunk decoders): a
+        # corrupt/misaligned page header parses into garbage field ids or
+        # runs off the buffer — surface all of it as ValueError
+        try:
+            rd = _Reader(chunk, pos)
+            header = rd.struct()
+            body_start = rd.pos
+            ptype = header[1]
+            raw_len = header[2]
+            comp_len = header[3]
+        except (KeyError, IndexError, struct.error) as e:
+            raise ValueError(
+                f"{col.path}: malformed page header at offset {pos} ({e!r})"
+            ) from e
+        body = raw[body_start : body_start + comp_len]
+        pos = body_start + comp_len
+        if ptype == _PAGE_DICT:
+            dh = header[7]  # DictionaryPageHeader: 1 num_values
+            payload = np.frombuffer(
+                _decompress(body.tobytes(), col.codec, raw_len), np.uint8
+            )
+            dictionary = _decode_dict_page(payload, dh[1], col)
+            continue
+        if ptype == _PAGE_DATA:
+            dh = header[5]  # DataPageHeader
+            nlevels = dh[1]
+            enc = _ENC.get(dh[2], str(dh[2]))
+            payload = np.frombuffer(
+                _decompress(body.tobytes(), col.codec, raw_len), np.uint8
+            )
+            off = 0
+            if col.max_def:
+                dlenc = dh.get(3, 3)
+                if dlenc != 3:  # definition_level_encoding must be RLE
+                    raise ValueError(
+                        f"{col.path}: BIT_PACKED v1 levels unsupported"
+                    )
+                defs, consumed = rle.decode_len_prefixed(
+                    payload, _bit_width(col.max_def), nlevels
+                )
+                off = consumed
+            else:
+                defs = np.full(nlevels, col.max_def, np.uint64)
+            nvals = int((defs == col.max_def).sum())
+            vals_parts.append(
+                _decode_values(enc, payload[off:], nvals, col, dictionary)
+            )
+            defs_parts.append(defs)
+            n_done += nlevels
+            continue
+        if ptype == _PAGE_DATA_V2:
+            dh = header[8]  # DataPageHeaderV2
+            nlevels = dh[1]
+            nnulls = dh[2]
+            enc = _ENC.get(dh[4], str(dh[4]))
+            dl_len = dh[5]
+            rl_len = dh[6]
+            compressed = dh.get(7, True)
+            if rl_len:
+                raise ValueError(f"{col.path}: v2 repetition levels present")
+            # v2 levels are NOT length-prefixed and NOT compressed
+            if col.max_def:
+                defs = rle.decode(
+                    body[: dl_len], _bit_width(col.max_def), nlevels
+                )
+            else:
+                defs = np.full(nlevels, col.max_def, np.uint64)
+            vsec = body[dl_len + rl_len :].tobytes()
+            if compressed and col.codec is not None:
+                vsec = _decompress(vsec, col.codec, raw_len - dl_len - rl_len)
+            payload = np.frombuffer(vsec, np.uint8)
+            nvals = nlevels - nnulls
+            vals_parts.append(
+                _decode_values(enc, payload, nvals, col, dictionary)
+            )
+            defs_parts.append(defs)
+            n_done += nlevels
+            continue
+        raise ValueError(f"{col.path}: unsupported page type {ptype}")
+
+    defs = np.concatenate(defs_parts) if defs_parts else np.empty(0, np.uint64)
+    validity = defs == col.max_def
+    if vals_parts and isinstance(vals_parts[0], tuple):
+        lens = np.concatenate([p[0] for p in vals_parts]).astype(np.int64)
+        data = b"".join(p[1] for p in vals_parts)
+        return (lens, data), validity
+    vals = (
+        np.concatenate(vals_parts)
+        if vals_parts
+        else np.empty(0, np.uint8)
+    )
+    return vals, validity
+
+
+def _int96_to_ns(lens: np.ndarray, data: bytes) -> np.ndarray:
+    """Impala INT96 timestamps -> epoch nanoseconds (int64): 8 LE bytes of
+    nanos-within-day then 4 LE bytes of Julian day number. Julian day 0 is
+    the all-zero sentinel Impala/parquet-mr write for epoch/NULL timestamps
+    (the naive formula would put day 0 ~6.7 millennia of nanoseconds below
+    int64 range); pyarrow reads those rows as epoch + nanos, matched here."""
+    n = len(lens)
+    arr = np.frombuffer(data, np.uint8).reshape(n, 12)
+    nanos = arr[:, :8].copy().view("<u8").reshape(n).astype(np.int64)
+    jday = arr[:, 8:].copy().view("<u4").reshape(n).astype(np.int64)
+    return np.where(
+        jday == 0, nanos, (jday - 2440588) * 86_400_000_000_000 + nanos
+    )
+
+
+_SPARK_TYPES = {
+    "bool": "boolean",
+    "int32": "int",
+    "int64": "long",
+    "int96": "long",  # epoch nanoseconds
+    "float32": "float",
+    "float64": "double",
+    "byte_array": "binary",
+    "flba": "binary",
+}
+
+
+def read_parquet_with_engine(spark, path: str, columns: list | None = None):
+    """Distributed read of FOREIGN parquet through the engine's own codecs:
+    the work list is a DataFrame of file paths, each task decodes its
+    file's column chunks with ``read_column``, and the driver never touches
+    payload bytes — at fleet scale the parallelism unit is the file, the
+    same way Spark's own reader assigns splits. Output schema comes from
+    the parsed footer (INT96 surfaces as epoch-ns longs).
+
+    This is the validation path for golden-file interop (bounded files);
+    it deliberately reuses zero pyarrow parquet machinery."""
+    import pandas as pd
+
+    info = read_file_info(path)
+    cols = [c for c in info.columns if columns is None or c.path in columns]
+    if columns is not None:  # honor requested order
+        cols.sort(key=lambda c: columns.index(c.path))
+    names = [c.path for c in cols]
+    if len(set(names)) != len(names):
+        raise ValueError("multi-row-group files not needed for golden data")
+    schema = ", ".join(
+        f"`{c.path}` {_SPARK_TYPES[c.phys]}" for c in cols
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                table = read_table(p, columns=names)
+                out = {}
+                for c in cols:
+                    vals, valid = table[c.path]
+                    if isinstance(vals, list):
+                        out[c.path] = pd.Series(vals, dtype=object)
+                    else:
+                        out[c.path] = pd.Series(
+                            [
+                                vals[i] if ok else None
+                                for i, ok in enumerate(valid)
+                            ],
+                            dtype=object,
+                        )
+                yield pd.DataFrame(out)
+
+    paths_df = spark.createDataFrame([(path,)], "path string")
+    return paths_df.mapInPandas(gen, schema)
+
+
+def read_table(path: str, columns: list | None = None) -> dict:
+    """Decode a whole flat parquet file with the engine's codecs ->
+    {column: (values, validity)} where values is numpy for fixed types,
+    a list[bytes|None] for byte arrays / FLBA, and epoch-ns int64 for
+    INT96. One entry per column across all row groups."""
+    info = read_file_info(path)
+    out: dict = {}
+    for col in info.columns:
+        if columns is not None and col.path not in columns:
+            continue
+        vals, validity = read_column(path, col)
+        if col.path in out:
+            raise ValueError(
+                f"{col.path}: multiple row groups — concatenate support "
+                "not needed for the golden files (all are single-group)"
+            )
+        if isinstance(vals, tuple):
+            lens, data = vals
+            if col.phys == "int96":
+                out[col.path] = (_int96_to_ns(lens, data), validity)
+                continue
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            present = iter(
+                bytes(data[offs[i] : offs[i + 1]]) for i in range(len(lens))
+            )
+            full = [next(present) if ok else None for ok in validity]
+            out[col.path] = (full, validity)
+        else:
+            out[col.path] = (vals, validity)
+    return out

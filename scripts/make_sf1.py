@@ -11,7 +11,11 @@ texts get a ' r{i}' suffix so exact-dup mass doesn't grow 10x (the
 original exact-dup structure is preserved inside each replica... i=0 is
 byte-identical to sf0.1).
 
-Usage: python scripts/make_sf1.py [out_dir]   (default /tmp/sg_sf1_v1)
+Usage: python scripts/make_sf1.py [out_dir] [copies]
+       (defaults /tmp/sg_sf1_v1 and 10; copies=100 -> sf10, used for the
+       r5 heavy-path spot-probe. Key offsets stay collision-free up to
+       copies=100: doc/vec ids reach 9.9M + base < the 10M planting
+       offset.)
 """
 
 from __future__ import annotations
@@ -23,11 +27,14 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10  # default; argv[2] overrides
 
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sg_sf1_v1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    if copies > 100:
+        raise SystemExit("copies > 100 breaks the planted-id offset headroom")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # dimension tables: byte-identical copies
@@ -71,7 +78,7 @@ def main() -> None:
         """,
     }
     for t, sql in derivations.items():
-        q = sql.format(n=COPIES)
+        q = sql.format(n=copies)
         con.execute(
             f"""
             COPY (WITH src AS (SELECT * FROM '{SRC}/{t}.parquet')
@@ -81,7 +88,7 @@ def main() -> None:
         )
         n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n:,} rows")
-    print(f"sf1 dataset at {out}")
+    print(f"dataset ({copies}x sf0.1) at {out}")
 
 
 if __name__ == "__main__":

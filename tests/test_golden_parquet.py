@@ -1,0 +1,177 @@
+"""Byte-level interop: decode the reference's OWN golden parquet files
+(written by Impala / parquet-mr, tested by the reference at
+``src/file/reader.rs:545-703``) with the engine's codecs and match
+pyarrow's read value-for-value. This is the cross-validation that
+self-round-trips cannot provide: the thrift footer/page parsing and every
+value grammar (PLAIN, PLAIN_DICTIONARY/RLE_DICTIONARY, RLE-boolean,
+DELTA_BINARY_PACKED, DELTA_BYTE_ARRAY, v1+v2 pages, raw snappy) run
+against bytes no code in this repo produced."""
+
+import numpy as np
+import pytest
+
+from engine import parquet_compat as pc
+
+DATA = "/root/reference/data"
+
+
+def _assert_column_matches(ours, ref, col, atol=1e-6):
+    vals, valid = ours[col]
+    rc = ref.column(col)
+    if str(rc.type).startswith("timestamp"):
+        want = rc.cast("int64").to_pylist()
+    else:
+        want = rc.to_pylist()
+    if isinstance(vals, list):
+        got = vals
+    else:
+        got = [vals[i] if ok else None for i, ok in enumerate(valid)]
+    assert len(got) == len(want), col
+    for i, (g, w) in enumerate(zip(got, want)):
+        if g is None or w is None:
+            assert g is None and w is None, (col, i, g, w)
+        elif isinstance(w, float):
+            assert abs(g - w) <= atol, (col, i, g, w)
+        elif isinstance(w, str) and isinstance(g, bytes):
+            # engine surfaces BYTE_ARRAY as raw bytes; pyarrow decodes
+            # UTF8-annotated columns to str
+            assert g.decode() == w, (col, i, g, w)
+        else:
+            assert g == w, (col, i, g, w)
+
+
+@pytest.mark.parametrize(
+    "fname",
+    [
+        "alltypes_plain.parquet",
+        "alltypes_dictionary.parquet",
+        "alltypes_plain.snappy.parquet",
+    ],
+)
+def test_alltypes_golden_files_value_exact(fname):
+    """Impala alltypes files: PLAIN + PLAIN_DICTIONARY over every scalar
+    physical type incl. INT96 timestamps and (for .snappy) raw-snappy
+    pages — all 11 columns must match pyarrow exactly."""
+    import pyarrow.parquet as pq
+
+    path = f"{DATA}/{fname}"
+    ours = pc.read_table(path)
+    ref = pq.read_table(path)
+    assert set(ours) == set(ref.column_names)
+    for col in ref.column_names:
+        _assert_column_matches(ours, ref, col)
+
+
+def test_10k_v2_delta_codecs_value_exact():
+    """parquet-mr 10k-v2: DELTA_BINARY_PACKED (int32+int64),
+    DELTA_BYTE_ARRAY (variable binary AND fixed-len), RLE boolean values,
+    PLAIN floats and an RLE_DICTIONARY INT96 column — 10000 rows each,
+    decoded by the engine's own delta/rle/plain kernels."""
+    import pyarrow.parquet as pq
+
+    path = f"{DATA}/10k-v2.parquet"
+    ours = pc.read_table(path)
+    ref = pq.read_table(path)
+    for col in ref.column_names:
+        _assert_column_matches(ours, ref, col)
+    info = pc.read_file_info(path)
+    encs = {c.path: c.encodings for c in info.columns}
+    assert "DELTA_BINARY_PACKED" in encs["int32_field"]
+    assert "DELTA_BYTE_ARRAY" in encs["binary_field"]
+    assert "DELTA_BYTE_ARRAY" in encs["flba_field"]
+    assert "RLE" in encs["boolean_field"]
+
+
+def test_datapage_v2_and_nested_nulls():
+    """v2 data pages (uncompressed level section + snappy value section,
+    parquet-mr 1.8) and a twice-optional nested leaf whose 8 rows are all
+    NULL at some level (nulls.snappy.parquet)."""
+    import pyarrow.parquet as pq
+
+    path = f"{DATA}/test_datapage_v2.snappy.parquet"
+    ours = pc.read_table(path, columns=["a", "b", "c", "d"])
+    ref = pq.read_table(path)
+    for col in ["a", "b", "c", "d"]:
+        _assert_column_matches(ours, ref, col)
+    # repeated column: explicitly out of scope, fails clean
+    info = pc.read_file_info(path)
+    e = [c for c in info.columns if c.path == "e.list.element"][0]
+    with pytest.raises(ValueError, match="repeated"):
+        pc.read_column(path, e)
+
+    path = f"{DATA}/nulls.snappy.parquet"
+    ours = pc.read_table(path)
+    vals, valid = ours["b_struct.b_c_int"]
+    ref = pq.read_table(path)
+    want = [
+        None if v is None else v["b_c_int"]
+        for v in ref.column("b_struct").to_pylist()
+    ]
+    got = [vals[i] if ok else None for i, ok in enumerate(valid)]
+    assert got == want == [None] * 8
+
+
+def test_footer_metadata_matches_pyarrow():
+    """The pure-python thrift compact parser agrees with pyarrow's footer
+    read on row counts, physical types and value counts."""
+    import pyarrow.parquet as pq
+
+    for fname in ["alltypes_plain.parquet", "10k-v2.parquet"]:
+        path = f"{DATA}/{fname}"
+        info = pc.read_file_info(path)
+        md = pq.ParquetFile(path).metadata
+        assert info.num_rows == md.num_rows
+        rg = md.row_group(0)
+        ref_cols = {
+            rg.column(i).path_in_schema: rg.column(i)
+            for i in range(rg.num_columns)
+        }
+        assert {c.path for c in info.columns} == set(ref_cols)
+        for c in info.columns:
+            assert c.num_values == ref_cols[c.path].num_values, c.path
+        assert info.created_by.split("(")[0] == (md.created_by or "").split("(")[0]
+
+
+def test_malformed_footer_fails_clean(tmp_path):
+    p = tmp_path / "x.parquet"
+    p.write_bytes(b"PAR1garbagePAR1")
+    with pytest.raises((ValueError, IndexError)):
+        pc.read_file_info(str(p))
+    p.write_bytes(b"NOPE")
+    with pytest.raises(ValueError, match="magic"):
+        pc.read_file_info(str(p))
+    # dictionary-encoded page with no dictionary page fails loudly
+    # (synthesized: point a dict-encoded column's offset past its dict page)
+    path = f"{DATA}/alltypes_dictionary.parquet"
+    info = pc.read_file_info(path)
+    col = info.columns[0]
+    import dataclasses
+
+    broken = dataclasses.replace(
+        col,
+        start_offset=col.start_offset + 20,
+        total_compressed=col.total_compressed - 20,
+    )
+    with pytest.raises(ValueError):
+        pc.read_column(path, broken)
+
+
+def test_spark_distributed_golden_read(spark):
+    """read_parquet_with_engine: the mapInPandas path returns the same
+    rows as the driver-side decode, with the footer-derived schema."""
+    path = f"{DATA}/alltypes_plain.parquet"
+    df = pc.read_parquet_with_engine(
+        spark, path, columns=["id", "bigint_col", "string_col", "timestamp_col"]
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 8
+    ours = pc.read_table(path, columns=["id", "bigint_col", "string_col", "timestamp_col"])
+    ids = ours["id"][0]
+    bigs = ours["bigint_col"][0]
+    ts = ours["timestamp_col"][0]
+    strs = ours["string_col"][0]
+    for i, vid in enumerate(ids):
+        assert rows[vid]["bigint_col"] == bigs[i]
+        assert bytes(rows[vid]["string_col"]) == strs[i]
+        assert rows[vid]["timestamp_col"] == ts[i]
+    assert dict(df.dtypes)["timestamp_col"] == "bigint"
