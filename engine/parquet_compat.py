@@ -362,14 +362,27 @@ def _decode_dict_page(payload: np.ndarray, nvals: int, col: ColumnInfo):
 
 
 def read_column(path: str, col: ColumnInfo):
-    """Decode one column chunk -> (values, validity) where values is a numpy
-    array or a (lengths, data) pair and validity is a bool array over ROWS
-    (True = present; all-True for required columns)."""
+    """Decode one FLAT column chunk -> (values, validity) where values is a
+    numpy array or a (lengths, data) pair and validity is a bool array over
+    ROWS (True = present; all-True for required columns)."""
     if col.max_rep:
         raise ValueError(
-            f"{col.path}: repeated column — out of scope for the flat "
-            "golden-file validator"
+            f"{col.path}: repeated column — row assembly is out of scope "
+            "for the flat validator; use read_column_with_levels for the "
+            "leaf-stream view"
         )
+    vals, defs, _ = read_column_with_levels(path, col)
+    return vals, defs == col.max_def
+
+
+def read_column_with_levels(path: str, col: ColumnInfo):
+    """Decode one column chunk of ANY nesting -> (values, def_levels,
+    rep_levels): the raw Dremel leaf streams. ``values`` holds exactly the
+    stored (non-null, def == max_def) leaf values in record order — the
+    stream the engine's TreeBuilder analog assembles from — so foreign
+    repeated columns validate the level grammar + value grammar without a
+    second row-assembly implementation. rep_levels is all-zero for
+    non-repeated columns."""
     with open(path, "rb") as f:
         f.seek(col.start_offset)
         chunk = f.read(col.total_compressed)
@@ -378,6 +391,7 @@ def read_column(path: str, col: ColumnInfo):
     dictionary = None
     vals_parts = []
     defs_parts = []
+    reps_parts = []
     n_done = 0
     while n_done < col.num_values:
         # fail-clean contract (same as the engine's chunk decoders): a
@@ -411,6 +425,19 @@ def read_column(path: str, col: ColumnInfo):
                 _decompress(body.tobytes(), col.codec, raw_len), np.uint8
             )
             off = 0
+            # v1 level order: repetition levels first, then definition
+            # levels, each a 4-byte-length-prefixed RLE hybrid
+            if col.max_rep:
+                if dh.get(4, 3) != 3:
+                    raise ValueError(
+                        f"{col.path}: BIT_PACKED v1 rep levels unsupported"
+                    )
+                reps, consumed = rle.decode_len_prefixed(
+                    payload, _bit_width(col.max_rep), nlevels
+                )
+                off += consumed
+            else:
+                reps = np.zeros(nlevels, np.uint64)
             if col.max_def:
                 dlenc = dh.get(3, 3)
                 if dlenc != 3:  # definition_level_encoding must be RLE
@@ -418,9 +445,9 @@ def read_column(path: str, col: ColumnInfo):
                         f"{col.path}: BIT_PACKED v1 levels unsupported"
                     )
                 defs, consumed = rle.decode_len_prefixed(
-                    payload, _bit_width(col.max_def), nlevels
+                    payload[off:], _bit_width(col.max_def), nlevels
                 )
-                off = consumed
+                off += consumed
             else:
                 defs = np.full(nlevels, col.max_def, np.uint64)
             nvals = int((defs == col.max_def).sum())
@@ -428,6 +455,7 @@ def read_column(path: str, col: ColumnInfo):
                 _decode_values(enc, payload[off:], nvals, col, dictionary)
             )
             defs_parts.append(defs)
+            reps_parts.append(reps)
             n_done += nlevels
             continue
         if ptype == _PAGE_DATA_V2:
@@ -438,12 +466,19 @@ def read_column(path: str, col: ColumnInfo):
             dl_len = dh[5]
             rl_len = dh[6]
             compressed = dh.get(7, True)
-            if rl_len:
-                raise ValueError(f"{col.path}: v2 repetition levels present")
-            # v2 levels are NOT length-prefixed and NOT compressed
+            # v2 level order: repetition then definition, NOT
+            # length-prefixed and NOT compressed (lengths in the header)
+            if col.max_rep:
+                reps = rle.decode(
+                    body[:rl_len], _bit_width(col.max_rep), nlevels
+                )
+            else:
+                reps = np.zeros(nlevels, np.uint64)
             if col.max_def:
                 defs = rle.decode(
-                    body[: dl_len], _bit_width(col.max_def), nlevels
+                    body[rl_len : rl_len + dl_len],
+                    _bit_width(col.max_def),
+                    nlevels,
                 )
             else:
                 defs = np.full(nlevels, col.max_def, np.uint64)
@@ -456,22 +491,23 @@ def read_column(path: str, col: ColumnInfo):
                 _decode_values(enc, payload, nvals, col, dictionary)
             )
             defs_parts.append(defs)
+            reps_parts.append(reps)
             n_done += nlevels
             continue
         raise ValueError(f"{col.path}: unsupported page type {ptype}")
 
     defs = np.concatenate(defs_parts) if defs_parts else np.empty(0, np.uint64)
-    validity = defs == col.max_def
+    reps = np.concatenate(reps_parts) if reps_parts else np.empty(0, np.uint64)
     if vals_parts and isinstance(vals_parts[0], tuple):
         lens = np.concatenate([p[0] for p in vals_parts]).astype(np.int64)
         data = b"".join(p[1] for p in vals_parts)
-        return (lens, data), validity
+        return (lens, data), defs, reps
     vals = (
         np.concatenate(vals_parts)
         if vals_parts
         else np.empty(0, np.uint8)
     )
-    return vals, validity
+    return vals, defs, reps
 
 
 def _int96_to_ns(lens: np.ndarray, data: bytes) -> np.ndarray:
