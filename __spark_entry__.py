@@ -1984,6 +1984,74 @@ FROM read_parquet('{_GOLDEN_DIR}/10k-v2.parquet')
 """
 
 
+def _q_parquet_export(spark, sf_dir) -> DataFrame:
+    """Writer-side parquet interop (the inverse of the golden_file_* read
+    gates): each partition of the documents table is written as a REAL
+    parquet file by engine/parquet_out.py — engine codecs wrapped in
+    thrift-compact page headers + footer (DELTA_BINARY_PACKED doc ids,
+    DELTA_LENGTH_BYTE_ARRAY text, PLAIN_DICTIONARY lang/source) — then
+    read back with Spark's own JVM parquet reader and hashed against the
+    DuckDB oracle over the ORIGINAL table. Green means a plain parquet
+    consumer can read what this engine writes, byte-grammar included."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import numpy as np
+    import pandas as pd
+
+    _engine(spark)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_pq_export_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    def part(batches):
+        from engine import parquet_out
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs)
+        pdf = pdf.sort_values("doc_id")  # delta loves sorted ids; any order works
+        cols = [
+            ("doc_id", "int64", "DELTA_BINARY_PACKED",
+             pdf["doc_id"].to_numpy(np.int64), None),
+            ("text", "utf8", "DELTA_LENGTH_BYTE_ARRAY",
+             parquet_out.flat_strings(pdf["text"]), None),
+            ("lang", "utf8", "PLAIN_DICTIONARY",
+             parquet_out.flat_strings(pdf["lang"]), None),
+            ("source", "utf8", "PLAIN_DICTIONARY",
+             parquet_out.flat_strings(pdf["source"]), None),
+            ("n_chars", "int64", "PLAIN",
+             pdf["n_chars"].to_numpy(np.int64), None),
+        ]
+        p = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        info = parquet_out.write_table(p, cols)
+        yield pd.DataFrame({"path": [p], "rows": [info["rows"]]})
+
+    manifest = docs.mapInPandas(part, "path string, rows long")
+    manifest.agg(F.sum("rows")).collect()  # force the distributed write
+    back = spark.read.parquet(out_dir)
+    return back.select(
+        F.col("doc_id").cast("long"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long"),
+    )
+
+
+_ORACLE_PARQUET_EXPORT = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def _q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal feature extraction over an opaque-binary media table read
     from parquet; n_bytes/content_sha are oracle-checked by DuckDB over the
@@ -2065,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_resize"] = _q_media_resize
     q["golden_file_alltypes"] = _q_golden_alltypes
     q["golden_file_10k_delta"] = _q_golden_10k_delta
+    q["parquet_export"] = _q_parquet_export
     return q
 
 
@@ -2133,4 +2202,5 @@ def oracle_sql() -> dict[str, str]:
     )
     o["golden_file_alltypes"] = _ORACLE_GOLDEN_ALLTYPES
     o["golden_file_10k_delta"] = _ORACLE_GOLDEN_10K
+    o["parquet_export"] = _ORACLE_PARQUET_EXPORT
     return o

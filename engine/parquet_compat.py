@@ -602,7 +602,10 @@ def read_table(path: str, columns: list | None = None) -> dict:
         if isinstance(vals, tuple):
             lens, data = vals
             if col.phys == "int96":
-                out[col.path] = (_int96_to_ns(lens, data), validity)
+                dense = _int96_to_ns(lens, data)
+                full96 = np.zeros(len(validity), np.int64)
+                full96[validity] = dense
+                out[col.path] = (full96, validity)
                 continue
             offs = np.concatenate(([0], np.cumsum(lens)))
             present = iter(
@@ -611,5 +614,10 @@ def read_table(path: str, columns: list | None = None) -> dict:
             full = [next(present) if ok else None for ok in validity]
             out[col.path] = (full, validity)
         else:
-            out[col.path] = (vals, validity)
+            # pages store ONLY def==max_def values; scatter the dense
+            # stream to row positions so callers can index by row (null
+            # slots hold the dtype's zero — consult validity)
+            full_np = np.zeros(len(validity), vals.dtype)
+            full_np[validity] = vals
+            out[col.path] = (full_np, validity)
     return out

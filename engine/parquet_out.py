@@ -1,0 +1,391 @@
+"""Write REAL parquet files with the engine's own codecs — the inverse of
+``engine/parquet_compat.py``'s golden-file read path. Together they close
+the interop loop the reference lives in (``src/file/writer.rs`` emits
+files Impala/Spark can read): chunk payloads produced by
+``engine/codecs/{plain,rle,delta_for,bytearrays,dictionary-grammar}`` are
+wrapped in thrift-compact page headers + a FileMetaData footer that
+pyarrow, DuckDB and Spark's built-in reader all consume.
+
+Scope (deliberately the engine's core value shapes, not a second general
+writer): flat required/optional columns of bool / int32 / int64 / float32
+/ float64 / byte_array (UTF8 or raw), one row group, data page v1,
+encodings PLAIN, PLAIN_DICTIONARY, DELTA_BINARY_PACKED,
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, RLE (boolean), with optional
+SNAPPY/GZIP/ZSTD page compression. The engine's production container
+remains its own chunk format (frames + lineage + snapshots); this module
+is the interchange exit ramp — "a user of the reference could switch"
+includes handing files back to plain parquet readers.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .codecs import bitpack, delta_for, plain, rle
+
+MAGIC = b"PAR1"
+
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_STRUCT = 12
+
+_PHYS_IDS = {
+    "bool": 0,
+    "int32": 1,
+    "int64": 2,
+    "float32": 4,
+    "float64": 5,
+    "byte_array": 6,
+}
+_ENC_IDS = {
+    "PLAIN": 0,
+    "PLAIN_DICTIONARY": 2,
+    "RLE": 3,
+    "DELTA_BINARY_PACKED": 5,
+    "DELTA_LENGTH_BYTE_ARRAY": 6,
+    "DELTA_BYTE_ARRAY": 7,
+}
+_CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "lz4": 5, "zstd": 6}
+
+
+class _Writer:
+    """Thrift compact protocol writer (the mirror of parquet_compat's
+    _Reader): structs are emitted from (field_id, type, value) triples in
+    ascending id order so the delta encoding stays in range."""
+
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def _varint(self, v: int) -> None:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+        self.parts.append(bytes(out))
+
+    def _zigzag(self, v: int) -> None:
+        self._varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    def _value(self, ctype: int, v) -> None:
+        if ctype in (_CT_I32, _CT_I64):
+            self._zigzag(int(v))
+        elif ctype == _CT_BINARY:
+            b = v.encode() if isinstance(v, str) else bytes(v)
+            self._varint(len(b))
+            self.parts.append(b)
+        elif ctype == _CT_LIST:
+            etype, items = v
+            n = len(items)
+            if n < 15:
+                self.parts.append(bytes([(n << 4) | etype]))
+            else:
+                self.parts.append(bytes([0xF0 | etype]))
+                self._varint(n)
+            for it in items:
+                self._value(etype, it)
+        elif ctype == _CT_STRUCT:
+            self.struct(v)
+        elif ctype in (_CT_TRUE, _CT_FALSE):
+            pass  # value carried by the field type itself
+        else:
+            raise ValueError(f"unsupported thrift write type {ctype}")
+
+    def struct(self, fields: list) -> None:
+        """fields: [(field_id, ctype, value)] — bools pass ctype _CT_TRUE/
+        _CT_FALSE directly."""
+        last = 0
+        for fid, ctype, v in fields:
+            if isinstance(v, bool) and ctype in (_CT_TRUE, _CT_FALSE):
+                ctype = _CT_TRUE if v else _CT_FALSE
+            delta = fid - last
+            if 0 < delta <= 15:
+                self.parts.append(bytes([(delta << 4) | ctype]))
+            else:
+                self.parts.append(bytes([ctype]))
+                self._zigzag(fid)
+            last = fid
+            self._value(ctype, v)
+        self.parts.append(b"\x00")
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _tstruct(fields: list) -> bytes:
+    w = _Writer()
+    w.struct(fields)
+    return w.bytes()
+
+
+def _compress(buf: bytes, codec: str | None) -> bytes:
+    if codec is None:
+        return buf
+    if codec == "gzip":
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(buf) + co.flush()
+    import pyarrow as pa
+
+    return pa.Codec(codec).compress(buf).to_pybytes()
+
+
+def _plain_values(phys: str, values) -> bytes:
+    if phys == "byte_array":
+        lens, data = values
+        return plain.encode_byte_arrays(lens, data)
+    return plain.encode(values, phys)
+
+
+def _encode_values(phys: str, enc: str, values) -> bytes:
+    """Dense (non-null) values -> parquet value-section bytes. byte_array
+    values arrive as (lengths, concat-data)."""
+    if enc == "PLAIN":
+        return _plain_values(phys, values)
+    if enc == "DELTA_BINARY_PACKED":
+        return delta_for.encode(values, phys)
+    if enc == "DELTA_LENGTH_BYTE_ARRAY":
+        lens, data = values
+        # real parquet embeds the self-delimiting delta stream directly
+        # (no 4-byte frame like the engine's own chunk format)
+        return delta_for.encode(
+            np.ascontiguousarray(lens, np.int32), "int32"
+        ) + (data if isinstance(data, bytes) else bytes(data))
+    if enc == "DELTA_BYTE_ARRAY":
+        from .codecs import bytearrays
+
+        lens, data = values
+        lens = np.ascontiguousarray(lens, np.int64)
+        arr = np.frombuffer(data, np.uint8)
+        prefix = bytearrays._common_prefix_lengths(lens, arr)
+        suffix_lens = lens - prefix
+        off = np.concatenate(([0], np.cumsum(lens)))
+        starts = off[:-1] + prefix
+        total = int(suffix_lens.sum())
+        rep = np.repeat(starts, suffix_lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(suffix_lens)[:-1])), suffix_lens
+        )
+        suffix = arr[rep + within].tobytes() if total else b""
+        return (
+            delta_for.encode(prefix.astype(np.int32), "int32")
+            + delta_for.encode(suffix_lens.astype(np.int32), "int32")
+            + suffix
+        )
+    if enc == "RLE":
+        if phys != "bool":
+            raise ValueError("RLE value encoding is boolean-only")
+        return rle.encode_len_prefixed(
+            np.ascontiguousarray(values, np.uint64), 1
+        )
+    raise ValueError(f"unsupported write encoding {enc}")
+
+
+def _dict_pages(phys: str, values):
+    """PLAIN_DICTIONARY: (dict page bytes, data page value bytes, n_dict).
+    Uniques keep first-appearance order — same contract as the engine's
+    DictEncoder (pd.factorize / arrow dictionary_encode order)."""
+    if phys == "byte_array":
+        lens, data = values
+        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+        arr = np.frombuffer(data, np.uint8)
+        seen: dict = {}
+        idx = np.empty(len(lens), np.int64)
+        u_lens = []
+        u_parts = []
+        for i in range(len(lens)):
+            v = arr[offs[i] : offs[i + 1]].tobytes()
+            j = seen.get(v)
+            if j is None:
+                j = len(seen)
+                seen[v] = j
+                u_lens.append(len(v))
+                u_parts.append(v)
+            idx[i] = j
+        dict_plain = plain.encode_byte_arrays(
+            np.asarray(u_lens, np.uint32), b"".join(u_parts)
+        )
+        n_dict = len(u_lens)
+    else:
+        import pandas as pd
+
+        codes, uniques = pd.factorize(np.asarray(values))
+        idx = codes.astype(np.int64)
+        dict_plain = plain.encode(np.asarray(uniques), phys)
+        n_dict = len(uniques)
+    width = max(int(n_dict - 1).bit_length(), 1)
+    body = bytes([width]) + rle.encode(idx.astype(np.uint64), width)
+    return dict_plain, body, n_dict
+
+
+def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
+    fields = [(1, _CT_I32, ptype), (2, _CT_I32, raw_len), (3, _CT_I32, comp_len)]
+    if ptype == 0:
+        fields.append((5, _CT_STRUCT, inner))
+    else:
+        fields.append((7, _CT_STRUCT, inner))
+    return _tstruct(fields)
+
+
+def write_table(path: str, columns: list, codec: str | None = None,
+                created_by: str = "spark-graft encoder") -> dict:
+    """Write one row group of flat columns as a real parquet file.
+
+    ``columns``: list of (name, phys, encoding, values, validity) where
+    phys is an engine dtype name ('bool'/'int32'/'int64'/'float32'/
+    'float64'/'byte_array'/'utf8'), values is a numpy array (fixed types,
+    null slots may hold anything) or (lengths, data) for byte arrays
+    (dense: non-null values only), and validity is a bool array or None
+    for required. 'utf8' = byte_array + UTF8 annotation so readers
+    surface strings. Returns {'rows': n, 'bytes': file size}.
+    """
+    out = bytearray(MAGIC)
+    col_meta = []
+    num_rows = None
+    for name, phys, enc, values, validity in columns:
+        utf8 = phys == "utf8"
+        if utf8:
+            phys = "byte_array"
+        if phys == "byte_array":
+            n_dense = len(values[0])
+        else:
+            values = np.asarray(values)
+            n_dense = len(values)
+        n = n_dense if validity is None else len(validity)
+        if num_rows is None:
+            num_rows = n
+        elif num_rows != n:
+            raise ValueError(f"{name}: {n} rows vs {num_rows} in prior columns")
+
+        # levels + dense values
+        if validity is not None:
+            validity = np.asarray(validity, bool)
+            if phys != "byte_array":
+                values = values[validity]
+            elif len(values[0]) != int(validity.sum()):
+                raise ValueError(
+                    f"{name}: byte-array values must be dense (non-null only)"
+                )
+            levels = rle.encode_len_prefixed(
+                validity.astype(np.uint64), 1
+            )
+            max_def = 1
+        else:
+            levels = b""
+            max_def = 0
+
+        start = len(out)
+        encodings = set()
+        if enc == "PLAIN_DICTIONARY":
+            dict_plain, body, n_dict = _dict_pages(phys, values)
+            comp_dict = _compress(dict_plain, codec)
+            out += _page_header(
+                2,
+                len(dict_plain),
+                len(comp_dict),
+                [(1, _CT_I32, n_dict), (2, _CT_I32, _ENC_IDS["PLAIN_DICTIONARY"])],
+            )
+            dict_off = start
+            out += comp_dict
+            data_raw = levels + body
+            encodings.add("PLAIN_DICTIONARY")
+        else:
+            dict_off = None
+            data_raw = levels + _encode_values(phys, enc, values)
+            encodings.add(enc)
+        data_off = len(out)
+        comp = _compress(data_raw, codec)
+        dph = [
+            (1, _CT_I32, n),
+            (2, _CT_I32, _ENC_IDS[enc]),
+            (3, _CT_I32, _ENC_IDS["RLE"]),  # definition level encoding
+            (4, _CT_I32, _ENC_IDS["RLE"]),  # repetition level encoding
+        ]
+        out += _page_header(0, len(data_raw), len(comp), dph)
+        out += comp
+        total_comp = len(out) - start
+        encodings.add("RLE")
+        col_meta.append(
+            {
+                "name": name,
+                "phys": phys,
+                "utf8": utf8,
+                "max_def": max_def,
+                "encodings": sorted(_ENC_IDS[e] for e in encodings),
+                "n": n,
+                "start": start,
+                "data_off": data_off,
+                "dict_off": dict_off,
+                "total_comp": total_comp,
+                "total_raw": total_comp,  # close enough for uncompressed
+            }
+        )
+
+    # footer: schema elements (root + one per column) then row group
+    schema = [
+        (
+            [(4, _CT_BINARY, "schema"), (5, _CT_I32, len(col_meta))]
+        )
+    ]
+    for c in col_meta:
+        el = [
+            (1, _CT_I32, _PHYS_IDS[c["phys"]]),
+            (3, _CT_I32, 1 if c["max_def"] else 0),  # optional / required
+            (4, _CT_BINARY, c["name"]),
+        ]
+        if c["utf8"]:
+            el.append((6, _CT_I32, 0))  # ConvertedType.UTF8
+        schema.append(el)
+
+    chunks = []
+    for c in col_meta:
+        meta = [
+            (1, _CT_I32, _PHYS_IDS[c["phys"]]),
+            (2, _CT_LIST, (_CT_I32, c["encodings"])),
+            (3, _CT_LIST, (_CT_BINARY, [c["name"]])),
+            (4, _CT_I32, _CODEC_IDS[codec]),
+            (5, _CT_I64, c["n"]),
+            (6, _CT_I64, c["total_raw"]),
+            (7, _CT_I64, c["total_comp"]),
+            (9, _CT_I64, c["data_off"]),
+        ]
+        if c["dict_off"] is not None:
+            meta.append((11, _CT_I64, c["dict_off"]))
+        chunks.append([(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)])
+
+    rowgroup = [
+        (1, _CT_LIST, (_CT_STRUCT, chunks)),
+        (2, _CT_I64, sum(c["total_comp"] for c in col_meta)),
+        (3, _CT_I64, num_rows or 0),
+    ]
+    footer = _tstruct(
+        [
+            (1, _CT_I32, 1),  # version
+            (2, _CT_LIST, (_CT_STRUCT, schema)),
+            (3, _CT_I64, num_rows or 0),
+            (4, _CT_LIST, (_CT_STRUCT, [rowgroup])),
+            (6, _CT_BINARY, created_by),
+        ]
+    )
+    out += footer
+    out += struct.pack("<I", len(footer))
+    out += MAGIC
+    with open(path, "wb") as f:
+        f.write(out)
+    return {"rows": num_rows or 0, "bytes": len(out)}
+
+
+def flat_strings(values) -> tuple[np.ndarray, bytes]:
+    """Convenience: list of str/bytes -> the (lengths, data) dense form."""
+    bs = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+    return np.asarray([len(b) for b in bs], np.int64), b"".join(bs)
