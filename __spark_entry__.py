@@ -2031,13 +2031,20 @@ def _q_parquet_export(spark, sf_dir) -> DataFrame:
             ("n_chars", "int64", "PLAIN",
              pdf["n_chars"].to_numpy(np.int64), None),
         ]
+        # tmp + atomic rename so a task killed mid-write never leaves a
+        # truncated .parquet for the read-back to trip on (r5 review #3)
         p = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        info = parquet_out.write_table(p, cols)
+        info = parquet_out.write_table(p + ".tmp", cols)
+        os.replace(p + ".tmp", p)
         yield pd.DataFrame({"path": [p], "rows": [info["rows"]]})
 
     manifest = docs.mapInPandas(part, "path string, rows long")
-    manifest.agg(F.sum("rows")).collect()  # force the distributed write
-    back = spark.read.parquet(out_dir)
+    # read back ONLY the manifest-listed files: the manifest holds one row
+    # per SUCCESSFUL task, so a retried/speculative attempt's orphan file
+    # in the directory is excluded (the same committed-files-only contract
+    # the engine's ChunkStore snapshots enforce)
+    paths = [r["path"] for r in manifest.collect()]
+    back = spark.read.parquet(*paths)
     return back.select(
         F.col("doc_id").cast("long"),
         "text",

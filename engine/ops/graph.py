@@ -38,8 +38,12 @@ from pyspark.sql import DataFrame, functions as F
 # contract into code (VERDICT r4 #3): concurrent reliable-mode calls
 # serialize; each runs to completion with the pointer it set. Process-local
 # is the right scope — the pointer being guarded is per-JVM-context and this
-# engine drives one context per driver process.
+# engine drives one context per driver process. The owner thread is tracked
+# so a same-thread NESTED reliable-mode call raises a diagnosable error
+# instead of deadlocking on the non-reentrant lock (r5 review #5) — genuine
+# nesting could never work anyway, there is only one global pointer.
 _RELIABLE_PTR_LOCK = threading.Lock()
+_RELIABLE_PTR_OWNER: list = [None]
 
 
 def _hadoop_rm(sc, path_str: str) -> None:
@@ -88,7 +92,16 @@ class _ReliableCkpt:
         # finish()/abort() release it (both are guaranteed on every path of
         # connected_components). Blocking acquire = concurrent calls
         # serialize instead of corrupting each other's directories.
+        if _RELIABLE_PTR_OWNER[0] == threading.get_ident():
+            raise RuntimeError(
+                "nested reliable-mode connected_components call on the same "
+                "driver thread: the SparkContext has one global checkpoint "
+                "directory pointer, so an inner call would corrupt the outer "
+                "one. Finish the outer call first or use localCheckpoint "
+                "(checkpoint_dir=None) for the inner."
+            )
         _RELIABLE_PTR_LOCK.acquire()
+        _RELIABLE_PTR_OWNER[0] = threading.get_ident()
         self._holds_lock = True
         try:
             self._init_body(sc, checkpoint_dir)
@@ -150,6 +163,7 @@ class _ReliableCkpt:
     def _unlock(self) -> None:
         if self._holds_lock:
             self._holds_lock = False
+            _RELIABLE_PTR_OWNER[0] = None
             _RELIABLE_PTR_LOCK.release()
 
     def finish(self) -> None:

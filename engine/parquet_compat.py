@@ -15,7 +15,8 @@ Scope: flat (non-repeated) leaf columns — any nesting depth of structs,
 optional at any level — with data page v1 + v2, dictionary pages,
 PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY / RLE(boolean) /
 DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY encodings,
-UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4(raw) / BROTLI codecs, physical
+UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW / hadoop-framed LZ4 /
+BROTLI codecs, physical
 types BOOLEAN / INT32 / INT64 / INT96 / FLOAT / DOUBLE / BYTE_ARRAY /
 FIXED_LEN_BYTE_ARRAY. Repeated (list) columns raise — the engine's own
 chunk format covers nesting; this module is a *validator* against foreign
@@ -171,8 +172,9 @@ _CODEC = {
     1: "snappy",
     2: "gzip",
     4: "brotli",
-    5: "lz4",
+    5: "lz4_hadoop",  # deprecated LZ4: hadoop block framing over lz4_raw
     6: "zstd",
+    7: "lz4_raw",
 }
 _PAGE_DATA = 0
 _PAGE_DICT = 2
@@ -280,14 +282,41 @@ def read_file_info(path: str) -> FileInfo:
 def _decompress(buf: bytes, codec: str | None, raw_len: int) -> bytes:
     """RAW parquet page codecs (no frame of our own — this is foreign data).
     pyarrow's linked block codecs need the decompressed size, which the page
-    header supplies."""
+    header supplies. Codec id 5 (deprecated LZ4) is Hadoop block framing —
+    repeated [raw_size BE4][comp_size BE4][lz4_raw block] — NOT the LZ4
+    frame format pyarrow calls 'lz4' (r5 review #2); some writers also
+    emitted bare lz4_raw under id 5, tried as the fallback. All backend
+    errors surface as ValueError (fail-clean contract)."""
     if codec is None:
         return buf
-    if codec == "gzip":
-        return zlib.decompress(buf, wbits=31)
     import pyarrow as pa
 
-    return pa.Codec(codec).decompress(buf, raw_len).to_pybytes()
+    try:
+        if codec == "gzip":
+            return zlib.decompress(buf, wbits=31)
+        if codec == "lz4_hadoop":
+            out = []
+            pos = 0
+            got = 0
+            try:
+                while pos < len(buf) and got < raw_len:
+                    (rlen,) = struct.unpack_from(">I", buf, pos)
+                    (clen,) = struct.unpack_from(">I", buf, pos + 4)
+                    block = buf[pos + 8 : pos + 8 + clen]
+                    out.append(
+                        pa.Codec("lz4_raw").decompress(block, rlen).to_pybytes()
+                    )
+                    pos += 8 + clen
+                    got += rlen
+                if got != raw_len:
+                    raise ValueError("hadoop-lz4 frames did not cover page")
+                return b"".join(out)
+            except (OSError, struct.error, ValueError):
+                # non-framed legacy variant: the whole page is one raw block
+                return pa.Codec("lz4_raw").decompress(buf, raw_len).to_pybytes()
+        return pa.Codec(codec).decompress(buf, raw_len).to_pybytes()
+    except (OSError, pa.lib.ArrowInvalid, zlib.error) as e:
+        raise ValueError(f"page decompression failed ({codec}): {e}") from e
 
 
 def _bit_width(maxval: int) -> int:
@@ -308,12 +337,21 @@ def _decode_values(enc: str, payload: np.ndarray, nvals: int, col: ColumnInfo,
         idx = rle.decode(payload[1:], width, nvals).astype(np.int64)
         if isinstance(dictionary, tuple):  # byte-array dict: (lengths, data)
             lens, data = dictionary
-            offs = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+            lens64 = lens.astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens64)))
             arr = np.frombuffer(data, np.uint8)
-            out_lens = lens[idx]
-            parts = [arr[offs[i] : offs[i] + lens[i]] for i in idx]
-            joined = np.concatenate(parts).tobytes() if parts else b""
-            return out_lens, joined
+            out_lens = lens64[idx]
+            # repeat-gather (one O(total-bytes) fancy index, no per-value
+            # Python — same idiom as bytearrays.encode_delta_byte_array)
+            total = int(out_lens.sum())
+            if total == 0:
+                return lens[idx], b""
+            rep = np.repeat(offs[idx], out_lens)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(out_lens)[:-1])), out_lens
+            )
+            joined = arr[rep + within].tobytes() if total else b""
+            return lens[idx], joined
         return dictionary[idx]
     if enc == "PLAIN":
         if phys == "byte_array":

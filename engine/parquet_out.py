@@ -11,7 +11,7 @@ writer): flat required/optional columns of bool / int32 / int64 / float32
 / float64 / byte_array (UTF8 or raw), one row group, data page v1,
 encodings PLAIN, PLAIN_DICTIONARY, DELTA_BINARY_PACKED,
 DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, RLE (boolean), with optional
-SNAPPY/GZIP/ZSTD page compression. The engine's production container
+SNAPPY/GZIP/ZSTD/BROTLI/LZ4_RAW page compression. The engine's production container
 remains its own chunk format (frames + lineage + snapshots); this module
 is the interchange exit ramp — "a user of the reference could switch"
 includes handing files back to plain parquet readers.
@@ -52,7 +52,11 @@ _ENC_IDS = {
     "DELTA_LENGTH_BYTE_ARRAY": 6,
     "DELTA_BYTE_ARRAY": 7,
 }
-_CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "lz4": 5, "zstd": 6}
+# 'lz4' means LZ4_RAW (codec id 7): parquet id 5 is the DEPRECATED
+# hadoop-framed variant, and pyarrow's Codec('lz4') is the LZ4 *frame*
+# format — labeling frame bytes as id 5 would produce unreadable files
+# (r5 review #2). Modern readers (arrow, DuckDB, Spark) all take LZ4_RAW.
+_CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "lz4": 7, "zstd": 6}
 
 
 class _Writer:
@@ -137,7 +141,9 @@ def _compress(buf: bytes, codec: str | None) -> bytes:
         return co.compress(buf) + co.flush()
     import pyarrow as pa
 
-    return pa.Codec(codec).compress(buf).to_pybytes()
+    return pa.Codec("lz4_raw" if codec == "lz4" else codec).compress(
+        buf
+    ).to_pybytes()
 
 
 def _plain_values(phys: str, values) -> bytes:
@@ -196,33 +202,42 @@ def _dict_pages(phys: str, values):
     Uniques keep first-appearance order — same contract as the engine's
     DictEncoder (pd.factorize / arrow dictionary_encode order)."""
     if phys == "byte_array":
+        # arrow dictionary_encode over zero-copy buffers — first-appearance
+        # order, no per-value Python (r5 review #6; same idiom the engine's
+        # own DICT_BA encode uses in jobs/encode.py)
+        import pyarrow as pa
+
         lens, data = values
-        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
-        arr = np.frombuffer(data, np.uint8)
-        seen: dict = {}
-        idx = np.empty(len(lens), np.int64)
-        u_lens = []
-        u_parts = []
-        for i in range(len(lens)):
-            v = arr[offs[i] : offs[i + 1]].tobytes()
-            j = seen.get(v)
-            if j is None:
-                j = len(seen)
-                seen[v] = j
-                u_lens.append(len(v))
-                u_parts.append(v)
-            idx[i] = j
+        lens64 = np.asarray(lens, np.int64)
+        offs32 = np.concatenate(([0], np.cumsum(lens64))).astype(np.int32)
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(lens64),
+            [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(data)],
+        )
+        denc = arr.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from .codecs import bytearrays
+
+        u_lens, u_data = bytearrays.flat_from_arrow(denc.dictionary)
         dict_plain = plain.encode_byte_arrays(
-            np.asarray(u_lens, np.uint32), b"".join(u_parts)
+            u_lens.astype(np.uint32), u_data
         )
         n_dict = len(u_lens)
     else:
         import pandas as pd
 
-        codes, uniques = pd.factorize(np.asarray(values))
+        # use_na_sentinel=False keeps NaN as a REAL dictionary value;
+        # the default emits code -1, which uint-wraps into an arbitrary
+        # valid index and silently corrupts the column (r5 review #1)
+        codes, uniques = pd.factorize(
+            np.asarray(values), use_na_sentinel=False
+        )
         idx = codes.astype(np.int64)
         dict_plain = plain.encode(np.asarray(uniques), phys)
         n_dict = len(uniques)
+    if n_dict == 0:
+        raise ValueError("dictionary encoding of an empty column")
     width = max(int(n_dict - 1).bit_length(), 1)
     body = bytes([width]) + rle.encode(idx.astype(np.uint64), width)
     return dict_plain, body, n_dict
@@ -286,17 +301,20 @@ def write_table(path: str, columns: list, codec: str | None = None,
 
         start = len(out)
         encodings = set()
+        raw_total = 0  # uncompressed bytes of all pages INCL headers (spec)
         if enc == "PLAIN_DICTIONARY":
             dict_plain, body, n_dict = _dict_pages(phys, values)
             comp_dict = _compress(dict_plain, codec)
-            out += _page_header(
+            hdr = _page_header(
                 2,
                 len(dict_plain),
                 len(comp_dict),
                 [(1, _CT_I32, n_dict), (2, _CT_I32, _ENC_IDS["PLAIN_DICTIONARY"])],
             )
             dict_off = start
+            out += hdr
             out += comp_dict
+            raw_total += len(hdr) + len(dict_plain)
             data_raw = levels + body
             encodings.add("PLAIN_DICTIONARY")
         else:
@@ -311,8 +329,10 @@ def write_table(path: str, columns: list, codec: str | None = None,
             (3, _CT_I32, _ENC_IDS["RLE"]),  # definition level encoding
             (4, _CT_I32, _ENC_IDS["RLE"]),  # repetition level encoding
         ]
-        out += _page_header(0, len(data_raw), len(comp), dph)
+        hdr = _page_header(0, len(data_raw), len(comp), dph)
+        out += hdr
         out += comp
+        raw_total += len(hdr) + len(data_raw)
         total_comp = len(out) - start
         encodings.add("RLE")
         col_meta.append(
@@ -327,7 +347,7 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 "data_off": data_off,
                 "dict_off": dict_off,
                 "total_comp": total_comp,
-                "total_raw": total_comp,  # close enough for uncompressed
+                "total_raw": raw_total,
             }
         )
 

@@ -196,3 +196,21 @@ def test_reliable_checkpoint_concurrent_calls_serialize(spark, tmp_path):
     # lock must be free again (acquire must succeed immediately)
     assert graph._RELIABLE_PTR_LOCK.acquire(blocking=False)
     graph._RELIABLE_PTR_LOCK.release()
+
+
+def test_nested_reliable_call_raises_not_deadlocks(spark, tmp_path):
+    """A same-thread nested reliable-mode call must raise a diagnosable
+    error immediately — the non-reentrant pointer lock would otherwise
+    deadlock forever (r5 review #5)."""
+    import pytest
+
+    ckdir = str(tmp_path / "cc-nested")
+    ck = graph._ReliableCkpt(spark.sparkContext, ckdir)
+    try:
+        with pytest.raises(RuntimeError, match="nested reliable-mode"):
+            graph._ReliableCkpt(spark.sparkContext, ckdir)
+    finally:
+        ck.abort()
+    # lock is free again afterwards
+    assert graph._RELIABLE_PTR_LOCK.acquire(blocking=False)
+    graph._RELIABLE_PTR_LOCK.release()
