@@ -589,11 +589,13 @@ def read_parquet_with_engine(spark, path: str, columns: list | None = None):
 
     info = read_file_info(path)
     cols = [c for c in info.columns if columns is None or c.path in columns]
+    # multi-row-group files repeat each column once per group; keep the
+    # first occurrence for schema purposes (read_table concatenates groups)
+    seen: set = set()
+    cols = [c for c in cols if not (c.path in seen or seen.add(c.path))]
     if columns is not None:  # honor requested order
         cols.sort(key=lambda c: columns.index(c.path))
     names = [c.path for c in cols]
-    if len(set(names)) != len(names):
-        raise ValueError("multi-row-group files not needed for golden data")
     schema = ", ".join(
         f"`{c.path}` {_SPARK_TYPES[c.phys]}" for c in cols
     )
@@ -625,37 +627,47 @@ def read_table(path: str, columns: list | None = None) -> dict:
     """Decode a whole flat parquet file with the engine's codecs ->
     {column: (values, validity)} where values is numpy for fixed types,
     a list[bytes|None] for byte arrays / FLBA, and epoch-ns int64 for
-    INT96. One entry per column across all row groups."""
+    INT96. One entry per column; multi-row-group files concatenate in
+    row-group order (row groups are just consecutive chunk batches, same
+    as the engine's own ChunkStore decode)."""
     info = read_file_info(path)
-    out: dict = {}
+    parts: dict = {}
     for col in info.columns:
         if columns is not None and col.path not in columns:
             continue
         vals, validity = read_column(path, col)
-        if col.path in out:
-            raise ValueError(
-                f"{col.path}: multiple row groups — concatenate support "
-                "not needed for the golden files (all are single-group)"
-            )
         if isinstance(vals, tuple):
             lens, data = vals
             if col.phys == "int96":
                 dense = _int96_to_ns(lens, data)
                 full96 = np.zeros(len(validity), np.int64)
                 full96[validity] = dense
-                out[col.path] = (full96, validity)
-                continue
-            offs = np.concatenate(([0], np.cumsum(lens)))
-            present = iter(
-                bytes(data[offs[i] : offs[i + 1]]) for i in range(len(lens))
-            )
-            full = [next(present) if ok else None for ok in validity]
-            out[col.path] = (full, validity)
+                piece = (full96, validity)
+            else:
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                present = iter(
+                    bytes(data[offs[i] : offs[i + 1]])
+                    for i in range(len(lens))
+                )
+                full = [next(present) if ok else None for ok in validity]
+                piece = (full, validity)
         else:
             # pages store ONLY def==max_def values; scatter the dense
             # stream to row positions so callers can index by row (null
             # slots hold the dtype's zero — consult validity)
             full_np = np.zeros(len(validity), vals.dtype)
             full_np[validity] = vals
-            out[col.path] = (full_np, validity)
+            piece = (full_np, validity)
+        parts.setdefault(col.path, []).append(piece)
+    out: dict = {}
+    for name, pieces in parts.items():
+        if len(pieces) == 1:
+            out[name] = pieces[0]
+            continue
+        validity = np.concatenate([p[1] for p in pieces])
+        if isinstance(pieces[0][0], list):
+            full = [v for p in pieces for v in p[0]]
+            out[name] = (full, validity)
+        else:
+            out[name] = (np.concatenate([p[0] for p in pieces]), validity)
     return out

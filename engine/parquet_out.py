@@ -253,8 +253,9 @@ def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
 
 
 def write_table(path: str, columns: list, codec: str | None = None,
-                created_by: str = "spark-graft encoder") -> dict:
-    """Write one row group of flat columns as a real parquet file.
+                created_by: str = "spark-graft encoder",
+                row_group_size: int | None = None) -> dict:
+    """Write flat columns as a real parquet file.
 
     ``columns``: list of (name, phys, encoding, values, validity) where
     phys is an engine dtype name ('bool'/'int32'/'int64'/'float32'/
@@ -262,10 +263,13 @@ def write_table(path: str, columns: list, codec: str | None = None,
     null slots may hold anything) or (lengths, data) for byte arrays
     (dense: non-null values only), and validity is a bool array or None
     for required. 'utf8' = byte_array + UTF8 annotation so readers
-    surface strings. Returns {'rows': n, 'bytes': file size}.
+    surface strings. ``row_group_size`` splits rows into multiple row
+    groups (each with its own dictionary pages) — at fleet scale bounded
+    groups are what keep a reader's memory bounded; default is a single
+    group. Returns {'rows': n, 'bytes': file size}.
     """
-    out = bytearray(MAGIC)
-    col_meta = []
+    # -- normalize once: (name, phys, utf8, enc, dense values, validity) --
+    norm = []
     num_rows = None
     for name, phys, enc, values, validity in columns:
         utf8 = phys == "utf8"
@@ -281,8 +285,6 @@ def write_table(path: str, columns: list, codec: str | None = None,
             num_rows = n
         elif num_rows != n:
             raise ValueError(f"{name}: {n} rows vs {num_rows} in prior columns")
-
-        # levels + dense values
         if validity is not None:
             validity = np.asarray(validity, bool)
             if phys != "byte_array":
@@ -291,9 +293,53 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 raise ValueError(
                     f"{name}: byte-array values must be dense (non-null only)"
                 )
-            levels = rle.encode_len_prefixed(
-                validity.astype(np.uint64), 1
-            )
+        norm.append((name, phys, utf8, enc, values, validity))
+    num_rows = num_rows or 0
+
+    out = bytearray(MAGIC)
+    rowgroups = []
+    step = row_group_size if row_group_size and row_group_size > 0 else max(num_rows, 1)
+    for lo in range(0, max(num_rows, 1), step):
+        hi = min(lo + step, num_rows)
+        if hi <= lo and num_rows > 0:
+            break
+        col_meta = _write_group(out, norm, lo, hi, codec)
+        rowgroups.append((col_meta, hi - lo))
+        if num_rows == 0:
+            break
+    col_meta0 = rowgroups[0][0]
+    return _finish_file(
+        path, out, rowgroups, col_meta0, num_rows, codec, created_by
+    )
+
+
+def _slice_col(phys, values, validity, lo, hi):
+    """Row-range slice of one normalized column -> (dense values, validity
+    slice)."""
+    if validity is None:
+        if phys == "byte_array":
+            lens, data = values
+            offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+            return (lens[lo:hi], data[offs[lo] : offs[hi]]), None
+        return values[lo:hi], None
+    vslice = validity[lo:hi]
+    dlo = int(validity[:lo].sum())
+    dhi = dlo + int(vslice.sum())
+    if phys == "byte_array":
+        lens, data = values
+        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+        return (lens[dlo:dhi], data[offs[dlo] : offs[dhi]]), vslice
+    return values[dlo:dhi], vslice
+
+
+def _write_group(out: bytearray, norm: list, lo: int, hi: int,
+                 codec: str | None) -> list:
+    col_meta = []
+    for name, phys, utf8, enc, all_values, all_validity in norm:
+        values, validity = _slice_col(phys, all_values, all_validity, lo, hi)
+        n = hi - lo
+        if validity is not None:
+            levels = rle.encode_len_prefixed(validity.astype(np.uint64), 1)
             max_def = 1
         else:
             levels = b""
@@ -350,14 +396,19 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 "total_raw": raw_total,
             }
         )
+    return col_meta
 
-    # footer: schema elements (root + one per column) then row group
+
+def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
+                 num_rows: int, codec, created_by: str) -> dict:
+    """Footer: schema elements (root + one per column, from the first
+    group's metadata) then one RowGroup struct per group."""
     schema = [
         (
-            [(4, _CT_BINARY, "schema"), (5, _CT_I32, len(col_meta))]
+            [(4, _CT_BINARY, "schema"), (5, _CT_I32, len(col_meta0))]
         )
     ]
-    for c in col_meta:
+    for c in col_meta0:
         el = [
             (1, _CT_I32, _PHYS_IDS[c["phys"]]),
             (3, _CT_I32, 1 if c["max_def"] else 0),  # optional / required
@@ -367,33 +418,37 @@ def write_table(path: str, columns: list, codec: str | None = None,
             el.append((6, _CT_I32, 0))  # ConvertedType.UTF8
         schema.append(el)
 
-    chunks = []
-    for c in col_meta:
-        meta = [
-            (1, _CT_I32, _PHYS_IDS[c["phys"]]),
-            (2, _CT_LIST, (_CT_I32, c["encodings"])),
-            (3, _CT_LIST, (_CT_BINARY, [c["name"]])),
-            (4, _CT_I32, _CODEC_IDS[codec]),
-            (5, _CT_I64, c["n"]),
-            (6, _CT_I64, c["total_raw"]),
-            (7, _CT_I64, c["total_comp"]),
-            (9, _CT_I64, c["data_off"]),
-        ]
-        if c["dict_off"] is not None:
-            meta.append((11, _CT_I64, c["dict_off"]))
-        chunks.append([(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)])
+    rg_structs = []
+    for col_meta, rg_rows in rowgroups:
+        chunks = []
+        for c in col_meta:
+            meta = [
+                (1, _CT_I32, _PHYS_IDS[c["phys"]]),
+                (2, _CT_LIST, (_CT_I32, c["encodings"])),
+                (3, _CT_LIST, (_CT_BINARY, [c["name"]])),
+                (4, _CT_I32, _CODEC_IDS[codec]),
+                (5, _CT_I64, c["n"]),
+                (6, _CT_I64, c["total_raw"]),
+                (7, _CT_I64, c["total_comp"]),
+                (9, _CT_I64, c["data_off"]),
+            ]
+            if c["dict_off"] is not None:
+                meta.append((11, _CT_I64, c["dict_off"]))
+            chunks.append([(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)])
+        rg_structs.append(
+            [
+                (1, _CT_LIST, (_CT_STRUCT, chunks)),
+                (2, _CT_I64, sum(c["total_comp"] for c in col_meta)),
+                (3, _CT_I64, rg_rows),
+            ]
+        )
 
-    rowgroup = [
-        (1, _CT_LIST, (_CT_STRUCT, chunks)),
-        (2, _CT_I64, sum(c["total_comp"] for c in col_meta)),
-        (3, _CT_I64, num_rows or 0),
-    ]
     footer = _tstruct(
         [
             (1, _CT_I32, 1),  # version
             (2, _CT_LIST, (_CT_STRUCT, schema)),
-            (3, _CT_I64, num_rows or 0),
-            (4, _CT_LIST, (_CT_STRUCT, [rowgroup])),
+            (3, _CT_I64, num_rows),
+            (4, _CT_LIST, (_CT_STRUCT, rg_structs)),
             (6, _CT_BINARY, created_by),
         ]
     )
@@ -402,7 +457,7 @@ def write_table(path: str, columns: list, codec: str | None = None,
     out += MAGIC
     with open(path, "wb") as f:
         f.write(out)
-    return {"rows": num_rows or 0, "bytes": len(out)}
+    return {"rows": num_rows, "bytes": len(out)}
 
 
 def flat_strings(values) -> tuple[np.ndarray, bytes]:

@@ -248,3 +248,72 @@ def test_total_uncompressed_size_honest(tmp_path):
         md.total_uncompressed_size,
         md.total_compressed_size,
     )
+
+
+def test_multi_row_group_write_and_read(tmp_path):
+    """row_group_size splits output into bounded row groups (each with its
+    own dictionary pages) — what keeps reader memory bounded at fleet
+    scale; pyarrow, DuckDB and the engine reader (which concatenates
+    groups) must all agree, nullable slicing included."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    n = 10000
+    rng = np.random.default_rng(4)
+    ids = [f"doc-{i:07d}" for i in range(n)]
+    valid = rng.integers(0, 3, n) > 0
+    dense = rng.integers(0, 99, int(valid.sum())).astype(np.int32)
+    kfull = np.zeros(n, np.int32)
+    kfull[valid] = dense
+    cols = [
+        ("a", "int64", "DELTA_BINARY_PACKED", np.arange(n, dtype=np.int64), None),
+        ("s", "utf8", "PLAIN_DICTIONARY",
+         po.flat_strings([f"c{i % 9}" for i in range(n)]), None),
+        ("d", "utf8", "DELTA_BYTE_ARRAY", po.flat_strings(ids), None),
+        ("k", "int32", "PLAIN", kfull, valid),
+    ]
+    path = str(tmp_path / "multi.parquet")
+    po.write_table(path, cols, codec="snappy", row_group_size=1500)
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups == 7 and md.num_rows == n
+    t = pq.read_table(path)
+    assert (np.asarray(t.column("a")) == np.arange(n)).all()
+    assert t.column("d").to_pylist() == ids
+    kn = t.column("k").to_pylist()
+    assert sum(v is None for v in kn) == int((~valid).sum())
+    assert [v for v in kn if v is not None] == [int(v) for v in dense]
+    ours = pc.read_table(path)
+    a, _ = ours["a"]
+    assert (a == np.arange(n)).all()
+    d, _ = ours["d"]
+    assert [v.decode() for v in d] == ids
+    kv, kval = ours["k"]
+    assert (kval == valid).all()
+    assert [int(kv[i]) for i in range(n) if kval[i]] == [int(v) for v in dense]
+    assert duckdb.sql(
+        f"SELECT count(*), count(k) FROM read_parquet('{path}')"
+    ).fetchone() == (n, int(valid.sum()))
+
+
+def test_engine_reads_pyarrow_multi_row_group(tmp_path):
+    """The reader concatenates row groups of a PYARROW-written file — a
+    fourth independent writer (parquet-cpp) with modern RLE_DICTIONARY
+    pages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10000
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"v-{i % 50}" for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "rg.parquet")
+    pq.write_table(t, path, row_group_size=1234)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 9
+    ours = pc.read_table(path)
+    a, va = ours["a"]
+    assert (a == np.arange(n)).all() and va.all()
+    s, _ = ours["s"]
+    assert [v.decode() for v in s] == [f"v-{i % 50}" for i in range(n)]
