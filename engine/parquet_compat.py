@@ -575,19 +575,21 @@ _SPARK_TYPES = {
 }
 
 
-def read_parquet_with_engine(spark, path: str, columns: list | None = None):
+def read_parquet_with_engine(spark, path: str | list, columns: list | None = None):
     """Distributed read of FOREIGN parquet through the engine's own codecs:
-    the work list is a DataFrame of file paths, each task decodes its
-    file's column chunks with ``read_column``, and the driver never touches
-    payload bytes — at fleet scale the parallelism unit is the file, the
-    same way Spark's own reader assigns splits. Output schema comes from
-    the parsed footer (INT96 surfaces as epoch-ns longs).
+    the work list is a DataFrame of file paths (``path`` may be one path
+    or a list sharing a schema), each task decodes its file's column
+    chunks with ``read_column``, and the driver never touches payload
+    bytes — at fleet scale the parallelism unit is the file, the same way
+    Spark's own reader assigns splits. The schema comes from the FIRST
+    file's parsed footer (INT96 surfaces as epoch-ns longs).
 
     This is the validation path for golden-file interop (bounded files);
     it deliberately reuses zero pyarrow parquet machinery."""
     import pandas as pd
 
-    info = read_file_info(path)
+    paths = [path] if isinstance(path, str) else list(path)
+    info = read_file_info(paths[0])
     cols = [c for c in info.columns if columns is None or c.path in columns]
     # multi-row-group files repeat each column once per group; keep the
     # first occurrence for schema purposes (read_table concatenates groups)
@@ -619,7 +621,9 @@ def read_parquet_with_engine(spark, path: str, columns: list | None = None):
                         )
                 yield pd.DataFrame(out)
 
-    paths_df = spark.createDataFrame([(path,)], "path string")
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
     return paths_df.mapInPandas(gen, schema)
 
 

@@ -291,3 +291,21 @@ def test_dict_malformed_golden_fails_clean():
     assert info.num_rows == 25
     with pytest.raises(ValueError):
         pc.read_table(path)
+
+
+def test_spark_distributed_multi_file_read(spark):
+    """A file LIST fans out one decode task per file — the fleet-scale
+    unit of parallelism — here the plain + snappy alltypes twins (same
+    schema, different codec) in one distributed read."""
+    df = pc.read_parquet_with_engine(
+        spark,
+        [
+            f"{DATA}/alltypes_plain.parquet",
+            f"{DATA}/alltypes_plain.snappy.parquet",
+        ],
+        columns=["id", "bigint_col"],
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.collect()
+    assert len(rows) == 10  # 8 + 2
+    assert {r["id"] for r in rows} == set(range(8))  # snappy twin has ids 0,1
