@@ -2019,16 +2019,19 @@ def _q_parquet_export(spark, sf_dir) -> DataFrame:
             return
         pdf = pd.concat(pdfs)
         pdf = pdf.sort_values("doc_id")  # delta loves sorted ids; any order works
+        # AUTO = the engine's per-chunk codec selector resolving to parquet
+        # encodings (sorted ids -> DELTA_BINARY_PACKED, low-card lang/
+        # source -> PLAIN_DICTIONARY, high-card text -> delta-length)
         cols = [
-            ("doc_id", "int64", "DELTA_BINARY_PACKED",
+            ("doc_id", "int64", "AUTO",
              pdf["doc_id"].to_numpy(np.int64), None),
-            ("text", "utf8", "DELTA_LENGTH_BYTE_ARRAY",
+            ("text", "utf8", "AUTO",
              parquet_out.flat_strings(pdf["text"]), None),
-            ("lang", "utf8", "PLAIN_DICTIONARY",
+            ("lang", "utf8", "AUTO",
              parquet_out.flat_strings(pdf["lang"]), None),
-            ("source", "utf8", "PLAIN_DICTIONARY",
+            ("source", "utf8", "AUTO",
              parquet_out.flat_strings(pdf["source"]), None),
-            ("n_chars", "int64", "PLAIN",
+            ("n_chars", "int64", "AUTO",
              pdf["n_chars"].to_numpy(np.int64), None),
         ]
         # tmp + atomic rename so a task killed mid-write never leaves a

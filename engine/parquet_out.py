@@ -197,6 +197,41 @@ def _encode_values(phys: str, enc: str, values) -> bytes:
     raise ValueError(f"unsupported write encoding {enc}")
 
 
+def _auto_encoding(phys: str, values) -> str:
+    """Resolve encoding='AUTO' through the engine's codec auto-selector
+    (engine/selector.py — the same argmin-over-size-estimates that drives
+    the native chunk format), restricted to encodings parquet can express:
+    the engine's bitpack/rle int codecs have no parquet value-encoding
+    analog, and FSST maps to DELTA_LENGTH_BYTE_ARRAY (plain length-split)
+    since parquet has no FSST."""
+    from . import selector
+
+    if phys == "bool":
+        choice = selector.select_bool_codec(np.asarray(values))
+        return {"rle_bool": "RLE", "plain": "PLAIN"}[choice]
+    if phys in ("float32", "float64"):
+        choice = selector.select_float_codec(np.asarray(values))
+        return {"dict": "PLAIN_DICTIONARY", "plain": "PLAIN"}[choice]
+    if phys == "byte_array":
+        lens, data = values
+        choice = selector.select_ba_codec(np.asarray(lens), data)
+        return {
+            "dict_ba": "PLAIN_DICTIONARY",
+            "delta_ba": "DELTA_BYTE_ARRAY",
+            "delta_length_ba": "DELTA_LENGTH_BYTE_ARRAY",
+            "plain_ba": "PLAIN",
+            "fsst": "DELTA_LENGTH_BYTE_ARRAY",
+        }[choice]
+    choice, _, _ = selector.select_codec(
+        np.asarray(values), candidates=("plain", "dict", "delta")
+    )
+    return {
+        "plain": "PLAIN",
+        "dict": "PLAIN_DICTIONARY",
+        "delta": "DELTA_BINARY_PACKED",
+    }[choice]
+
+
 def _dict_pages(phys: str, values):
     """PLAIN_DICTIONARY: (dict page bytes, data page value bytes, n_dict).
     Uniques keep first-appearance order — same contract as the engine's
@@ -338,6 +373,10 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
     for name, phys, utf8, enc, all_values, all_validity in norm:
         values, validity = _slice_col(phys, all_values, all_validity, lo, hi)
         n = hi - lo
+        if enc == "AUTO":
+            # per-row-group adaptivity, same granularity as the engine's
+            # per-chunk selection
+            enc = _auto_encoding(phys, values)
         if validity is not None:
             levels = rle.encode_len_prefixed(validity.astype(np.uint64), 1)
             max_def = 1

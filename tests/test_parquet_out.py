@@ -317,3 +317,40 @@ def test_engine_reads_pyarrow_multi_row_group(tmp_path):
     assert (a == np.arange(n)).all() and va.all()
     s, _ = ours["s"]
     assert [v.decode() for v in s] == [f"v-{i % 50}" for i in range(n)]
+
+
+def test_auto_encoding_resolves_per_shape(tmp_path):
+    """encoding='AUTO' routes through the engine's codec selector and
+    lands the right parquet encoding per column shape: sorted ints ->
+    DELTA_BINARY_PACKED, low-cardinality strings -> PLAIN_DICTIONARY,
+    sorted strings -> DELTA_BYTE_ARRAY, run-structured bools -> RLE,
+    full-range ints -> PLAIN. Values still round-trip through pyarrow."""
+    import pyarrow.parquet as pq
+
+    n = 20000
+    rng = np.random.default_rng(1)
+    sorted_ids = np.arange(10_000_000, 10_000_000 + n, dtype=np.int64)
+    lowcard = [f"src-{i % 5}" for i in range(n)]
+    sortedstr = [f"user-{i:09d}" for i in range(n)]
+    runs = np.repeat(rng.integers(0, 2, 50) > 0, n // 50)
+    rand32 = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    cols = [
+        ("ids", "int64", "AUTO", sorted_ids, None),
+        ("src", "utf8", "AUTO", po.flat_strings(lowcard), None),
+        ("user", "utf8", "AUTO", po.flat_strings(sortedstr), None),
+        ("flag", "bool", "AUTO", runs, None),
+        ("r", "int32", "AUTO", rand32, None),
+    ]
+    path = str(tmp_path / "auto.parquet")
+    po.write_table(path, cols)
+    encs = {c.path: set(c.encodings) for c in pc.read_file_info(path).columns}
+    assert "DELTA_BINARY_PACKED" in encs["ids"]
+    assert "PLAIN_DICTIONARY" in encs["src"]
+    assert "DELTA_BYTE_ARRAY" in encs["user"]
+    assert encs["flag"] == {"RLE"}
+    assert "PLAIN" in encs["r"] and "DELTA_BINARY_PACKED" not in encs["r"]
+    t = pq.read_table(path)
+    assert (np.asarray(t.column("ids")) == sorted_ids).all()
+    assert t.column("user").to_pylist() == sortedstr
+    assert (np.asarray(t.column("flag")) == runs).all()
+    assert (np.asarray(t.column("r")) == rand32).all()
