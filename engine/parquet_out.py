@@ -197,6 +197,55 @@ def _encode_values(phys: str, enc: str, values) -> bytes:
     raise ValueError(f"unsupported write encoding {enc}")
 
 
+def _column_stats(phys: str, values, validity, n: int):
+    """Per-row-group Statistics (min_value/max_value/null_count) — the
+    metadata that lets ANY parquet reader prune row groups on engine-
+    written files, the interchange analog of the engine's own typed chunk
+    statistics (jobs/encode.py). min/max serialize as single PLAIN values
+    (spec fields 5/6); NaN-containing float groups skip min/max the way
+    parquet-mr does (NaN ordering is undefined in the spec)."""
+    null_count = 0 if validity is None else int(n - validity.sum())
+    if (n - null_count) == 0:
+        return {"null_count": null_count, "min": None, "max": None}
+    if phys == "byte_array":
+        lens, data = values
+        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+        arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+        lo = hi = bytes(arr[offs[0] : offs[1]])
+        for i in range(1, len(lens)):
+            v = bytes(arr[offs[i] : offs[i + 1]])
+            if v < lo:
+                lo = v
+            elif v > hi:
+                hi = v
+        return {"null_count": null_count, "min": lo, "max": hi}
+    v = np.asarray(values)
+    if phys in ("float32", "float64") and np.isnan(v).any():
+        return {"null_count": null_count, "min": None, "max": None}
+    if phys == "bool":
+        mn, mx = bool(v.min()), bool(v.max())
+        return {
+            "null_count": null_count,
+            "min": b"\x01" if mn else b"\x00",
+            "max": b"\x01" if mx else b"\x00",
+        }
+    return {
+        "null_count": null_count,
+        "min": plain.encode(v.min(keepdims=True), phys),
+        "max": plain.encode(v.max(keepdims=True), phys),
+    }
+
+
+def _stats_struct(stats: dict) -> list:
+    """Thrift Statistics struct fields: 3 null_count, 5 max_value, 6
+    min_value (the order-defined v2 fields readers trust)."""
+    fields = [(3, _CT_I64, stats["null_count"])]
+    if stats["max"] is not None:
+        fields.append((5, _CT_BINARY, stats["max"]))
+        fields.append((6, _CT_BINARY, stats["min"]))
+    return fields
+
+
 def _auto_encoding(phys: str, values) -> str:
     """Resolve encoding='AUTO' through the engine's codec auto-selector
     (engine/selector.py — the same argmin-over-size-estimates that drives
@@ -377,6 +426,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             # per-row-group adaptivity, same granularity as the engine's
             # per-chunk selection
             enc = _auto_encoding(phys, values)
+        stats = _column_stats(phys, values, validity, n)
         if validity is not None:
             levels = rle.encode_len_prefixed(validity.astype(np.uint64), 1)
             max_def = 1
@@ -433,6 +483,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 "dict_off": dict_off,
                 "total_comp": total_comp,
                 "total_raw": raw_total,
+                "stats": stats,
             }
         )
     return col_meta
@@ -473,6 +524,7 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             ]
             if c["dict_off"] is not None:
                 meta.append((11, _CT_I64, c["dict_off"]))
+            meta.append((12, _CT_STRUCT, _stats_struct(c["stats"])))
             chunks.append([(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)])
         rg_structs.append(
             [
@@ -489,6 +541,10 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             (3, _CT_I64, num_rows),
             (4, _CT_LIST, (_CT_STRUCT, rg_structs)),
             (6, _CT_BINARY, created_by),
+            # column_orders: TypeDefinedOrder per column — without it,
+            # readers (parquet-cpp/Spark) DISTRUST the v2 min_value/
+            # max_value statistics and row-group pruning never happens
+            (7, _CT_LIST, (_CT_STRUCT, [[(1, _CT_STRUCT, [])] for _ in col_meta0])),
         ]
     )
     out += footer

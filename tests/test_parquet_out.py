@@ -354,3 +354,55 @@ def test_auto_encoding_resolves_per_shape(tmp_path):
     assert t.column("user").to_pylist() == sortedstr
     assert (np.asarray(t.column("flag")) == runs).all()
     assert (np.asarray(t.column("r")) == rand32).all()
+
+
+def test_row_group_statistics_enable_pruning(tmp_path):
+    """write_table emits per-row-group min_value/max_value/null_count
+    Statistics AND the column_orders footer field — without TypeDefinedOrder
+    readers distrust v2 stats entirely. pyarrow surfaces the bounds and its
+    filtered read prunes to the matching groups; Spark and DuckDB filter
+    correctly over the same file."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    n = 10000
+    valid = np.arange(n) % 3 > 0
+    full = np.arange(n, dtype=np.int64)
+    cols = [
+        ("a", "int64", "AUTO", full, None),
+        ("s", "utf8", "AUTO",
+         po.flat_strings([f"k-{i:06d}" for i in range(n)]), None),
+        ("f", "float64", "PLAIN", np.linspace(-5, 5, n), None),
+        ("k", "int64", "PLAIN", full, valid),
+    ]
+    path = str(tmp_path / "stats.parquet")
+    po.write_table(path, cols, row_group_size=2500)
+    md = pq.ParquetFile(path).metadata
+    st = md.row_group(0).column(0).statistics
+    assert st.has_min_max and (st.min, st.max) == (0, 2499)
+    assert md.row_group(3).column(0).statistics.max == 9999
+    s1 = md.row_group(1).column(1).statistics
+    assert (s1.min, s1.max) == ("k-002500", "k-004999")
+    f0 = md.row_group(0).column(2).statistics
+    assert abs(f0.min - (-5.0)) < 1e-9
+    k0 = md.row_group(0).column(3).statistics
+    assert k0.null_count == int((~valid[:2500]).sum())
+    # stats actually prune: the filter touches only the last group
+    t = pq.read_table(path, filters=[("a", ">=", 9000)])
+    assert t.num_rows == 1000
+    assert duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}') WHERE a >= 9000"
+    ).fetchone() == (1000,)
+
+
+def test_nan_group_skips_min_max(tmp_path):
+    """Float groups containing NaN omit min/max (NaN ordering is undefined
+    in the spec) but keep null_count — matching parquet-mr."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nan.parquet")
+    vals = np.array([1.0, np.nan, 3.0])
+    po.write_table(path, [("f", "float64", "PLAIN", vals, None)])
+    st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+    assert not st.has_min_max
+    assert st.null_count == 0
