@@ -1,17 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Decode status (r5): REAL decoders exist for every format the standard
-library + numpy can parse — netpbm images (P5 grayscale / P6 RGB,
-``decode_ppm``), PNG (stdlib zlib inflate + per-scanline unfilter incl.
-Paeth, ``engine/ops/png.py`` — VERDICT r4 #2) and RIFF/WAVE PCM audio
-(``decode_wav``) — and ``extract_features`` sniffs magic bytes to route
-them through real feature extraction (dimensions, per-channel mean/std,
-RMS, zero-crossings). Only formats needing an entropy/DCT/DSP stack
-(JPEG/MP3/MP4) remain stubbed behind ``FAKE_DECODE`` (deterministic
-hash-seeded vector) because no PIL/libvips/ffmpeg exists in this
-container — swap ``_fake_feature`` for a real library on a cluster that
-has one.
+Decode status (r5): REAL decoders exist for every IMAGE format a
+training corpus carries — netpbm (P5/P6, ``decode_ppm``), PNG (stdlib
+zlib inflate + per-scanline unfilter incl. Paeth, ``engine/ops/png.py``)
+and baseline JPEG (huffman + DCT, pure numpy, ``engine/ops/jpeg.py``) —
+plus RIFF/WAVE PCM audio (``decode_wav``); ``extract_features`` sniffs
+magic bytes and routes them through real feature extraction (dimensions,
+per-channel mean/std, RMS, zero-crossings). Only compressed AUDIO/VIDEO
+(MP3/MP4 — a full DSP stack) remains stubbed behind ``FAKE_DECODE``
+(deterministic hash-seeded vector); swap ``_fake_feature`` for ffmpeg on
+a cluster that has it.
 
 Scale notes: media bytes never enter a shuffle — feature extraction is a
 ``mapInPandas`` projection; only the (small) extracted features flow
@@ -27,7 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from engine.ops import png
+from engine.ops import jpeg, png
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
@@ -40,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-FAKE_DECODE = True  # JPEG/MP3/MP4 only; netpbm/PNG/WAV decode for real
+FAKE_DECODE = True  # MP3/MP4 only; netpbm/PNG/JPEG/WAV decode for real
 
 MEDIA_SCHEMA = StructType(
     [
@@ -133,9 +132,9 @@ def decode_wav(buf: bytes):
 
 
 def _fake_feature(buf: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for the formats that need an entropy/DCT/DSP
-    stack (JPEG/MP3/MP4): a pure function of the bytes so tests are
-    reproducible. Swap for PIL/libvips/ffmpeg on a cluster that has them."""
+    """Deterministic stand-in for compressed audio/video (MP3/MP4): a
+    pure function of the bytes so tests are reproducible. Swap for
+    ffmpeg on a cluster that has it."""
     if not FAKE_DECODE:
         raise NotImplementedError("compressed media decode requires PIL/ffmpeg")
     h = hashlib.sha256(buf).digest()
@@ -152,7 +151,7 @@ def _pad(vals: list, dim: int) -> np.ndarray:
 def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
     """Feature vector per media payload, routed by magic bytes: real
     decode + real statistics for netpbm/PNG images and WAV audio, the
-    deterministic fake for everything else (JPEG/MP3/MP4)."""
+    deterministic fake for everything else (MP3/MP4)."""
     if buf[:2] in (b"P5", b"P6"):
         img = decode_ppm(buf).astype(np.float64)
         h, w, c = img.shape
@@ -169,6 +168,13 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
         # channel-stat lanes pad to 4 (vs the 3 of the netpbm layout, which
         # stays frozen for its existing oracles)
         vals = [w, h, c, *means, *np.zeros(4 - c), *stds, *np.zeros(4 - c)]
+        return _pad(vals, dim)
+    if buf[:3] == b"\xff\xd8\xff":
+        img = jpeg.decode_jpeg(buf).astype(np.float64)
+        h, w, c = img.shape
+        means = img.reshape(-1, c).mean(axis=0)
+        stds = img.reshape(-1, c).std(axis=0)
+        vals = [w, h, c, *means, *np.zeros(3 - c), *stds, *np.zeros(3 - c)]
         return _pad(vals, dim)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         samples, sr = decode_wav(buf)
@@ -315,8 +321,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
-    """Deterministic REAL-format media rows (netpbm + PNG images and PCM
-    WAVs) with the feature vector FROZEN at generation time: the gate
+    """Deterministic REAL-format media rows (netpbm + PNG + JPEG images
+    and PCM WAVs) with the feature vector FROZEN at generation time: the gate
     recomputes features by actually decoding the bytes, so a broken parser
     or changed statistic diverges from the stored expectation and fails
     the hash. PNG rows cycle channel counts (gray / RGB / gray+alpha /
@@ -325,26 +331,38 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 3 == 0:
+        if i % 4 == 0:
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
-            c = 3 if i % 4 == 0 else 1
+            c = 3 if i % 3 == 0 else 1
             img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
             content = encode_ppm(img)
             kind, width, height, sr, nf = "image", w, h, None, None
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             sr = int(rng.choice([8000, 16000]))
             ns = int(rng.integers(64, 512))
-            ch = 2 if i % 4 == 3 else 1
+            ch = 2 if i % 3 == 2 else 1
             wave_s = (
                 rng.integers(-(2**14), 2**14, (ns, ch)).astype(np.int16)
             )
             content = encode_wav(wave_s, sr)
             kind, width, height, nf = "audio", None, None, None
-        else:
+        elif i % 4 == 2:
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
-            c = (1, 3, 2, 4)[(i // 3) % 4]
+            c = (1, 3, 2, 4)[(i // 4) % 4]
             img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
-            content = png.encode_png(img, filter_type=(i // 3) % 5)
+            content = png.encode_png(img, filter_type=(i // 4) % 5)
+            kind, width, height, sr, nf = "image", w, h, None, None
+        else:
+            # real JPEGs, cycling gray/RGB x 4:4:4 / 4:2:0 x restart
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            c = 3 if i % 3 else 1
+            img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+            content = jpeg.encode_jpeg(
+                img,
+                quality=90,
+                subsampling="420" if (c == 3 and (i // 4) % 2) else "444",
+                restart_interval=(i // 4) % 3,
+            )
             kind, width, height, sr, nf = "image", w, h, None, None
         feat = _decode_image_bytes(content, dim)
         # frozen expectation for the RESIZE stage too: sha of the
@@ -352,6 +370,12 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
         if kind == "image" and content[:8] == png.SIGNATURE:
             resized_sha = hashlib.sha256(
                 png.encode_png(resize_image(png.decode_png(content), 8, 8))
+            ).hexdigest()
+        elif kind == "image" and content[:3] == b"\xff\xd8\xff":
+            resized_sha = hashlib.sha256(
+                jpeg.encode_jpeg(
+                    resize_image(jpeg.decode_jpeg(content), 8, 8), quality=90
+                )
             ).hexdigest()
         elif kind == "image":
             resized_sha = hashlib.sha256(
@@ -441,6 +465,11 @@ def resize_media(
                 elif b[:8] == png.SIGNATURE:
                     resized = resize_image(png.decode_png(b), out_w, out_h)
                     out.append(png.encode_png(resized))
+                    ws.append(out_w)
+                    hs.append(out_h)
+                elif b[:3] == b"\xff\xd8\xff":
+                    resized = resize_image(jpeg.decode_jpeg(b), out_w, out_h)
+                    out.append(jpeg.encode_jpeg(resized, quality=90))
                     ws.append(out_w)
                     hs.append(out_h)
                 else:
