@@ -193,9 +193,6 @@ class _BitReader:
         self.skip(n)
         return v
 
-    def align(self) -> None:
-        self.skip(self.bits % 8)
-
 
 def _extend(v: int, t: int) -> int:
     """Spec F.12: map t raw bits to the signed coefficient value."""
@@ -220,6 +217,15 @@ class _Component:
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """JPEG bytes -> (h, w, 1) grayscale or (h, w, 3) RGB uint8."""
+    try:
+        return _decode_impl(buf)
+    except (IndexError, struct.error) as e:
+        # fail-clean contract: truncated segments / lying lengths surface
+        # as ValueError, never as a raw slicing error (r5 review pass 2 #2)
+        raise ValueError(f"malformed JPEG stream ({e!r})") from e
+
+
+def _decode_impl(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -229,13 +235,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     width = height = 0
     restart_interval = 0
     n = len(buf)
+    scans_done = 0
     while pos < n:
-        if buf[pos] != 0xFF:
+        if buf[pos] != 0xFF or pos + 1 >= n:
             raise ValueError(f"expected marker at offset {pos}")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("EOI before scan data")
+            if scans_done == 0:
+                raise ValueError("EOI before scan data")
+            return _assemble(comps, qtables, width, height)
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         if pos + 2 > n:
@@ -272,8 +281,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component JPEG unsupported")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
             for i in range(ncomp):
                 c = _Component()
+                c.blocks = None
                 c.cid = seg[6 + 3 * i]
                 c.h = seg[7 + 3 * i] >> 4
                 c.v = seg[7 + 3 * i] & 0x0F
@@ -288,6 +300,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
             order = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -297,16 +311,24 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 c = match[0]
                 c.td, c.ta = tt >> 4, tt & 0x0F
                 order.append(c)
-            return _decode_scan(
+            pos = _decode_scan_into(
                 buf, pos, order, comps, qtables, htables, width, height,
                 restart_interval,
             )
+            scans_done += 1
         # other segments (APPn, COM) are skipped
-    raise ValueError("JPEG stream ended without SOS")
+    raise ValueError("JPEG stream ended without EOI")
 
 
-def _decode_scan(buf, pos, order, comps, qtables, htables, width, height,
-                 restart_interval):
+def _decode_scan_into(buf, pos, order, comps, qtables, htables, width,
+                      height, restart_interval) -> int:
+    """Decode ONE scan's entropy data into the components' block arrays and
+    return the stream position of the next marker. Interleaved (ns > 1)
+    scans walk MCUs of h x v blocks per component; single-component scans
+    are NON-interleaved per spec A.2.2 — the MCU is one block and the
+    geometry is the component's own ceil(comp_dim/8) grid (a multi-scan
+    baseline file decodes each component in its own scan; r5 review pass 2
+    #1 — the first-scan-only version silently dropped chroma)."""
     if width == 0 or height == 0:
         raise ValueError("JPEG scan before SOF header")
     hmax = max(c.h for c in comps)
@@ -314,18 +336,16 @@ def _decode_scan(buf, pos, order, comps, qtables, htables, width, height,
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     for c in comps:
-        c.nx = mcux * c.h
-        c.ny = mcuy * c.v
-        c.blocks = np.zeros((c.ny * c.nx, 64), np.int32)
-        c.pred = 0
+        if c.blocks is None:
+            c.nx = mcux * c.h
+            c.ny = mcuy * c.v
+            c.blocks = np.zeros((c.ny * c.nx, 64), np.int32)
         if c.tq not in qtables:
             raise ValueError("SOF references missing quant table")
 
-    # de-stuff: 0xFF00 -> 0xFF; restart markers split segments
-    end = buf.find(b"\xff\xd9", pos)
-    if end < 0:
-        end = len(buf)
-    raw = buf[pos:end]
+    # de-stuff: 0xFF00 -> 0xFF; restart markers split segments; any other
+    # marker ends this scan's entropy data
+    raw = buf[pos:]
     segments = []
     cur = bytearray()
     i = 0
@@ -346,6 +366,7 @@ def _decode_scan(buf, pos, order, comps, qtables, htables, width, height,
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
+    next_marker_pos = pos + i
 
     try:
         dec_tables = {
@@ -354,7 +375,31 @@ def _decode_scan(buf, pos, order, comps, qtables, htables, width, height,
     except KeyError as e:
         raise ValueError(f"SOS references missing huffman table {e}") from e
 
-    nmcu = mcux * mcuy
+    # per-MCU work list: (component, block row, block col) triplets
+    if len(order) == 1:
+        c = order[0]
+        comp_w = -(-width * c.h // hmax)
+        comp_h = -(-height * c.v // vmax)
+        nx_used = -(-comp_w // 8)
+        ny_used = -(-comp_h // 8)
+        nmcu = nx_used * ny_used
+
+        def mcu_blocks(m):
+            row, col = divmod(m, nx_used)
+            return [(c, row, col)]
+
+    else:
+        nmcu = mcux * mcuy
+
+        def mcu_blocks(m):
+            my, mx = divmod(m, mcux)
+            return [
+                (c, my * c.v + by, mx * c.h + bx)
+                for c in order
+                for by in range(c.v)
+                for bx in range(c.h)
+            ]
+
     per_seg = restart_interval if restart_interval else nmcu
     mcu = 0
     for seg_bytes in segments:
@@ -363,40 +408,43 @@ def _decode_scan(buf, pos, order, comps, qtables, htables, width, height,
             c.pred = 0
         seg_mcus = min(per_seg, nmcu - mcu)
         for _ in range(seg_mcus):
-            my, mx = divmod(mcu, mcux)
-            for c in order:
+            for c, row, col in mcu_blocks(mcu):
                 dc_t, ac_t = dec_tables[c.cid]
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        blk = np.zeros(64, np.int32)
-                        t = _decode_huff(br, dc_t)
-                        if t > 11:
-                            raise ValueError("DC category out of range")
-                        diff = _extend(br.take(t), t)
-                        c.pred += diff
-                        blk[0] = c.pred
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(br.take(s), s)
-                            k += 1
-                        row = my * c.v + by
-                        col = mx * c.h + bx
-                        c.blocks[row * c.nx + col] = blk
+                blk = np.zeros(64, np.int32)
+                t = _decode_huff(br, dc_t)
+                if t > 11:
+                    raise ValueError("DC category out of range")
+                diff = _extend(br.take(t), t)
+                c.pred += diff
+                blk[0] = c.pred
+                k = 1
+                while k < 64:
+                    rs = _decode_huff(br, ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[k] = _extend(br.take(s), s)
+                    k += 1
+                c.blocks[row * c.nx + col] = blk
             mcu += 1
     if mcu != nmcu:
         raise ValueError("entropy stream ended before all MCUs decoded")
+    return next_marker_pos
 
-    # batched back end: dequant -> unzigzag -> IDCT -> plane assembly
+
+def _assemble(comps, qtables, width, height):
+    """Batched back end: dequant -> unzigzag -> IDCT -> plane assembly."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    for c in comps:
+        if c.blocks is None:
+            raise ValueError(f"component {c.cid} never received a scan")
     planes = []
     for c in comps:
         q = qtables[c.tq][UNZIGZAG].astype(np.float64)

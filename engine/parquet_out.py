@@ -263,13 +263,18 @@ def _auto_encoding(phys: str, values) -> str:
         return {"dict": "PLAIN_DICTIONARY", "plain": "PLAIN"}[choice]
     if phys == "byte_array":
         lens, data = values
-        choice = selector.select_ba_codec(np.asarray(lens), data)
+        # fsst is excluded from the argmin itself: parquet cannot express
+        # it, and remapping an fsst WIN afterwards would pick the wrong
+        # encoding for prefix-sorted strings (r5 review pass 2 #3)
+        choice = selector.select_ba_codec(
+            np.asarray(lens),
+            data,
+            candidates=("dict_ba", "delta_ba", "delta_length_ba"),
+        )
         return {
             "dict_ba": "PLAIN_DICTIONARY",
             "delta_ba": "DELTA_BYTE_ARRAY",
             "delta_length_ba": "DELTA_LENGTH_BYTE_ARRAY",
-            "plain_ba": "PLAIN",
-            "fsst": "DELTA_LENGTH_BYTE_ARRAY",
         }[choice]
     choice, _, _ = selector.select_codec(
         np.asarray(values), candidates=("plain", "dict", "delta")
@@ -377,7 +382,23 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 raise ValueError(
                     f"{name}: byte-array values must be dense (non-null only)"
                 )
-        norm.append((name, phys, utf8, enc, values, validity))
+        # prefix sums ONCE per column, not per row group (the per-group
+        # recompute made write_table O(rows x groups); r5 review pass 2 #4)
+        aux = {
+            "offs": (
+                np.concatenate(
+                    ([0], np.cumsum(np.asarray(values[0], np.int64)))
+                )
+                if phys == "byte_array"
+                else None
+            ),
+            "vpre": (
+                np.concatenate(([0], np.cumsum(validity, dtype=np.int64)))
+                if validity is not None
+                else None
+            ),
+        }
+        norm.append((name, phys, utf8, enc, values, validity, aux))
     num_rows = num_rows or 0
 
     out = bytearray(MAGIC)
@@ -385,8 +406,6 @@ def write_table(path: str, columns: list, codec: str | None = None,
     step = row_group_size if row_group_size and row_group_size > 0 else max(num_rows, 1)
     for lo in range(0, max(num_rows, 1), step):
         hi = min(lo + step, num_rows)
-        if hi <= lo and num_rows > 0:
-            break
         col_meta = _write_group(out, norm, lo, hi, codec)
         rowgroups.append((col_meta, hi - lo))
         if num_rows == 0:
@@ -397,21 +416,21 @@ def write_table(path: str, columns: list, codec: str | None = None,
     )
 
 
-def _slice_col(phys, values, validity, lo, hi):
+def _slice_col(phys, values, validity, aux, lo, hi):
     """Row-range slice of one normalized column -> (dense values, validity
-    slice)."""
+    slice); O(group size) via the precomputed prefix sums."""
     if validity is None:
         if phys == "byte_array":
             lens, data = values
-            offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+            offs = aux["offs"]
             return (lens[lo:hi], data[offs[lo] : offs[hi]]), None
         return values[lo:hi], None
     vslice = validity[lo:hi]
-    dlo = int(validity[:lo].sum())
-    dhi = dlo + int(vslice.sum())
+    dlo = int(aux["vpre"][lo])
+    dhi = int(aux["vpre"][hi])
     if phys == "byte_array":
         lens, data = values
-        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+        offs = aux["offs"]
         return (lens[dlo:dhi], data[offs[dlo] : offs[dhi]]), vslice
     return values[dlo:dhi], vslice
 
@@ -419,8 +438,10 @@ def _slice_col(phys, values, validity, lo, hi):
 def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                  codec: str | None) -> list:
     col_meta = []
-    for name, phys, utf8, enc, all_values, all_validity in norm:
-        values, validity = _slice_col(phys, all_values, all_validity, lo, hi)
+    for name, phys, utf8, enc, all_values, all_validity, aux in norm:
+        values, validity = _slice_col(
+            phys, all_values, all_validity, aux, lo, hi
+        )
         n = hi - lo
         if enc == "AUTO":
             # per-row-group adaptivity, same granularity as the engine's

@@ -222,11 +222,20 @@ def _mean_adjacent_prefix(vals: list[bytes], cap: int = 512) -> float:
     return tot / (m - 1)
 
 
-def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = None) -> str:
+def select_ba_codec(
+    lengths: np.ndarray,
+    data: bytes,
+    override: str | None = None,
+    candidates: tuple[str, ...] = BA_CANDIDATES + ("delta_ba",),
+) -> str:
     """Codec choice for byte-array chunks: dictionary when repetitive,
     front coding (delta_ba) when adjacent values share long prefixes
     (sorted keys/URLs — prefixes longer than FSST's 8-byte symbols),
-    FSST when symbol-compressible, else delta-length."""
+    FSST when symbol-compressible, else delta-length. ``candidates``
+    restricts the argmin BEFORE it runs (the parquet interchange writer
+    excludes fsst, which parquet cannot express — remapping an fsst win
+    afterwards would systematically pick the wrong encoding for
+    prefix-sorted strings; r5 review)."""
     if override is not None:
         return override
     n = len(lengths)
@@ -238,7 +247,7 @@ def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = Non
     off = np.concatenate(([0], np.cumsum(np.asarray(lengths[:sample], dtype=np.int64))))
     vals = [bytes(data[off[i] : off[i + 1]]) for i in range(sample)]
     card = len(set(vals))
-    if card <= max(2, sample // 4):
+    if "dict_ba" in candidates and card <= max(2, sample // 4):
         return "dict_ba"
     mean_len = total / n
     est = {"delta_length_ba": total + 2 * n}
@@ -247,12 +256,12 @@ def select_ba_codec(lengths: np.ndarray, data: bytes, override: str | None = Non
     # sorted key column sees its true adjacency here): per value, the
     # unshared suffix plus ~2 bytes of varints survive
     pbar = _mean_adjacent_prefix(vals)
-    if mean_len >= 8 and pbar / mean_len >= 0.3:
+    if "delta_ba" in candidates and mean_len >= 8 and pbar / mean_len >= 0.3:
         est["delta_ba"] = int(total - n * pbar + 2.2 * n)
     # FSST: a trial encode of a ~16KB sample gives the real ratio (symbol
     # table amortization included — conservative for larger chunks). The
     # table costs ~1-2KB, so tiny chunks skip the trial entirely.
-    if total >= 8192 and mean_len >= 6:
+    if "fsst" in candidates and total >= 8192 and mean_len >= 6:
         from .codecs import fsst as fsst_codec
 
         slens = np.asarray(lengths[:sample], dtype=np.int64)

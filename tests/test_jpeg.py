@@ -188,3 +188,97 @@ def test_decodable_rows_include_jpeg_variants():
             ).hexdigest()
             assert want == r[8]
     assert n_jpeg == 12 and chans == {1, 3}
+
+
+def _encode_noninterleaved(img, quality=90):
+    """Spec-valid 3-scan non-interleaved baseline file (one component per
+    scan, 1x1 sampling) built from the module's primitives — the shape a
+    first-scan-only decoder silently corrupts (r5 review pass 2 #1)."""
+    import struct
+
+    h, w, _ = img.shape
+    ql = jpeg._quality_scale(jpeg.STD_QUANT_LUMA, quality)
+    qc = jpeg._quality_scale(jpeg.STD_QUANT_CHROMA, quality)
+    x = img.astype(np.float64)
+    y = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    cb = 128.0 - 0.168736 * x[..., 0] - 0.331264 * x[..., 1] + 0.5 * x[..., 2]
+    cr = 128.0 + 0.5 * x[..., 0] - 0.418688 * x[..., 1] - 0.081312 * x[..., 2]
+
+    def blocks(plane, q):
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.empty((ph, pw))
+        pad[:h, :w] = plane
+        pad[h:, :w] = plane[-1:, :]
+        pad[:, w:] = pad[:, w - 1 : w]
+        b = (
+            pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        cf = np.einsum("ij,njk,kl->nil", jpeg._DCT, b, jpeg._DCT.T)
+        return (
+            np.round(cf / q.astype(float).reshape(8, 8)[None])
+            .astype(np.int32)
+            .reshape(-1, 64)[:, jpeg.ZIGZAG]
+        )
+
+    def codes(t):
+        return {s: (c, ln) for s, c, ln in jpeg._canonical_codes(*t)}
+
+    dc_l, ac_l = codes(jpeg.STD_DC_LUMA), codes(jpeg.STD_AC_LUMA)
+    dc_c, ac_c = codes(jpeg.STD_DC_CHROMA), codes(jpeg.STD_AC_CHROMA)
+
+    def seg(m, p):
+        return m + struct.pack(">H", len(p) + 2) + p
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(b"\xff\xdb", bytes([0]) + ql[jpeg.ZIGZAG].astype(np.uint8).tobytes())
+    out += seg(b"\xff\xdb", bytes([1]) + qc[jpeg.ZIGZAG].astype(np.uint8).tobytes())
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i in range(3):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += seg(b"\xff\xc0", bytes(sof))
+
+    def dht(tc, th, t):
+        return seg(b"\xff\xc4", bytes([(tc << 4) | th]) + bytes(t[0]) + bytes(t[1]))
+
+    out += dht(0, 0, jpeg.STD_DC_LUMA) + dht(1, 0, jpeg.STD_AC_LUMA)
+    out += dht(0, 1, jpeg.STD_DC_CHROMA) + dht(1, 1, jpeg.STD_AC_CHROMA)
+    for i, (pl, q) in enumerate([(y, ql), (cb, qc), (cr, qc)]):
+        out += seg(b"\xff\xda", bytes([1, i + 1, 0x00 if i == 0 else 0x11, 0, 63, 0]))
+        bw = jpeg._BitWriter()
+        pred = 0
+        for blk in blocks(pl, q):
+            pred = jpeg._encode_one_block(
+                blk, pred, dc_l if i == 0 else dc_c, ac_l if i == 0 else ac_c, bw
+            )
+        bw.flush()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_non_interleaved_multi_scan_decodes_fully():
+    """Three single-component scans must decode ALL components — a pure
+    red image comes back red, and the result is bit-identical to the
+    interleaved encoding of the same data."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0] = 200
+    dec = jpeg.decode_jpeg(_encode_noninterleaved(img))
+    means = dec.reshape(-1, 3).mean(0)
+    assert abs(means[0] - 200) < 3 and means[1] < 3 and means[2] < 3
+    img2 = _gradient(24, 40)
+    a = jpeg.decode_jpeg(_encode_noninterleaved(img2, 90))
+    b = jpeg.decode_jpeg(jpeg.encode_jpeg(img2, 90, "444"))
+    assert (a == b).all()
+
+
+def test_truncation_points_fail_clean():
+    """Truncations at marker/segment boundaries (incl. the bare 3-byte
+    magic prefix the multimodal router matches on) raise ValueError,
+    never IndexError (r5 review pass 2 #2)."""
+    good = jpeg.encode_jpeg(_gradient(24, 24), 85)
+    for cut in [3, 21, 40, 100, len(good) // 2]:
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(good[:cut])
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff")

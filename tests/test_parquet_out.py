@@ -406,3 +406,19 @@ def test_nan_group_skips_min_max(tmp_path):
     st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
     assert not st.has_min_max
     assert st.null_count == 0
+
+
+def test_auto_prefix_sorted_strings_pick_front_coding(tmp_path):
+    """Prefix-sorted URL-like keys must land DELTA_BYTE_ARRAY: the fsst
+    candidate is excluded from the selector argmin BEFORE it runs, not
+    remapped after winning (which systematically picked delta-length, the
+    selector's own worst estimate for this shape; r5 review pass 2 #3)."""
+    n = 4000
+    urls = [f"https://example.com/user/{i:09d}/profile" for i in range(n)]
+    path = str(tmp_path / "urls.parquet")
+    po.write_table(path, [("u", "utf8", "AUTO", po.flat_strings(urls), None)])
+    encs = set(pc.read_file_info(path).columns[0].encodings)
+    assert "DELTA_BYTE_ARRAY" in encs, encs
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(path).column("u").to_pylist() == urls
