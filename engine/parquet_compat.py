@@ -366,6 +366,24 @@ def _decode_values(enc: str, payload: np.ndarray, nvals: int, col: ColumnInfo,
             raise ValueError(f"RLE value encoding on non-boolean {col.path}")
         vals, _ = rle.decode_len_prefixed(payload, 1, nvals)
         return vals.astype(bool)
+    if enc == "BYTE_STREAM_SPLIT":
+        widths = {"float32": 4, "float64": 8, "int32": 4, "int64": 8}
+        if phys == "flba":
+            k = col.type_length
+        elif phys in widths:
+            k = widths[phys]
+        else:
+            raise ValueError(f"BYTE_STREAM_SPLIT on {phys} {col.path}")
+        need = nvals * k
+        if len(payload) < need:
+            raise ValueError(f"{col.path}: BYTE_STREAM_SPLIT payload short")
+        # k streams of nvals bytes; value i's byte j lives in stream j
+        recon = payload[:need].reshape(k, nvals).T.copy()
+        if phys == "flba":
+            lens = np.full(nvals, k, np.int64)
+            return lens, recon.tobytes()
+        dt = {"float32": "<f4", "float64": "<f8", "int32": "<i4", "int64": "<i8"}
+        return np.frombuffer(recon.tobytes(), dt[phys], count=nvals)
     if enc == "DELTA_BINARY_PACKED":
         if phys not in ("int32", "int64"):
             raise ValueError(f"DELTA_BINARY_PACKED on {phys} {col.path}")

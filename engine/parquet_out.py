@@ -51,6 +51,7 @@ _ENC_IDS = {
     "DELTA_BINARY_PACKED": 5,
     "DELTA_LENGTH_BYTE_ARRAY": 6,
     "DELTA_BYTE_ARRAY": 7,
+    "BYTE_STREAM_SPLIT": 9,
 }
 # 'lz4' means LZ4_RAW (codec id 7): parquet id 5 is the DEPRECATED
 # hadoop-framed variant, and pyarrow's Codec('lz4') is the LZ4 *frame*
@@ -194,6 +195,16 @@ def _encode_values(phys: str, enc: str, values) -> bytes:
         return rle.encode_len_prefixed(
             np.ascontiguousarray(values, np.uint64), 1
         )
+    if enc == "BYTE_STREAM_SPLIT":
+        dt = {"float32": "<f4", "float64": "<f8", "int32": "<i4", "int64": "<i8"}
+        if phys not in dt:
+            raise ValueError(f"BYTE_STREAM_SPLIT unsupported on {phys}")
+        v = np.ascontiguousarray(values, dt[phys])
+        k = v.dtype.itemsize
+        # transpose value-major bytes into k byte streams: after this,
+        # same-significance bytes sit together, which is what makes float
+        # pages compress (the codec pairs with snappy/zstd)
+        return v.view(np.uint8).reshape(len(v), k).T.copy().tobytes()
     raise ValueError(f"unsupported write encoding {enc}")
 
 

@@ -422,3 +422,56 @@ def test_auto_prefix_sorted_strings_pick_front_coding(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(path).column("u").to_pylist() == urls
+
+
+def test_byte_stream_split_both_directions(tmp_path):
+    """BYTE_STREAM_SPLIT (parquet's float codec: value bytes transposed
+    into per-significance streams so exponent/sign bytes compress
+    together): the engine reads pyarrow-written BSS pages and pyarrow/
+    DuckDB/the engine read engine-written ones — bit-exact both ways,
+    across row groups, for float32/float64/int64."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(0)
+    f64 = rng.standard_normal(5000)
+    f32 = rng.standard_normal(5000).astype(np.float32)
+    i64 = rng.integers(-(2**40), 2**40, 5000)
+
+    pa_path = str(tmp_path / "bss_pa.parquet")
+    pq.write_table(
+        pa.table({"f64": pa.array(f64), "f32": pa.array(f32, pa.float32())}),
+        pa_path,
+        use_dictionary=False,
+        use_byte_stream_split=["f64", "f32"],
+        compression="zstd",
+    )
+    ours = pc.read_table(pa_path)
+    assert (ours["f64"][0] == f64).all() and (ours["f32"][0] == f32).all()
+
+    po_path = str(tmp_path / "bss_po.parquet")
+    po.write_table(
+        po_path,
+        [
+            ("f64", "float64", "BYTE_STREAM_SPLIT", f64, None),
+            ("f32", "float32", "BYTE_STREAM_SPLIT", f32, None),
+            ("i64", "int64", "BYTE_STREAM_SPLIT", i64, None),
+        ],
+        codec="zstd",
+        row_group_size=1700,
+    )
+    t = pq.read_table(po_path)
+    assert (np.asarray(t.column("f64")) == f64).all()
+    assert (np.asarray(t.column("f32")) == f32).all()
+    assert (np.asarray(t.column("i64")) == i64).all()
+    assert duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{po_path}')"
+    ).fetchone() == (5000,)
+    ours2 = pc.read_table(po_path)
+    assert (ours2["f64"][0] == f64).all()
+    with pytest.raises(ValueError, match="BYTE_STREAM_SPLIT"):
+        po.write_table(
+            str(tmp_path / "x.parquet"),
+            [("s", "utf8", "BYTE_STREAM_SPLIT", po.flat_strings(["a"]), None)],
+        )
