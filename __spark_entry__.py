@@ -1839,12 +1839,12 @@ def _media_parquet() -> str:
 def _decodable_media_parquet() -> str:
     """Deterministic REAL-format media parquet (netpbm + PNG + WAV payloads
     with generation-frozen expected features) shared by both gate sides.
-    v4: r5 added PNG rows (all channel layouts x scanline filters) and JPEG rows (gray/RGB x 444/420 x restart intervals)."""
+    v5: r5 added PNG, JPEG, MP4-container and MP3-frame rows (all real-parsed)."""
     import tempfile
 
     from engine.ops import multimodal
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v4.parquet")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v5.parquet")
     if not os.path.exists(path):
         multimodal.write_decodable_media_parquet(path, n=48, seed=7, dim=8)
     return path

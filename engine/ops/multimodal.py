@@ -5,12 +5,13 @@ Decode status (r5): REAL decoders exist for every IMAGE format a
 training corpus carries — netpbm (P5/P6, ``decode_ppm``), PNG (stdlib
 zlib inflate + per-scanline unfilter incl. Paeth, ``engine/ops/png.py``)
 and baseline JPEG (huffman + DCT, pure numpy, ``engine/ops/jpeg.py``) —
-plus RIFF/WAVE PCM audio (``decode_wav``); ``extract_features`` sniffs
-magic bytes and routes them through real feature extraction (dimensions,
-per-channel mean/std, RMS, zero-crossings). Only compressed AUDIO/VIDEO
-(MP3/MP4 — a full DSP stack) remains stubbed behind ``FAKE_DECODE``
-(deterministic hash-seeded vector); swap ``_fake_feature`` for ffmpeg on
-a cluster that has it.
+plus RIFF/WAVE PCM audio (``decode_wav``), and REAL structure parsing
+for MP4 (ISO BMFF boxes/tracks/sample tables) and MP3 (MPEG frame-header
+walk) via ``engine/ops/media_meta.py``. ``extract_features`` sniffs
+magic bytes and routes everything through real parsing. The only
+remaining stub is decoding compressed codec PAYLOADS (H.264 frames, MP3
+audio samples — a full DSP stack): unknown/raw payloads fall to
+``_fake_feature``; swap it for ffmpeg on a cluster that has it.
 
 Scale notes: media bytes never enter a shuffle — feature extraction is a
 ``mapInPandas`` projection; only the (small) extracted features flow
@@ -26,7 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from engine.ops import jpeg, png
+from engine.ops import jpeg, media_meta, png
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
@@ -39,7 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-FAKE_DECODE = True  # MP3/MP4 only; netpbm/PNG/JPEG/WAV decode for real
+FAKE_DECODE = True  # codec payloads only; containers/images parse for real
 
 MEDIA_SCHEMA = StructType(
     [
@@ -132,7 +133,7 @@ def decode_wav(buf: bytes):
 
 
 def _fake_feature(buf: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for compressed audio/video (MP3/MP4): a
+    """Deterministic stand-in for unparseable/raw codec payloads: a
     pure function of the bytes so tests are reproducible. Swap for
     ffmpeg on a cluster that has it."""
     if not FAKE_DECODE:
@@ -176,6 +177,33 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
         stds = img.reshape(-1, c).std(axis=0)
         vals = [w, h, c, *means, *np.zeros(3 - c), *stds, *np.zeros(3 - c)]
         return _pad(vals, dim)
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        # MP4: REAL container parsing (boxes/tracks/sample tables); the
+        # codec payload itself is what still needs ffmpeg
+        info = media_meta.parse_mp4(buf)
+        v = next((t for t in info["tracks"] if t["kind"] == "vide"), None)
+        vals = [
+            info["duration_s"],
+            float(v["n_samples"]) if v else 0.0,
+            float(v["width"] or 0) if v else 0.0,
+            float(v["height"] or 0) if v else 0.0,
+            float(len(info["tracks"])),
+        ]
+        return _pad(vals, dim)
+    if buf[:3] == b"ID3" or (
+        len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        # MP3: REAL frame-header walk (duration/bitrate/rate); audio
+        # sample decode still needs a DSP stack
+        info = media_meta.parse_mp3(buf)
+        vals = [
+            info["duration_s"],
+            float(info["sample_rate"]),
+            info["bitrate_kbps"],
+            float(info["n_frames"]),
+            1.0 if info["vbr"] else 0.0,
+        ]
+        return _pad(vals, dim)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         samples, sr = decode_wav(buf)
         x = samples.astype(np.float64)
@@ -210,6 +238,103 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("format", StringType(), False),
+        StructField("duration_s", FloatType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Typed metadata probe over opaque media payloads — the routing/
+    filtering pass a training pipeline runs BEFORE deciding what to hand
+    to a decoder fleet: real format detection + duration/resolution/frame
+    counts from actual structure parsing (images, WAV, MP4 containers,
+    MP3 frame walks); unknown payloads surface as format='unknown'
+    rather than an error."""
+
+    def _probe_one(b: bytes):
+        try:
+            if b[:2] in (b"P5", b"P6"):
+                img = decode_ppm(b)
+                return ("netpbm", None, img.shape[1], img.shape[0], None, None, None)
+            if b[:8] == png.SIGNATURE:
+                img = png.decode_png(b)
+                return ("png", None, img.shape[1], img.shape[0], None, None, None)
+            if b[:3] == b"\xff\xd8\xff":
+                img = jpeg.decode_jpeg(b)
+                return ("jpeg", None, img.shape[1], img.shape[0], None, None, None)
+            if len(b) >= 12 and b[4:8] == b"ftyp":
+                info = media_meta.parse_mp4(b)
+                v = next(
+                    (t for t in info["tracks"] if t["kind"] == "vide"), None
+                )
+                return (
+                    "mp4",
+                    float(info["duration_s"]),
+                    v["width"] if v else None,
+                    v["height"] if v else None,
+                    None,
+                    v["n_samples"] if v else None,
+                    v["codec"] if v else None,
+                )
+            if b[:3] == b"ID3" or (
+                len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+            ):
+                info = media_meta.parse_mp3(b)
+                return (
+                    "mp3",
+                    float(info["duration_s"]),
+                    None,
+                    None,
+                    info["sample_rate"],
+                    info["n_frames"],
+                    "mp3",
+                )
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                samples, sr = decode_wav(b)
+                return (
+                    "wav",
+                    len(samples) / sr if sr else None,
+                    None,
+                    None,
+                    sr,
+                    len(samples),
+                    "pcm_s16le",
+                )
+        except ValueError:
+            return ("corrupt", None, None, None, None, None, None)
+        return ("unknown", None, None, None, None, None, None)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [_probe_one(b) for b in pdf["content"]]
+            fmt, dur, w, h, sr, nf, codec = (
+                list(z) for z in zip(*probed)
+            ) if probed else ([], [], [], [], [], [], [])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmt,
+                    "duration_s": pd.array(dur, dtype="Float32"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "sample_rate": pd.array(sr, dtype="Int32"),
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "codec": codec,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, PROBE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -331,13 +456,13 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 4 == 0:
+        if i % 6 == 0:
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
             c = 3 if i % 3 == 0 else 1
             img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
             content = encode_ppm(img)
             kind, width, height, sr, nf = "image", w, h, None, None
-        elif i % 4 == 1:
+        elif i % 6 == 1:
             sr = int(rng.choice([8000, 16000]))
             ns = int(rng.integers(64, 512))
             ch = 2 if i % 3 == 2 else 1
@@ -346,24 +471,43 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
             )
             content = encode_wav(wave_s, sr)
             kind, width, height, nf = "audio", None, None, None
-        elif i % 4 == 2:
+        elif i % 6 == 2:
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
-            c = (1, 3, 2, 4)[(i // 4) % 4]
+            c = (1, 3, 2, 4)[(i // 6) % 4]
             img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
-            content = png.encode_png(img, filter_type=(i // 4) % 5)
+            content = png.encode_png(img, filter_type=(i // 6) % 5)
             kind, width, height, sr, nf = "image", w, h, None, None
-        else:
+        elif i % 6 == 3:
             # real JPEGs, cycling gray/RGB x 4:4:4 / 4:2:0 x restart
+            # (i % 6 == 3 rows are all divisible by 3, so the channel
+            # toggle keys off i // 6)
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
-            c = 3 if i % 3 else 1
+            c = 3 if (i // 6) % 2 == 0 else 1
             img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
             content = jpeg.encode_jpeg(
                 img,
                 quality=90,
-                subsampling="420" if (c == 3 and (i // 4) % 2) else "444",
-                restart_interval=(i // 4) % 3,
+                subsampling="420" if (c == 3 and (i // 12) % 2) else "444",
+                restart_interval=(i // 6) % 3,
             )
             kind, width, height, sr, nf = "image", w, h, None, None
+        elif i % 6 == 4:
+            # real MP4 container structure (codec payload = declared junk)
+            w, h = int(rng.integers(4, 40)) * 16, int(rng.integers(4, 30)) * 16
+            nf = int(rng.integers(20, 200))
+            content = media_meta.build_fake_mp4(
+                width=w, height=h, n_frames=nf, fps=25
+            )
+            kind, width, height, sr = "video", w, h, None
+        else:
+            # real MP3 frame-header sequence (payload = declared junk)
+            sr = int(rng.choice([44100, 48000, 32000]))
+            nfr = int(rng.integers(10, 60))
+            content = media_meta.build_fake_mp3(
+                n_frames=nfr, bitrate=int(rng.choice([96, 128, 192])),
+                sample_rate=sr, seed=i,
+            )
+            kind, width, height, nf = "audio", None, None, None
         feat = _decode_image_bytes(content, dim)
         # frozen expectation for the RESIZE stage too: sha of the
         # re-encoded 8x8 nearest-neighbor thumbnail (images only)

@@ -187,7 +187,7 @@ def test_decodable_rows_include_jpeg_variants():
                 jpeg.encode_jpeg(M.resize_image(img, 8, 8), quality=90)
             ).hexdigest()
             assert want == r[8]
-    assert n_jpeg == 12 and chans == {1, 3}
+    assert n_jpeg == 8 and chans == {1, 3}
 
 
 def _encode_noninterleaved(img, quality=90):

@@ -1,0 +1,107 @@
+"""MP4 container / MP3 frame-header parsing (engine/ops/media_meta.py):
+structure round-trips through the spec-shaped builders, fail-clean
+behavior on lying containers, and the typed probe_media pass."""
+
+import numpy as np
+import pytest
+
+from engine.ops import media_meta as mm
+from engine.ops import multimodal as M
+
+
+def test_mp4_structure_roundtrip():
+    buf = mm.build_fake_mp4(width=320, height=240, n_frames=250, fps=25)
+    info = mm.parse_mp4(buf)
+    assert info["brand"] == "isom"
+    assert abs(info["duration_s"] - 10.0) < 1e-9
+    t = info["tracks"][0]
+    assert t["kind"] == "vide" and t["codec"] == "avc1"
+    assert (t["width"], t["height"]) == (320, 240)
+    assert t["n_samples"] == 250 and t["timescale"] == 25
+
+
+def test_mp3_frame_walk_and_id3():
+    buf = mm.build_fake_mp3(n_frames=38, bitrate=128, sample_rate=44100)
+    info = mm.parse_mp3(buf)
+    assert info["n_frames"] == 38 and info["sample_rate"] == 44100
+    assert not info["vbr"]
+    assert abs(info["duration_s"] - 38 * 1152 / 44100) < 1e-9
+    # leading ID3v2 tag (syncsafe size) is skipped
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"X" * 10
+    assert mm.parse_mp3(id3 + buf)["n_frames"] == 38
+    # mixed bitrates -> vbr
+    vbr = mm.build_fake_mp3(5, 96, 44100) + mm.build_fake_mp3(5, 192, 44100)
+    assert mm.parse_mp3(vbr)["vbr"]
+
+
+def test_media_meta_fail_clean():
+    good4 = mm.build_fake_mp4(n_frames=10)
+    good3 = mm.build_fake_mp3(n_frames=10)
+    with pytest.raises(ValueError, match="ftyp"):
+        mm.parse_mp4(b"nope" * 4)
+    with pytest.raises(ValueError):
+        mm.parse_mp4(good4[:40])  # truncated mid-box
+    with pytest.raises(ValueError):
+        mm.parse_mp3(good3[:100])  # truncated frame
+    with pytest.raises(ValueError, match="frames"):
+        mm.parse_mp3(b"\x00" * 64)
+    # size-field fuzz: flipped bytes raise ValueError or still parse;
+    # no IndexError/struct.error escapes
+    rng = np.random.default_rng(0)
+    for pos in rng.integers(0, len(good4), 150):
+        mutated = bytearray(good4)
+        mutated[pos] ^= 0x5A
+        try:
+            mm.parse_mp4(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_extract_features_real_mp4_mp3(spark):
+    """MP4/MP3 payloads route through the REAL structure parsers: the
+    feature lanes carry duration/frames/dimensions (video) and
+    duration/rate/bitrate (audio), not the hash-fake."""
+    v = mm.build_fake_mp4(width=128, height=96, n_frames=50, fps=25)
+    a = mm.build_fake_mp3(n_frames=20, bitrate=128, sample_rate=44100)
+    rows = [
+        ("v", "video", v, 128, 96, None, 50),
+        ("a", "audio", a, None, None, 44100, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: list(r["feature"])
+        for r in M.extract_features(media, dim=8).collect()
+    }
+    assert out["v"][:5] == [2.0, 50.0, 128.0, 96.0, 1.0]
+    assert out["a"][1:4] == [44100.0, 128.0, 20.0]
+
+
+def test_probe_media_typed_columns(spark):
+    """probe_media: one typed row per payload with real format detection;
+    corrupt payloads surface as format='corrupt', unknown as 'unknown' —
+    a filtering pass, not an error."""
+    from engine.ops import jpeg, png
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
+    rows = [
+        ("m4", "video", mm.build_fake_mp4(64, 48, 30, 25), 64, 48, None, 30),
+        ("m3", "audio", mm.build_fake_mp3(15, 96, 48000), None, None, 48000, None),
+        ("jp", "image", jpeg.encode_jpeg(img, 90), 20, 12, None, None),
+        ("pg", "image", png.encode_png(img), 20, 12, None, None),
+        ("pp", "image", M.encode_ppm(img), 20, 12, None, None),
+        ("wv", "audio", M.encode_wav(np.zeros(160, np.int16), 16000), None, None, 16000, None),
+        ("xx", "image", b"some unknown payload", None, None, None, None),
+        ("cr", "video", mm.build_fake_mp4(64, 48, 30, 25)[:50], None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.probe_media(media).collect()}
+    assert out["m4"]["format"] == "mp4" and out["m4"]["n_frames"] == 30
+    assert (out["m4"]["width"], out["m4"]["height"]) == (64, 48)
+    assert out["m4"]["codec"] == "avc1"
+    assert out["m3"]["format"] == "mp3" and out["m3"]["sample_rate"] == 48000
+    assert out["jp"]["format"] == "jpeg" and out["jp"]["width"] == 20
+    assert out["pg"]["format"] == "png" and out["pp"]["format"] == "netpbm"
+    assert out["wv"]["format"] == "wav" and out["wv"]["n_frames"] == 160
+    assert out["xx"]["format"] == "unknown"
+    assert out["cr"]["format"] == "corrupt"
