@@ -1467,6 +1467,83 @@ GROUP BY l_orderkey
 """
 
 
+def _q_tpch_q6(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): a pure filter+aggregate
+    whose predicates (date range, discount band, quantity cap) all push
+    into the parquet scan — the canonical predicate-pushdown showcase.
+    Whole-stage codegen end to end, zero joins, one exchange for the
+    final single-group agg. Decimal accumulation avoids float summation
+    drift against the oracle."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            ).cast("decimal(18,4)").cast("string").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q6 = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS VARCHAR) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q_tpch_q14(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): lineitem joined to a BROADCAST
+    part dimension with a conditional aggregate — the promo share of
+    revenue in one month. Demonstrates conditional aggregation over a
+    broadcast join (no shuffle of the fact side beyond the final
+    single-group agg)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("decimal(18,4)").cast("string").alias("promo_revenue"),
+        F.sum(rev).cast("decimal(18,4)").cast("string").alias("total_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_ORACLE_TPCH_Q14 = """
+SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS VARCHAR)
+         AS promo_revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DECIMAL(18,4)) AS VARCHAR) AS total_revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+
 def _q_top_suppliers_per_nation(spark, sf_dir) -> DataFrame:
     """Window-function demo over the dimension tables (SURVEY §2.6:
     filters/joins/aggs/windows on Spark built-ins): top-3 suppliers by
@@ -2124,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knn_bruteforce"] = _q_knn
     q["tpch_q1"] = _q_tpch_q1
     q["tpch_q3"] = _q_tpch_q3
+    q["tpch_q6"] = _q_tpch_q6
+    q["tpch_q14"] = _q_tpch_q14
     q["events_hourly"] = _q_events_hourly
     q["events_hourly_stream"] = _q_events_hourly_stream
     q["top_suppliers_per_nation"] = _q_top_suppliers_per_nation
@@ -2182,6 +2261,8 @@ def oracle_sql() -> dict[str, str]:
     o["knn_bruteforce"] = _ORACLE_KNN
     o["tpch_q1"] = _ORACLE_TPCH_Q1
     o["tpch_q3"] = _ORACLE_TPCH_Q3
+    o["tpch_q6"] = _ORACLE_TPCH_Q6
+    o["tpch_q14"] = _ORACLE_TPCH_Q14
     o["events_hourly"] = _ORACLE_EVENTS_HOURLY
     o["events_hourly_stream"] = _ORACLE_EVENTS_HOURLY
     o["top_suppliers_per_nation"] = _ORACLE_TOP_SUPPLIERS
