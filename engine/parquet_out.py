@@ -347,6 +347,8 @@ def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
     fields = [(1, _CT_I32, ptype), (2, _CT_I32, raw_len), (3, _CT_I32, comp_len)]
     if ptype == 0:
         fields.append((5, _CT_STRUCT, inner))
+    elif ptype == 3:
+        fields.append((8, _CT_STRUCT, inner))
     else:
         fields.append((7, _CT_STRUCT, inner))
     return _tstruct(fields)
@@ -354,7 +356,8 @@ def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
 
 def write_table(path: str, columns: list, codec: str | None = None,
                 created_by: str = "spark-graft encoder",
-                row_group_size: int | None = None) -> dict:
+                row_group_size: int | None = None,
+                data_page_version: int = 1) -> dict:
     """Write flat columns as a real parquet file.
 
     ``columns``: list of (name, phys, encoding, values, validity) where
@@ -366,7 +369,10 @@ def write_table(path: str, columns: list, codec: str | None = None,
     surface strings. ``row_group_size`` splits rows into multiple row
     groups (each with its own dictionary pages) — at fleet scale bounded
     groups are what keep a reader's memory bounded; default is a single
-    group. Returns {'rows': n, 'bytes': file size}.
+    group. ``data_page_version=2`` emits DataPageV2 (levels sectioned
+    outside the compressed area, lengths in the header — the modern page
+    form parquet-mr/arrow default to). Returns {'rows': n, 'bytes': file
+    size}.
     """
     # -- normalize once: (name, phys, utf8, enc, dense values, validity) --
     norm = []
@@ -417,7 +423,7 @@ def write_table(path: str, columns: list, codec: str | None = None,
     step = row_group_size if row_group_size and row_group_size > 0 else max(num_rows, 1)
     for lo in range(0, max(num_rows, 1), step):
         hi = min(lo + step, num_rows)
-        col_meta = _write_group(out, norm, lo, hi, codec)
+        col_meta = _write_group(out, norm, lo, hi, codec, data_page_version)
         rowgroups.append((col_meta, hi - lo))
         if num_rows == 0:
             break
@@ -447,7 +453,9 @@ def _slice_col(phys, values, validity, aux, lo, hi):
 
 
 def _write_group(out: bytearray, norm: list, lo: int, hi: int,
-                 codec: str | None) -> list:
+                 codec: str | None, data_page_version: int = 1) -> list:
+    if data_page_version not in (1, 2):
+        raise ValueError(f"data_page_version must be 1 or 2")
     col_meta = []
     for name, phys, utf8, enc, all_values, all_validity, aux in norm:
         values, validity = _slice_col(
@@ -460,7 +468,13 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             enc = _auto_encoding(phys, values)
         stats = _column_stats(phys, values, validity, n)
         if validity is not None:
-            levels = rle.encode_len_prefixed(validity.astype(np.uint64), 1)
+            if data_page_version == 2:
+                # v2: raw hybrid, no length prefix (length in the header)
+                levels = rle.encode(validity.astype(np.uint64), 1)
+            else:
+                levels = rle.encode_len_prefixed(
+                    validity.astype(np.uint64), 1
+                )
             max_def = 1
         else:
             levels = b""
@@ -482,24 +496,52 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             out += hdr
             out += comp_dict
             raw_total += len(hdr) + len(dict_plain)
-            data_raw = levels + body
+            vals_raw = body
             encodings.add("PLAIN_DICTIONARY")
         else:
             dict_off = None
-            data_raw = levels + _encode_values(phys, enc, values)
+            vals_raw = _encode_values(phys, enc, values)
             encodings.add(enc)
         data_off = len(out)
-        comp = _compress(data_raw, codec)
-        dph = [
-            (1, _CT_I32, n),
-            (2, _CT_I32, _ENC_IDS[enc]),
-            (3, _CT_I32, _ENC_IDS["RLE"]),  # definition level encoding
-            (4, _CT_I32, _ENC_IDS["RLE"]),  # repetition level encoding
-        ]
-        hdr = _page_header(0, len(data_raw), len(comp), dph)
-        out += hdr
-        out += comp
-        raw_total += len(hdr) + len(data_raw)
+        if data_page_version == 2:
+            # v2: levels live OUTSIDE the compressed section, lengths in
+            # the header; only the value bytes compress
+            n_nulls = 0 if validity is None else int(n - validity.sum())
+            comp_vals = _compress(vals_raw, codec)
+            is_comp = codec is not None and len(comp_vals) < len(vals_raw)
+            body_vals = comp_vals if is_comp else vals_raw
+            dph2 = [
+                (1, _CT_I32, n),
+                (2, _CT_I32, n_nulls),
+                (3, _CT_I32, n),  # rows == values for flat columns
+                (4, _CT_I32, _ENC_IDS[enc]),
+                (5, _CT_I32, len(levels)),  # definition_levels_byte_length
+                (6, _CT_I32, 0),  # repetition_levels_byte_length
+                (7, _CT_TRUE, bool(is_comp)),
+            ]
+            hdr = _page_header(
+                3,
+                len(levels) + len(vals_raw),
+                len(levels) + len(body_vals),
+                dph2,
+            )
+            out += hdr
+            out += levels
+            out += body_vals
+            raw_total += len(hdr) + len(levels) + len(vals_raw)
+        else:
+            data_raw = levels + vals_raw
+            comp = _compress(data_raw, codec)
+            dph = [
+                (1, _CT_I32, n),
+                (2, _CT_I32, _ENC_IDS[enc]),
+                (3, _CT_I32, _ENC_IDS["RLE"]),  # definition level encoding
+                (4, _CT_I32, _ENC_IDS["RLE"]),  # repetition level encoding
+            ]
+            hdr = _page_header(0, len(data_raw), len(comp), dph)
+            out += hdr
+            out += comp
+            raw_total += len(hdr) + len(data_raw)
         total_comp = len(out) - start
         encodings.add("RLE")
         col_meta.append(

@@ -475,3 +475,65 @@ def test_byte_stream_split_both_directions(tmp_path):
             str(tmp_path / "x.parquet"),
             [("s", "utf8", "BYTE_STREAM_SPLIT", po.flat_strings(["a"]), None)],
         )
+
+
+def test_data_page_v2_write_and_modern_reader_read(tmp_path):
+    """data_page_version=2 writes DataPageV2 (levels sectioned outside
+    the compressed area, lengths + null count in the header — the page
+    form arrow/parquet-mr default to); pyarrow, DuckDB and the engine
+    reader consume it across codecs, nullable columns and row groups.
+    Conversely the engine reader handles pyarrow's own v2 output."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(0)
+    n = 6000
+    valid = rng.integers(0, 4, n) > 0
+    kfull = np.zeros(n, np.int32)
+    kfull[valid] = rng.integers(0, 999, int(valid.sum()))
+    ids = [f"doc-{i:07d}" for i in range(n)]
+    cols = [
+        ("a", "int64", "AUTO", np.arange(n, dtype=np.int64), None),
+        ("d", "utf8", "DELTA_BYTE_ARRAY", po.flat_strings(ids), None),
+        ("k", "int32", "PLAIN", kfull, valid),
+        ("f", "float64", "BYTE_STREAM_SPLIT", rng.standard_normal(n), None),
+    ]
+    path = str(tmp_path / "v2.parquet")
+    for codec in (None, "zstd"):
+        po.write_table(
+            path, cols, codec=codec, row_group_size=2100, data_page_version=2
+        )
+        t = pq.read_table(path)
+        assert (np.asarray(t.column("a")) == np.arange(n)).all()
+        assert t.column("d").to_pylist() == ids
+        kn = t.column("k").to_pylist()
+        assert sum(v is None for v in kn) == int((~valid).sum())
+        ours = pc.read_table(path)
+        kv, kval = ours["k"]
+        assert (kval == valid).all()
+        assert duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone() == (n,)
+
+    # the reverse direction: pyarrow-written v2 pages (RLE_DICTIONARY,
+    # zstd, nullable, multi-group) decode with the engine reader
+    pa_path = str(tmp_path / "v2_pa.parquet")
+    t2 = pa.table(
+        {
+            "s": pa.array([f"v-{i % 37}" for i in range(n)]),
+            "k": pa.array(
+                [int(v) if v % 3 else None for v in range(n)], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(
+        t2, pa_path, data_page_version="2.0", compression="zstd",
+        row_group_size=2500,
+    )
+    ours = pc.read_table(pa_path)
+    s, _ = ours["s"]
+    assert [v.decode() for v in s] == [f"v-{i % 37}" for i in range(n)]
+    kv, kval = ours["k"]
+    got = [int(kv[i]) if kval[i] else None for i in range(n)]
+    assert got == [int(v) if v % 3 else None for v in range(n)]
