@@ -1973,6 +1973,47 @@ def _q_media_resize(spark, sf_dir) -> DataFrame:
     )
 
 
+def _q_media_probe(spark, sf_dir) -> DataFrame:
+    """Typed media probe gate: probe_media detects the format and parses
+    dimensions / sample rates / frame counts from the ACTUAL bytes
+    (image decode headers, MP4 sample tables, MP3 frame walks); the
+    oracle is the media table's own stored generation metadata — ground
+    truth written independently of the parsers — plus the kind column
+    reproduced from the probed format."""
+    from engine.ops import multimodal
+
+    _engine(spark)
+    media = spark.read.parquet(_decodable_media_parquet())
+    probe = multimodal.probe_media(
+        media.select([f.name for f in multimodal.MEDIA_SCHEMA.fields])
+    )
+    kind = (
+        F.when(F.col("format").isin("netpbm", "png", "jpeg"), "image")
+        .when(F.col("format").isin("wav", "mp3"), "audio")
+        .when(F.col("format") == "mp4", "video")
+        .otherwise("unknown")
+    )
+    return probe.select(
+        "media_id",
+        kind.alias("kind"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("sample_rate").cast("int"),
+        # n_frames is comparable where the table stores it (video rows);
+        # audio frame counts are probe-only detail
+        F.when(F.col("format") == "mp4", F.col("n_frames"))
+        .cast("int")
+        .alias("n_frames"),
+    )
+
+
+def _oracle_media_probe() -> str:
+    return (
+        "SELECT media_id, kind, width, height, sample_rate, n_frames "
+        f"FROM read_parquet('{_decodable_media_parquet()}')"
+    )
+
+
 _GOLDEN_DIR = "/root/reference/data"
 
 
@@ -2220,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = _q_media_features
     q["media_decode"] = _q_media_decode
     q["media_resize"] = _q_media_resize
+    q["media_probe"] = _q_media_probe
     q["golden_file_alltypes"] = _q_golden_alltypes
     q["golden_file_10k_delta"] = _q_golden_10k_delta
     q["parquet_export"] = _q_parquet_export
@@ -2291,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         "sha256(CAST(content AS VARCHAR)) AS content_sha "
         f"FROM read_parquet('{_media_parquet()}')"
     )
+    o["media_probe"] = _oracle_media_probe()
     o["golden_file_alltypes"] = _ORACLE_GOLDEN_ALLTYPES
     o["golden_file_10k_delta"] = _ORACLE_GOLDEN_10K
     o["parquet_export"] = _ORACLE_PARQUET_EXPORT
