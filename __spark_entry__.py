@@ -1916,12 +1916,12 @@ def _media_parquet() -> str:
 def _decodable_media_parquet() -> str:
     """Deterministic REAL-format media parquet (netpbm + PNG + WAV payloads
     with generation-frozen expected features) shared by both gate sides.
-    v5: r5 added PNG, JPEG, MP4-container and MP3-frame rows (all real-parsed)."""
+    v6: r5 — PNG, JPEG, MP4-container and MP3-frame rows (all real-parsed); P5-gray + stereo-WAV variety restored."""
     import tempfile
 
     from engine.ops import multimodal
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v5.parquet")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v6.parquet")
     if not os.path.exists(path):
         multimodal.write_decodable_media_parquet(path, n=48, seed=7, dim=8)
     return path

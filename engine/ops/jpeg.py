@@ -320,6 +320,44 @@ def _decode_impl(buf: bytes) -> np.ndarray:
     raise ValueError("JPEG stream ended without EOI")
 
 
+def read_dimensions(buf: bytes) -> tuple[int, int, int]:
+    """Header-only probe -> (width, height, components): walks markers to
+    the first SOFn frame header without any entropy decode — the cheap
+    path for corpus-scale routing (decode_jpeg pays huffman + IDCT per
+    payload). Accepts any SOFn (dims parse the same for progressive);
+    full decode remains baseline-only."""
+    try:
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG stream (missing SOI)")
+        pos = 2
+        n = len(buf)
+        while pos + 1 < n:
+            if buf[pos] != 0xFF:
+                raise ValueError(f"expected marker at offset {pos}")
+            marker = buf[pos + 1]
+            pos += 2
+            if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > n:
+                raise ValueError("truncated JPEG segment header")
+            (seglen,) = struct.unpack(">H", buf[pos : pos + 2])
+            seg = buf[pos + 2 : pos + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            # SOFn markers: C0-CF excluding C4 (DHT), C8 (JPG), CC (DAC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if len(seg) < 6:
+                    raise ValueError("truncated SOF segment")
+                height, width = struct.unpack(">HH", seg[1:5])
+                return width, height, seg[5]
+            if marker == 0xDA:
+                break
+            pos += seglen
+        raise ValueError("JPEG stream has no frame header")
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream ({e!r})") from e
+
+
 def _decode_scan_into(buf, pos, order, comps, qtables, htables, width,
                       height, restart_interval) -> int:
     """Decode ONE scan's entropy data into the components' block arrays and

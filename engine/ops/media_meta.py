@@ -74,7 +74,16 @@ def _fullbox_u32_u64(buf, pos, version):
 def parse_mp4(buf: bytes) -> dict:
     """ISO BMFF structure -> {'brand', 'duration_s', 'tracks': [{'kind',
     'codec', 'width', 'height', 'n_samples', 'timescale', 'duration'}]}.
-    Raises ValueError for non-MP4 or structurally lying input."""
+    Raises ValueError for non-MP4 or structurally lying input (short
+    fullbox payloads would otherwise surface as IndexError/struct.error
+    from the field reads; r5 review pass 3 #1)."""
+    try:
+        return _parse_mp4_impl(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed MP4 structure ({e!r})") from e
+
+
+def _parse_mp4_impl(buf: bytes) -> dict:
     if len(buf) < 12 or buf[4:8] != b"ftyp":
         raise ValueError("not an MP4 stream (no ftyp box)")
     brand = buf[8:12].decode("latin1")
@@ -170,8 +179,11 @@ def build_fake_mp4(
     hdlr = box(
         b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"fake\x00"
     )
+    # VisualSampleEntry is 86 bytes INCLUDING its 8-byte box header (the
+    # +8 double-count made the entry overhang its stsd parent; r5 review
+    # pass 3 #4)
     entry = (
-        struct.pack(">I", 86 + 8)
+        struct.pack(">I", 86)
         + codec.encode("latin1")
         + b"\x00" * 6
         + struct.pack(">H", 1)
@@ -208,6 +220,13 @@ def parse_mp3(buf: bytes) -> dict:
     -> {'n_frames', 'sample_rate', 'bitrate_kbps' (mean), 'duration_s',
     'vbr'}. Frame payloads are never decoded. Raises ValueError when no
     valid frame sequence exists."""
+    try:
+        return _parse_mp3_impl(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed MP3 stream ({e!r})") from e
+
+
+def _parse_mp3_impl(buf: bytes) -> dict:
     pos = 0
     if buf[:3] == b"ID3":
         if len(buf) < 10:

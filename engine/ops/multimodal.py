@@ -65,11 +65,9 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_ppm(buf: bytes) -> np.ndarray:
-    """REAL netpbm binary decode (P5 grayscale -> (h, w, 1), P6 RGB ->
-    (h, w, 3)), pure numpy — no imaging library needed for the uncompressed
-    interchange format. Raises ValueError on malformed input (same
-    fail-clean contract as the chunk decoders)."""
+def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
+    """Parse just the netpbm header -> (w, h, channels, data_pos); shared
+    by the full decode and the header-only probe."""
     if buf[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary netpbm stream (want P5/P6 magic)")
     channels = 3 if buf[:2] == b"P6" else 1
@@ -103,11 +101,43 @@ def decode_ppm(buf: bytes) -> np.ndarray:
         raise ValueError(f"invalid netpbm dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
+    return w, h, channels, pos
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """REAL netpbm binary decode (P5 grayscale -> (h, w, 1), P6 RGB ->
+    (h, w, 3)), pure numpy — no imaging library needed for the uncompressed
+    interchange format. Raises ValueError on malformed input (same
+    fail-clean contract as the chunk decoders)."""
+    w, h, channels, pos = _ppm_header(buf)
     need = w * h * channels
     if len(buf) - pos < need:
         raise ValueError("truncated netpbm pixel data")
     data = np.frombuffer(buf, np.uint8, count=need, offset=pos)
     return data.reshape(h, w, channels)
+
+
+def sniff_format(buf: bytes) -> str:
+    """Magic-byte format detection — the ONE place the routing predicates
+    live (they were duplicated between the feature extractor and the
+    probe and could drift; r5 review pass 3 #7). The MP3 sync sniff is
+    inherently loose (11 set bits) — callers must treat a failed parse
+    after an mp3 sniff as 'unknown', not an error."""
+    if buf[:2] in (b"P5", b"P6"):
+        return "netpbm"
+    if buf[:8] == png.SIGNATURE:
+        return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return "mp4"
+    if buf[:3] == b"ID3" or (
+        len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
 
 
 def decode_wav(buf: bytes):
@@ -150,17 +180,23 @@ def _pad(vals: list, dim: int) -> np.ndarray:
 
 
 def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
-    """Feature vector per media payload, routed by magic bytes: real
-    decode + real statistics for netpbm/PNG images and WAV audio, the
-    deterministic fake for everything else (MP3/MP4)."""
-    if buf[:2] in (b"P5", b"P6"):
+    """Feature vector per media payload, routed by ``sniff_format``: real
+    decode + real statistics for netpbm/PNG/JPEG images and WAV audio,
+    real structure parsing for MP4/MP3, the deterministic fake for
+    unknown payloads. The MP4/MP3 sniffs are loose (an 11-bit sync / an
+    offset-4 fourcc), so a failed parse there FALLS BACK to the fake
+    instead of erroring — arbitrary binary matching a sync pattern must
+    not kill the stage (r5 review pass 3 #2); image formats stay strict
+    (a corrupt image in a typed media column IS an upstream bug)."""
+    fmt = sniff_format(buf)
+    if fmt == "netpbm":
         img = decode_ppm(buf).astype(np.float64)
         h, w, c = img.shape
         means = img.reshape(-1, c).mean(axis=0)
         stds = img.reshape(-1, c).std(axis=0)
         vals = [w, h, c, *means, *np.zeros(3 - c), *stds, *np.zeros(3 - c)]
         return _pad(vals, dim)
-    if buf[:8] == png.SIGNATURE:
+    if fmt == "png":
         img = png.decode_png(buf).astype(np.float64)
         h, w, c = img.shape
         means = img.reshape(-1, c).mean(axis=0)
@@ -170,17 +206,20 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
         # stays frozen for its existing oracles)
         vals = [w, h, c, *means, *np.zeros(4 - c), *stds, *np.zeros(4 - c)]
         return _pad(vals, dim)
-    if buf[:3] == b"\xff\xd8\xff":
+    if fmt == "jpeg":
         img = jpeg.decode_jpeg(buf).astype(np.float64)
         h, w, c = img.shape
         means = img.reshape(-1, c).mean(axis=0)
         stds = img.reshape(-1, c).std(axis=0)
         vals = [w, h, c, *means, *np.zeros(3 - c), *stds, *np.zeros(3 - c)]
         return _pad(vals, dim)
-    if len(buf) >= 12 and buf[4:8] == b"ftyp":
-        # MP4: REAL container parsing (boxes/tracks/sample tables); the
-        # codec payload itself is what still needs ffmpeg
-        info = media_meta.parse_mp4(buf)
+    if fmt == "mp4":
+        # REAL container parsing (boxes/tracks/sample tables); the codec
+        # payload itself is what still needs ffmpeg
+        try:
+            info = media_meta.parse_mp4(buf)
+        except ValueError:
+            return _fake_feature(buf, dim)
         v = next((t for t in info["tracks"] if t["kind"] == "vide"), None)
         vals = [
             info["duration_s"],
@@ -190,12 +229,13 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
             float(len(info["tracks"])),
         ]
         return _pad(vals, dim)
-    if buf[:3] == b"ID3" or (
-        len(buf) >= 2 and buf[0] == 0xFF and (buf[1] & 0xE0) == 0xE0
-    ):
-        # MP3: REAL frame-header walk (duration/bitrate/rate); audio
-        # sample decode still needs a DSP stack
-        info = media_meta.parse_mp3(buf)
+    if fmt == "mp3":
+        # REAL frame-header walk (duration/bitrate/rate); audio sample
+        # decode still needs a DSP stack
+        try:
+            info = media_meta.parse_mp3(buf)
+        except ValueError:
+            return _fake_feature(buf, dim)
         vals = [
             info["duration_s"],
             float(info["sample_rate"]),
@@ -204,7 +244,7 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
             1.0 if info["vbr"] else 0.0,
         ]
         return _pad(vals, dim)
-    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+    if fmt == "wav":
         samples, sr = decode_wav(buf)
         x = samples.astype(np.float64)
         rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
@@ -257,23 +297,26 @@ PROBE_SCHEMA = StructType(
 def probe_media(media: DataFrame) -> DataFrame:
     """Typed metadata probe over opaque media payloads — the routing/
     filtering pass a training pipeline runs BEFORE deciding what to hand
-    to a decoder fleet: real format detection + duration/resolution/frame
-    counts from actual structure parsing (images, WAV, MP4 containers,
-    MP3 frame walks); unknown payloads surface as format='unknown'
-    rather than an error."""
+    to a decoder fleet: HEADER-ONLY parsing everywhere (PNG IHDR, JPEG
+    SOF walk, netpbm header, WAV header without reading frames, MP4 box
+    walk, MP3 frame-header walk — no pixel/sample decode anywhere; r5
+    review pass 3 #5), routed by the shared ``sniff_format``. Unknown
+    payloads surface as format='unknown' and parse failures as
+    format='corrupt' — values, not errors."""
 
     def _probe_one(b: bytes):
+        fmt = sniff_format(b)
         try:
-            if b[:2] in (b"P5", b"P6"):
-                img = decode_ppm(b)
-                return ("netpbm", None, img.shape[1], img.shape[0], None, None, None)
-            if b[:8] == png.SIGNATURE:
-                img = png.decode_png(b)
-                return ("png", None, img.shape[1], img.shape[0], None, None, None)
-            if b[:3] == b"\xff\xd8\xff":
-                img = jpeg.decode_jpeg(b)
-                return ("jpeg", None, img.shape[1], img.shape[0], None, None, None)
-            if len(b) >= 12 and b[4:8] == b"ftyp":
+            if fmt == "netpbm":
+                w, h, c, _ = _ppm_header(b)
+                return ("netpbm", None, w, h, None, None, None)
+            if fmt == "png":
+                w, h, c = png.read_ihdr(b)
+                return ("png", None, w, h, None, None, None)
+            if fmt == "jpeg":
+                w, h, c = jpeg.read_dimensions(b)
+                return ("jpeg", None, w, h, None, None, None)
+            if fmt == "mp4":
                 info = media_meta.parse_mp4(b)
                 v = next(
                     (t for t in info["tracks"] if t["kind"] == "vide"), None
@@ -287,9 +330,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                     v["n_samples"] if v else None,
                     v["codec"] if v else None,
                 )
-            if b[:3] == b"ID3" or (
-                len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
-            ):
+            if fmt == "mp3":
                 info = media_meta.parse_mp3(b)
                 return (
                     "mp3",
@@ -300,17 +341,20 @@ def probe_media(media: DataFrame) -> DataFrame:
                     info["n_frames"],
                     "mp3",
                 )
-            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                samples, sr = decode_wav(b)
-                return (
-                    "wav",
-                    len(samples) / sr if sr else None,
-                    None,
-                    None,
-                    sr,
-                    len(samples),
-                    "pcm_s16le",
-                )
+            if fmt == "wav":
+                import io
+                import wave
+
+                # header fields only — readframes (the expensive part)
+                # never runs
+                try:
+                    with wave.open(io.BytesIO(b)) as wf:
+                        nfr, sr = wf.getnframes(), wf.getframerate()
+                except (wave.Error, EOFError) as e:
+                    raise ValueError(f"malformed WAV header: {e}") from e
+                if sr <= 0:
+                    raise ValueError("malformed WAV header: zero rate")
+                return ("wav", nfr / sr, None, None, sr, nfr, "pcm_s16le")
         except ValueError:
             return ("corrupt", None, None, None, None, None, None)
         return ("unknown", None, None, None, None, None, None)
@@ -457,15 +501,19 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
     rows = []
     for i in range(n):
         if i % 6 == 0:
+            # i % 6 == 0 rows are all divisible by 3, so channel/stereo
+            # toggles key off i // 6 — an i % 3 condition would collapse
+            # to a constant and silently drop P5-gray coverage (r5 review
+            # pass 3 #3)
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
-            c = 3 if i % 3 == 0 else 1
+            c = 3 if (i // 6) % 2 == 0 else 1
             img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
             content = encode_ppm(img)
             kind, width, height, sr, nf = "image", w, h, None, None
         elif i % 6 == 1:
             sr = int(rng.choice([8000, 16000]))
             ns = int(rng.integers(64, 512))
-            ch = 2 if i % 3 == 2 else 1
+            ch = 2 if (i // 6) % 2 else 1
             wave_s = (
                 rng.integers(-(2**14), 2**14, (ns, ch)).astype(np.int16)
             )

@@ -165,6 +165,31 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img
 
 
+def read_ihdr(buf: bytes) -> tuple[int, int, int]:
+    """Header-only probe -> (width, height, channels): parses just the
+    IHDR chunk (CRC-validated) without inflating any IDAT — the cheap
+    path a corpus-scale routing pass needs (full decode_png costs a zlib
+    inflate + per-scanline unfilter per payload)."""
+    if buf[:8] != SIGNATURE:
+        raise ValueError("not a PNG stream (bad signature)")
+    if len(buf) < 33 or buf[12:16] != b"IHDR":
+        raise ValueError("PNG stream does not start with IHDR")
+    (length,) = struct.unpack(">I", buf[8:12])
+    if length != 13:
+        raise ValueError("malformed IHDR length")
+    data = buf[16:29]
+    (crc,) = struct.unpack(">I", buf[29:33])
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    w, h, depth, color = struct.unpack(">IIBB", data[:10])
+    if depth != 8 or color not in _CHANNELS:
+        raise ValueError(f"unsupported PNG (depth {depth}, color {color})")
+    if w <= 0 or h <= 0 or w > 1 << 24 or h > 1 << 24:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    channels = 3 if color == 3 else _CHANNELS[color]  # palette -> RGB
+    return w, h, channels
+
+
 def _filter_rows(img2d: np.ndarray, bpp: int, filter_type: int) -> np.ndarray:
     """Apply one PNG filter to every row (encode side — the unfiltered
     image is fully known, so every filter vectorizes)."""

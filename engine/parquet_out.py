@@ -51,6 +51,7 @@ _ENC_IDS = {
     "DELTA_BINARY_PACKED": 5,
     "DELTA_LENGTH_BYTE_ARRAY": 6,
     "DELTA_BYTE_ARRAY": 7,
+    "RLE_DICTIONARY": 8,
     "BYTE_STREAM_SPLIT": 9,
 }
 # 'lz4' means LZ4_RAW (codec id 7): parquet id 5 is the DEPRECATED
@@ -486,18 +487,28 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
         if enc == "PLAIN_DICTIONARY":
             dict_plain, body, n_dict = _dict_pages(phys, values)
             comp_dict = _compress(dict_plain, codec)
+            # v2 convention: dict page declares PLAIN, data pages
+            # RLE_DICTIONARY (PLAIN_DICTIONARY is deprecated for v2
+            # pages; r5 review pass 3 #6). v1 keeps the legacy pairing.
+            dict_page_enc = (
+                "PLAIN" if data_page_version == 2 else "PLAIN_DICTIONARY"
+            )
             hdr = _page_header(
                 2,
                 len(dict_plain),
                 len(comp_dict),
-                [(1, _CT_I32, n_dict), (2, _CT_I32, _ENC_IDS["PLAIN_DICTIONARY"])],
+                [(1, _CT_I32, n_dict), (2, _CT_I32, _ENC_IDS[dict_page_enc])],
             )
             dict_off = start
             out += hdr
             out += comp_dict
             raw_total += len(hdr) + len(dict_plain)
             vals_raw = body
-            encodings.add("PLAIN_DICTIONARY")
+            # the data-page encoding name: RLE_DICTIONARY for v2 pages
+            enc = "RLE_DICTIONARY" if data_page_version == 2 else enc
+            encodings.add(enc)
+            if data_page_version == 2:
+                encodings.add("PLAIN")  # the dict page's declared encoding
         else:
             dict_off = None
             vals_raw = _encode_values(phys, enc, values)

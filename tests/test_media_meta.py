@@ -105,3 +105,84 @@ def test_probe_media_typed_columns(spark):
     assert out["wv"]["format"] == "wav" and out["wv"]["n_frames"] == 160
     assert out["xx"]["format"] == "unknown"
     assert out["cr"]["format"] == "corrupt"
+
+
+def test_parsers_wrap_structural_errors_as_valueerror():
+    """Short fullbox payloads (mvhd/mdhd/stsd) must raise ValueError, not
+    IndexError/struct.error — probe_media catches only ValueError, so an
+    escape would kill the Spark stage instead of yielding
+    format='corrupt' (r5 review pass 3 #1)."""
+    import struct as st
+
+    def box(t, p):
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    ftyp = box(b"ftyp", b"isomAAAA")
+    for bad_moov in [
+        box(b"mvhd", b""),
+        box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 10),
+        box(b"trak", box(b"mdia", box(b"mdhd", b"\x01\x00"))),
+        box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", box(b"stsd", b"\x00\x00"))))),
+    ]:
+        with pytest.raises(ValueError):
+            mm.parse_mp4(ftyp + box(b"moov", bad_moov))
+
+
+def test_fake_mp4_sample_entry_size_consistent():
+    """The builder's VisualSampleEntry size field must cover exactly its
+    own bytes (86 incl. header) — a lying size overhangs the stsd parent
+    and strict validators reject it (r5 review pass 3 #4)."""
+    import struct as st
+
+    buf = mm.build_fake_mp4(64, 48, 10)
+    # walk to stsd and check the entry's declared size against its span
+    info = mm.parse_mp4(buf)  # still parses
+    moov = mm._find(buf, 0, len(buf), b"moov")
+    stbl = None
+    for t, b0, b1 in mm._boxes(buf, *moov):
+        if t == b"trak":
+            stbl = mm._find(buf, b0, b1, b"mdia", b"minf", b"stbl")
+    (stsd,) = [(b0, b1) for t, b0, b1 in mm._boxes(buf, *stbl) if t == b"stsd"]
+    (entry_size,) = st.unpack(">I", buf[stsd[0] + 8 : stsd[0] + 12])
+    assert stsd[0] + 8 + entry_size == stsd[1], (entry_size, stsd)
+
+
+def test_loose_sniff_falls_back_not_raises(spark):
+    """Arbitrary binary matching the loose MP3 sync / ftyp sniff routes
+    to the deterministic fake instead of killing the stage (r5 review
+    pass 3 #2); probe_media reports it as corrupt/unknown."""
+    rows = [
+        ("x1", "audio", b"\xff\xfbjunkjunkjunkjunkjunk", None, None, None, None),
+        ("x2", "video", b"xxxxftypjunkjunkjunkjunk", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = M.extract_features(media, dim=8).collect()
+    assert len(feats) == 2  # no stage failure
+    probes = {r["media_id"]: r["format"] for r in M.probe_media(media).collect()}
+    assert probes == {"x1": "corrupt", "x2": "corrupt"}
+
+
+def test_probe_uses_headers_not_full_decode(monkeypatch, spark):
+    """probe_media must not pay pixel/sample decode: full decoders are
+    monkeypatched to explode, and the probe still answers from headers
+    (r5 review pass 3 #5)."""
+    from engine.ops import jpeg, png
+
+    def boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("full decode invoked from probe")
+
+    monkeypatch.setattr(png, "decode_png", boom)
+    monkeypatch.setattr(jpeg, "decode_jpeg", boom)
+    monkeypatch.setattr(M, "decode_ppm", boom)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 13, 3)).astype(np.uint8)
+    # build payloads BEFORE patching encoders are unaffected (encode only)
+    rows = [
+        ("p", "image", M.encode_ppm(img), 13, 11, None, None),
+        ("g", "image", png.encode_png(img), 13, 11, None, None),
+        ("j", "image", jpeg.encode_jpeg(img, 90), 13, 11, None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.probe_media(media).collect()}
+    for k in ("p", "g", "j"):
+        assert (out[k]["width"], out[k]["height"]) == (13, 11), k
