@@ -537,3 +537,30 @@ def test_data_page_v2_write_and_modern_reader_read(tmp_path):
     kv, kval = ours["k"]
     got = [int(kv[i]) if kval[i] else None for i in range(n)]
     assert got == [int(v) if v % 3 else None for v in range(n)]
+
+
+def test_data_page_v2_dictionary_advertises_rle_dictionary(tmp_path):
+    """v2 dictionary columns must declare RLE_DICTIONARY data pages with
+    a PLAIN dictionary page (PLAIN_DICTIONARY is deprecated for v2);
+    pyarrow, DuckDB and the engine reader all consume the result."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    n = 4000
+    vals = [f"c{i % 9}" for i in range(n)]
+    path = str(tmp_path / "v2dict.parquet")
+    po.write_table(
+        path,
+        [("s", "utf8", "PLAIN_DICTIONARY", po.flat_strings(vals), None)],
+        codec="zstd",
+        data_page_version=2,
+    )
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert "RLE_DICTIONARY" in md.encodings and "PLAIN" in md.encodings
+    assert "PLAIN_DICTIONARY" not in md.encodings
+    assert pq.read_table(path).column("s").to_pylist() == vals
+    s, _ = pc.read_table(path)["s"]
+    assert [v.decode() for v in s] == vals
+    assert duckdb.sql(
+        f"SELECT count(DISTINCT s) FROM read_parquet('{path}')"
+    ).fetchone() == (9,)
