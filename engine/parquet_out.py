@@ -8,13 +8,17 @@ pyarrow, DuckDB and Spark's built-in reader all consume.
 
 Scope (deliberately the engine's core value shapes, not a second general
 writer): flat required/optional columns of bool / int32 / int64 / float32
-/ float64 / byte_array (UTF8 or raw), one row group, data page v1,
-encodings PLAIN, PLAIN_DICTIONARY, DELTA_BINARY_PACKED,
-DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, RLE (boolean), with optional
-SNAPPY/GZIP/ZSTD/BROTLI/LZ4_RAW page compression. The engine's production container
-remains its own chunk format (frames + lineage + snapshots); this module
-is the interchange exit ramp — "a user of the reference could switch"
-includes handing files back to plain parquet readers.
+/ float64 / byte_array (UTF8 or raw); multiple row groups
+(``row_group_size``) with per-group min/max/null_count statistics +
+``column_orders`` so readers actually prune; data pages v1 AND v2
+(``data_page_version``); encodings PLAIN, PLAIN_DICTIONARY (v2:
+RLE_DICTIONARY), DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY,
+DELTA_BYTE_ARRAY, RLE (boolean), BYTE_STREAM_SPLIT, plus
+``encoding='AUTO'`` through the engine's chunk selector; optional
+SNAPPY/GZIP/ZSTD/BROTLI/LZ4_RAW page compression. The engine's production
+container remains its own chunk format (frames + lineage + snapshots);
+this module is the interchange exit ramp — "a user of the reference could
+switch" includes handing files back to plain parquet readers.
 """
 
 from __future__ import annotations
