@@ -261,6 +261,126 @@ def train_centroids(
     return _kmeans_np(X, k, iters)
 
 
+def kmeans_parallel_seed(
+    vectors: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means|| seeding (Bahmani et al., VLDB 2012) — the fully
+    DISTRIBUTED initializer for cluster-scale k: each round computes every
+    point's distance to the current centers (one flat-plan ``ivf_assign``-
+    style pass) and samples points with probability ``l * d^2 / cost``
+    (l = oversample * k), so only O(rounds * l) candidate vectors ever
+    reach the driver; the candidates are then weighted by how many points
+    they attract and reduced to k with the driver k-means. Replaces the
+    bounded-sample seeding of ``train_centroids`` when the corpus is too
+    skewed for any single sample to cover (the r4 caveat).
+
+    Determinism: the per-point sampling coin is ``xxhash64(id, seed +
+    round)`` mapped to [0, 1) — no RNG state, same result every run."""
+    from pyspark.sql.types import DoubleType
+
+    # initial center: the row with the smallest seeded hash (deterministic
+    # "uniform" pick, one TakeOrdered pass)
+    first = (
+        vectors.select(
+            F.col(vec_col),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(1)
+        .toPandas()[vec_col]
+        .iloc[0]
+    )
+    centers = np.asarray([list(map(float, first))], dtype=np.float64)
+    l = max(int(oversample * k), 2)
+
+    def min_d2_col(C):
+        c_sq = (C * C).sum(axis=1)
+        import pandas as pd
+
+        @F.pandas_udf(DoubleType())
+        def _d2(emb):
+            if len(emb) == 0:
+                return pd.Series([], dtype=np.float64)
+            X = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+            x_sq = (X * X).sum(axis=1)
+            d = x_sq[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+            return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+        return _d2(F.col(vec_col))
+
+    for r in range(rounds):
+        d2 = vectors.select(
+            id_col, vec_col, min_d2_col(centers).alias("_d2")
+        )
+        cost = d2.agg(F.sum("_d2")).first()[0]
+        if not cost or cost <= 0.0:
+            break  # all points coincide with centers
+        # coin in [0,1): low 52 bits of the seeded hash
+        coin = (
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1 + r)),
+                F.lit(2**52),
+            ).cast("double")
+            / F.lit(float(2**52))
+        )
+        picked = (
+            d2.where(coin < F.col("_d2") * (l / cost))
+            .select(vec_col)
+            .toPandas()
+        )
+        if len(picked):
+            new = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in picked[vec_col]]
+            )
+            centers = np.concatenate([centers, new])
+    # weight candidates by attraction and reduce to k on the driver
+    if len(centers) <= k:
+        # degenerate corpus (fewer distinct regions than k): pad by
+        # repeating — refine_centroids will leave empty cells in place
+        reps = -(-k // len(centers))
+        return np.tile(centers, (reps, 1))[:k]
+    assigned = ivf_assign(vectors, centers, vec_col)
+    wrow = assigned.groupBy("ivf_cell").count().collect()
+    weights = np.zeros(len(centers), dtype=np.float64)
+    for row in wrow:
+        weights[int(row["ivf_cell"])] = float(row["count"])
+    return _weighted_kmeans_np(centers, weights, k)
+
+
+def _weighted_kmeans_np(X: np.ndarray, w: np.ndarray, k: int,
+                        iters: int = 8) -> np.ndarray:
+    """Weighted driver k-means over the O(rounds * l) k-means|| candidates
+    (matmul distance form, same tie semantics as ``ivf_assign``).
+
+    Init = deterministic weighted farthest-point (kmeans++-style greedy:
+    heaviest candidate first, then repeatedly the candidate maximizing
+    weight x min-distance^2 to the chosen set). A heaviest-k init collapsed
+    onto dense blobs and left separated regions uncovered (measured on a
+    6-blob fixture: 2 of 6 blobs missed)."""
+    picks = [int(np.argmax(w))]
+    d2 = ((X - X[picks[0]]) ** 2).sum(axis=1)
+    while len(picks) < k:
+        nxt = int(np.argmax(w * d2))
+        picks.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    cents = X[picks].copy()
+    for _ in range(iters):
+        c_sq = (cents * cents).sum(axis=1)
+        assign = (c_sq[None, :] - 2.0 * (X @ cents.T)).argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            tw = w[m].sum()
+            if tw > 0:
+                cents[c] = (X[m] * w[m, None]).sum(axis=0) / tw
+    return cents
+
+
 def lloyd_stats(
     vectors: DataFrame,
     centroids: np.ndarray,

@@ -503,3 +503,49 @@ def test_resize_media_roundtrip(spark):
     )
     with pytest.raises(ValueError, match="resize"):
         M.resize_image(img, 0, 4)
+
+
+def test_kmeans_parallel_seed_covers_separated_blobs(spark):
+    """k-means|| seeding (fully distributed: only O(rounds * l) candidate
+    vectors reach the driver) must cover well-separated regions that a
+    bounded uniform sample can miss, deterministically. The weighted
+    reduction uses farthest-point init — a heaviest-k init measurably
+    collapsed onto dense blobs (2 of 6 missed)."""
+    import numpy as np
+
+    from engine.ops import simsearch
+
+    rng = np.random.default_rng(3)
+    blobs = rng.standard_normal((6, 16)) * 10
+    X = np.concatenate(
+        [blobs[i] + 0.3 * rng.standard_normal((300, 16)) for i in range(6)]
+    )
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    seed = simsearch.kmeans_parallel_seed(df, k=6, rounds=3, seed=7)
+    assert seed.shape == (6, 16)
+    assert np.array_equal(
+        seed, simsearch.kmeans_parallel_seed(df, k=6, rounds=3, seed=7)
+    )
+    cents = simsearch.refine_centroids(df, seed, iters=3)
+    d = np.sqrt(((blobs[:, None, :] - cents[None, :, :]) ** 2).sum(2)).min(axis=1)
+    assert (d < 1.0).all(), d
+
+
+def test_kmeans_parallel_seed_degenerate_corpus(spark):
+    """All-identical vectors: cost goes to zero, sampling stops, and the
+    seed pads to k by repetition instead of crashing; refinement leaves
+    the empty cells frozen."""
+    import numpy as np
+
+    from engine.ops import simsearch
+
+    df = spark.createDataFrame(
+        [(int(i), [1.0, 2.0, 3.0, 4.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    seed = simsearch.kmeans_parallel_seed(df, k=4, rounds=2, seed=1)
+    assert seed.shape == (4, 4)
+    assert np.allclose(seed, [1.0, 2.0, 3.0, 4.0])
