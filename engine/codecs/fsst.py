@@ -109,8 +109,10 @@ def _refine_table(table: list[bytes], data: np.ndarray, rounds: int,
     raw = data.tobytes()
     best_table = table
     best_size = None
+    scored_current = False  # is `table` the one the last score measured?
     for _ in range(rounds):
         enc = encode_flat(lengths, raw, symbols=table)
+        scored_current = True
         if best_size is None or len(enc) < best_size:
             # size of the CURRENT table's encoding (first iteration scores
             # the greedy table itself)
@@ -139,10 +141,13 @@ def _refine_table(table: list[bytes], data: np.ndarray, rounds: int,
             if len(merged) <= MAX_SYM_LEN:
                 cands[merged] = cands.get(merged, 0) + int(n) * (len(merged) - 1)
         table = [s for s, _ in sorted(cands.items(), key=lambda kv: -kv[1])[:MAX_SYMBOLS]]
-    # score the final round's table as well
-    enc = encode_flat(lengths, raw, symbols=table)
-    if best_size is None or len(enc) < best_size:
-        best_table = table
+        scored_current = False
+    # score the final round's table too — unless the loop broke with an
+    # already-scored table (re-encoding the sample then is pure waste)
+    if not scored_current:
+        enc = encode_flat(lengths, raw, symbols=table)
+        if best_size is None or len(enc) < best_size:
+            best_table = table
     return best_table
 
 

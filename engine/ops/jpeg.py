@@ -239,6 +239,9 @@ def _decode_impl(buf: bytes) -> np.ndarray:
     while pos < n:
         if buf[pos] != 0xFF or pos + 1 >= n:
             raise ValueError(f"expected marker at offset {pos}")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        while pos + 2 < n and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -334,6 +337,9 @@ def read_dimensions(buf: bytes) -> tuple[int, int, int]:
         while pos + 1 < n:
             if buf[pos] != 0xFF:
                 raise ValueError(f"expected marker at offset {pos}")
+            # spec-legal 0xFF fill bytes may pad before any marker
+            while pos + 2 < n and buf[pos + 1] == 0xFF:
+                pos += 1
             marker = buf[pos + 1]
             pos += 2
             if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:

@@ -140,6 +140,17 @@ def _parse_trak(buf, b0, b1) -> dict:
                     sample_size, count = struct.unpack(
                         ">II", buf[s0 + 4 : s0 + 12]
                     )
+                    # a lying count escapes the struct/Index wrappers (the
+                    # unpack succeeds) and would overflow downstream int32
+                    # columns — validate against the entry table the box
+                    # actually carries (r5 review pass 4 #2)
+                    if sample_size == 0 and 12 + 4 * count > s1 - s0:
+                        raise ValueError(
+                            f"MP4 stsz declares {count} samples but the box "
+                            f"holds {(s1 - s0 - 12) // 4} entries"
+                        )
+                    if count >= 1 << 31:
+                        raise ValueError(f"MP4 stsz count {count} out of range")
                     track["n_samples"] = count
     return track
 

@@ -294,6 +294,79 @@ PROBE_SCHEMA = StructType(
 )
 
 
+def _probe_payload(b: bytes):
+    """One payload -> (format, duration_s, width, height, sample_rate,
+    n_frames, codec). Module-level so tests can drive it directly on the
+    driver (a monkeypatch on the driver cannot reach Spark's python
+    workers, so an in-UDF closure would make the no-full-decode guard
+    unverifiable — r5 review pass 4 #3)."""
+    fmt = sniff_format(b)
+    try:
+        if fmt == "netpbm":
+            w, h, c, _ = _ppm_header(b)
+            return ("netpbm", None, w, h, None, None, None)
+        if fmt == "png":
+            w, h, c = png.read_ihdr(b)
+            return ("png", None, w, h, None, None, None)
+        if fmt == "jpeg":
+            w, h, c = jpeg.read_dimensions(b)
+            return ("jpeg", None, w, h, None, None, None)
+        if fmt == "mp4":
+            info = media_meta.parse_mp4(b)
+            v = next((t for t in info["tracks"] if t["kind"] == "vide"), None)
+            return (
+                "mp4",
+                float(info["duration_s"]),
+                v["width"] if v else None,
+                v["height"] if v else None,
+                None,
+                v["n_samples"] if v else None,
+                v["codec"] if v else None,
+            )
+        if fmt == "mp3":
+            info = media_meta.parse_mp3(b)
+            return (
+                "mp3",
+                float(info["duration_s"]),
+                None,
+                None,
+                info["sample_rate"],
+                info["n_frames"],
+                "mp3",
+            )
+        if fmt == "wav":
+            import io
+            import wave
+
+            # header fields only — readframes (the expensive part)
+            # never runs
+            try:
+                with wave.open(io.BytesIO(b)) as wf:
+                    nfr = wf.getnframes()
+                    sr = wf.getframerate()
+                    ch = wf.getnchannels()
+                    width = wf.getsampwidth()
+            except (wave.Error, EOFError) as e:
+                raise ValueError(f"malformed WAV header: {e}") from e
+            if sr <= 0 or ch <= 0 or width <= 0:
+                raise ValueError("malformed WAV header: zero rate/channels")
+            # the declared frame count comes from the data-chunk SIZE
+            # field; a lying header can claim 2^32 frames a 44-byte file
+            # cannot hold, which would overflow downstream int32 columns
+            # (r5 review pass 4 #1) — bound by the actual buffer
+            if nfr * ch * width > len(b):
+                raise ValueError(
+                    f"WAV header declares {nfr} frames but the payload "
+                    f"holds at most {len(b) // (ch * width)}"
+                )
+            # true codec label from the header (the old hardcoded
+            # pcm_s16le mislabeled 8/24/32-bit PCM)
+            return ("wav", nfr / sr, None, None, sr, nfr, f"pcm_s{width * 8}le")
+    except ValueError:
+        return ("corrupt", None, None, None, None, None, None)
+    return ("unknown", None, None, None, None, None, None)
+
+
 def probe_media(media: DataFrame) -> DataFrame:
     """Typed metadata probe over opaque media payloads — the routing/
     filtering pass a training pipeline runs BEFORE deciding what to hand
@@ -303,61 +376,7 @@ def probe_media(media: DataFrame) -> DataFrame:
     review pass 3 #5), routed by the shared ``sniff_format``. Unknown
     payloads surface as format='unknown' and parse failures as
     format='corrupt' — values, not errors."""
-
-    def _probe_one(b: bytes):
-        fmt = sniff_format(b)
-        try:
-            if fmt == "netpbm":
-                w, h, c, _ = _ppm_header(b)
-                return ("netpbm", None, w, h, None, None, None)
-            if fmt == "png":
-                w, h, c = png.read_ihdr(b)
-                return ("png", None, w, h, None, None, None)
-            if fmt == "jpeg":
-                w, h, c = jpeg.read_dimensions(b)
-                return ("jpeg", None, w, h, None, None, None)
-            if fmt == "mp4":
-                info = media_meta.parse_mp4(b)
-                v = next(
-                    (t for t in info["tracks"] if t["kind"] == "vide"), None
-                )
-                return (
-                    "mp4",
-                    float(info["duration_s"]),
-                    v["width"] if v else None,
-                    v["height"] if v else None,
-                    None,
-                    v["n_samples"] if v else None,
-                    v["codec"] if v else None,
-                )
-            if fmt == "mp3":
-                info = media_meta.parse_mp3(b)
-                return (
-                    "mp3",
-                    float(info["duration_s"]),
-                    None,
-                    None,
-                    info["sample_rate"],
-                    info["n_frames"],
-                    "mp3",
-                )
-            if fmt == "wav":
-                import io
-                import wave
-
-                # header fields only — readframes (the expensive part)
-                # never runs
-                try:
-                    with wave.open(io.BytesIO(b)) as wf:
-                        nfr, sr = wf.getnframes(), wf.getframerate()
-                except (wave.Error, EOFError) as e:
-                    raise ValueError(f"malformed WAV header: {e}") from e
-                if sr <= 0:
-                    raise ValueError("malformed WAV header: zero rate")
-                return ("wav", nfr / sr, None, None, sr, nfr, "pcm_s16le")
-        except ValueError:
-            return ("corrupt", None, None, None, None, None, None)
-        return ("unknown", None, None, None, None, None, None)
+    _probe_one = _probe_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -558,20 +577,11 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
             kind, width, height, nf = "audio", None, None, None
         feat = _decode_image_bytes(content, dim)
         # frozen expectation for the RESIZE stage too: sha of the
-        # re-encoded 8x8 nearest-neighbor thumbnail (images only)
-        if kind == "image" and content[:8] == png.SIGNATURE:
+        # re-encoded 8x8 nearest-neighbor thumbnail (images only), via the
+        # same shared per-payload resize the Spark stage runs
+        if kind == "image":
             resized_sha = hashlib.sha256(
-                png.encode_png(resize_image(png.decode_png(content), 8, 8))
-            ).hexdigest()
-        elif kind == "image" and content[:3] == b"\xff\xd8\xff":
-            resized_sha = hashlib.sha256(
-                jpeg.encode_jpeg(
-                    resize_image(jpeg.decode_jpeg(content), 8, 8), quality=90
-                )
-            ).hexdigest()
-        elif kind == "image":
-            resized_sha = hashlib.sha256(
-                encode_ppm(resize_image(decode_ppm(content), 8, 8))
+                _resize_payload(content, 8, 8)
             ).hexdigest()
         else:
             resized_sha = None
@@ -634,6 +644,23 @@ def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[rows[:, None], cols[None, :], :]
 
 
+def _resize_payload(b: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Decode -> nearest-neighbor resize -> re-encode in the same format
+    for image payloads (routed by the shared ``sniff_format``; r5 review
+    pass 4 #7 removed the duplicated magic checks); None = pass through
+    untouched (non-image)."""
+    fmt = sniff_format(b)
+    if fmt == "netpbm":
+        return encode_ppm(resize_image(decode_ppm(b), out_w, out_h))
+    if fmt == "png":
+        return png.encode_png(resize_image(png.decode_png(b), out_w, out_h))
+    if fmt == "jpeg":
+        return jpeg.encode_jpeg(
+            resize_image(jpeg.decode_jpeg(b), out_w, out_h), quality=90
+        )
+    return None
+
+
 def resize_media(
     media: DataFrame, out_w: int = 32, out_h: int = 32
 ) -> DataFrame:
@@ -649,25 +676,15 @@ def resize_media(
             out = []
             ws, hs = [], []
             for b in pdf["content"]:
-                if b[:2] in (b"P5", b"P6"):
-                    resized = resize_image(decode_ppm(b), out_w, out_h)
-                    out.append(encode_ppm(resized))
-                    ws.append(out_w)
-                    hs.append(out_h)
-                elif b[:8] == png.SIGNATURE:
-                    resized = resize_image(png.decode_png(b), out_w, out_h)
-                    out.append(png.encode_png(resized))
-                    ws.append(out_w)
-                    hs.append(out_h)
-                elif b[:3] == b"\xff\xd8\xff":
-                    resized = resize_image(jpeg.decode_jpeg(b), out_w, out_h)
-                    out.append(jpeg.encode_jpeg(resized, quality=90))
-                    ws.append(out_w)
-                    hs.append(out_h)
-                else:
+                resized = _resize_payload(b, out_w, out_h)
+                if resized is None:
                     out.append(b)
                     ws.append(None)
                     hs.append(None)
+                else:
+                    out.append(resized)
+                    ws.append(out_w)
+                    hs.append(out_h)
             res = pdf.copy()
             res["content"] = out
             res["width"] = pd.array(ws, dtype="Int32")

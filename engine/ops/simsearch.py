@@ -285,13 +285,15 @@ def kmeans_parallel_seed(
     from pyspark.sql.types import DoubleType
 
     # initial center: the row with the smallest seeded hash (deterministic
-    # "uniform" pick, one TakeOrdered pass)
+    # "uniform" pick, one TakeOrdered pass; id tie-break makes hash
+    # collisions plan-independent — r5 review pass 4 #6)
     first = (
         vectors.select(
             F.col(vec_col),
             F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_i"),
         )
-        .orderBy("_h")
+        .orderBy("_h", "_i")
         .limit(1)
         .toPandas()[vec_col]
         .iloc[0]
@@ -315,26 +317,37 @@ def kmeans_parallel_seed(
         return _d2(F.col(vec_col))
 
     for r in range(rounds):
+        # persist: the cost aggregate and the sampling filter both consume
+        # this UDF projection — without it the full distance pass runs
+        # TWICE per round (r5 review pass 4 #4)
         d2 = vectors.select(
             id_col, vec_col, min_d2_col(centers).alias("_d2")
-        )
-        cost = d2.agg(F.sum("_d2")).first()[0]
-        if not cost or cost <= 0.0:
-            break  # all points coincide with centers
-        # coin in [0,1): low 52 bits of the seeded hash
-        coin = (
-            F.pmod(
-                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1 + r)),
-                F.lit(2**52),
-            ).cast("double")
-            / F.lit(float(2**52))
-        )
-        picked = (
-            d2.where(coin < F.col("_d2") * (l / cost))
-            .select(vec_col)
-            .toPandas()
-        )
+        ).persist()
+        try:
+            cost = d2.agg(F.sum("_d2")).first()[0]
+            if not cost or cost <= 0.0:
+                break  # all points coincide with centers
+            # coin in [0,1): low 52 bits of the seeded hash
+            coin = (
+                F.pmod(
+                    F.xxhash64(
+                        F.col(id_col).cast("string"), F.lit(seed + 1 + r)
+                    ),
+                    F.lit(2**52),
+                ).cast("double")
+                / F.lit(float(2**52))
+            )
+            picked = (
+                d2.where(coin < F.col("_d2") * (l / cost))
+                .select(id_col, vec_col)
+                .toPandas()
+            )
+        finally:
+            d2.unpersist()
         if len(picked):
+            # candidate ORDER must not depend on partition/collect order
+            # (it feeds argmin/argmax tie-breaks downstream) — sort by id
+            picked = picked.sort_values(id_col)
             new = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in picked[vec_col]]
             )

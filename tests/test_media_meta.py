@@ -162,27 +162,77 @@ def test_loose_sniff_falls_back_not_raises(spark):
     assert probes == {"x1": "corrupt", "x2": "corrupt"}
 
 
-def test_probe_uses_headers_not_full_decode(monkeypatch, spark):
-    """probe_media must not pay pixel/sample decode: full decoders are
-    monkeypatched to explode, and the probe still answers from headers
-    (r5 review pass 3 #5)."""
+def test_probe_uses_headers_not_full_decode(monkeypatch):
+    """The per-payload probe must not pay pixel/sample decode. Driven
+    DRIVER-SIDE through the module-level _probe_payload — a monkeypatch
+    cannot reach Spark's python workers, so the earlier in-UDF version of
+    this test was vacuous (r5 review pass 4 #3): full decoders are
+    patched to explode and the probe still answers from headers."""
+    import wave as wave_mod
+
     from engine.ops import jpeg, png
 
     def boom(*a, **k):  # pragma: no cover - called means failure
         raise AssertionError("full decode invoked from probe")
 
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 13, 3)).astype(np.uint8)
+    wav = M.encode_wav(np.zeros(160, np.int16), 16000)
+    payloads = {
+        "netpbm": M.encode_ppm(img),
+        "png": png.encode_png(img),
+        "jpeg": jpeg.encode_jpeg(img, 90),
+    }
     monkeypatch.setattr(png, "decode_png", boom)
     monkeypatch.setattr(jpeg, "decode_jpeg", boom)
     monkeypatch.setattr(M, "decode_ppm", boom)
-    rng = np.random.default_rng(5)
-    img = rng.integers(0, 256, (11, 13, 3)).astype(np.uint8)
-    # build payloads BEFORE patching encoders are unaffected (encode only)
-    rows = [
-        ("p", "image", M.encode_ppm(img), 13, 11, None, None),
-        ("g", "image", png.encode_png(img), 13, 11, None, None),
-        ("j", "image", jpeg.encode_jpeg(img, 90), 13, 11, None, None),
-    ]
-    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
-    out = {r["media_id"]: r for r in M.probe_media(media).collect()}
-    for k in ("p", "g", "j"):
-        assert (out[k]["width"], out[k]["height"]) == (13, 11), k
+    monkeypatch.setattr(M, "decode_wav", boom)
+    monkeypatch.setattr(wave_mod.Wave_read, "readframes", boom)
+    for fmt, b in payloads.items():
+        got = M._probe_payload(b)
+        assert got[0] == fmt and (got[2], got[3]) == (13, 11), fmt
+    got = M._probe_payload(wav)
+    assert got[0] == "wav" and got[5] == 160 and got[6] == "pcm_s16le"
+
+
+def test_probe_rejects_lying_wav_and_stsz_counts():
+    """Lying size fields that the format libraries accept must surface as
+    corrupt, not overflow downstream int32 columns (r5 review pass 4
+    #1/#2): a WAV data-chunk size claiming 2^32 frames in a 44-byte file,
+    and an MP4 stsz declaring more samples than its entry table holds."""
+    import struct as st
+
+    # minimal RIFF/WAVE header with a lying data size (mono, 8-bit)
+    data_size = 0xFFFFFFF0
+    hdr = (
+        b"RIFF" + st.pack("<I", 36 + 0) + b"WAVE"
+        + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + st.pack("<I", data_size)
+    )
+    assert M._probe_payload(hdr)[0] == "corrupt"
+    # 24-bit WAV is labeled by its true width, not pcm_s16le
+    b24 = (
+        b"RIFF" + st.pack("<I", 36 + 6) + b"WAVE"
+        + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000, 24000, 3, 24)
+        + b"data" + st.pack("<I", 6) + b"\x00" * 6
+    )
+    got = M._probe_payload(b24)
+    assert got[0] == "wav" and got[6] == "pcm_s24le" and got[5] == 2
+
+    def box(t, p):
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    lying_stsz = box(b"stsz", b"\x00\x00\x00\x00" + st.pack(">II", 0, 0xFFFFFFF0))
+    mp4 = (
+        box(b"ftyp", b"isomAAAA")
+        + box(
+            b"moov",
+            box(
+                b"trak",
+                box(b"mdia", box(b"minf", box(b"stbl", lying_stsz))),
+            ),
+        )
+    )
+    with pytest.raises(ValueError, match="stsz"):
+        mm.parse_mp4(mp4)
+    assert M._probe_payload(mp4)[0] == "corrupt"
