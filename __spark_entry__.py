@@ -2180,6 +2180,83 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def _q_parquet_export_events(spark, sf_dir) -> DataFrame:
+    """Writer-side interop over a TIMESTAMPED table: the events table
+    exports through engine-written parquet with logical annotations
+    (TIMESTAMP_MICROS on delta-packed epoch micros, BYTE_STREAM_SPLIT
+    doubles, dictionary event types) and v2 data pages, then reads back
+    with Spark's JVM reader. Timestamps compare as epoch microseconds on
+    both sides — tz-rendering-free (the r3 lesson: pin epoch arithmetic,
+    not session-zone display)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import numpy as np
+    import pandas as pd
+
+    _engine(spark)
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_pq_export_ev_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    def part(batches):
+        from engine import parquet_out
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values("event_id")
+        micros = (
+            pdf["ts"].astype("datetime64[us]").astype(np.int64)
+        )
+        cols = [
+            ("event_id", "int64", "DELTA_BINARY_PACKED",
+             pdf["event_id"].to_numpy(np.int64), None),
+            ("ts", "timestamp_us", "DELTA_BINARY_PACKED",
+             micros.to_numpy(np.int64), None),
+            ("user_id", "int64", "AUTO",
+             pdf["user_id"].to_numpy(np.int64), None),
+            ("event_type", "utf8", "PLAIN_DICTIONARY",
+             parquet_out.flat_strings(pdf["event_type"]), None),
+            # NOT BYTE_STREAM_SPLIT: Spark 4.1's vectorized reader raises
+            # "Unsupported encoding" on BSS pages (pyarrow/DuckDB read
+            # them fine) — this gate reads back through Spark's JVM reader
+            ("value", "float64", "PLAIN",
+             pdf["value"].to_numpy(np.float64), None),
+        ]
+        p = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        info = parquet_out.write_table(
+            p + ".tmp", cols, codec="zstd", data_page_version=2
+        )
+        os.replace(p + ".tmp", p)
+        yield pd.DataFrame({"path": [p], "rows": [info["rows"]]})
+
+    manifest = ev.mapInPandas(part, "path string, rows long")
+    paths = [r["path"] for r in manifest.collect()]
+    back = spark.read.parquet(*paths)
+    return back.select(
+        F.col("event_id").cast("long"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.round(F.col("value"), 4).alias("value"),
+    )
+
+
+_ORACLE_PARQUET_EXPORT_EVENTS = """
+SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+       event_type, ROUND(value, 4) AS value
+FROM events
+"""
+
+
 def _q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal feature extraction over an opaque-binary media table read
     from parquet; n_bytes/content_sha are oracle-checked by DuckDB over the
@@ -2265,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["golden_file_alltypes"] = _q_golden_alltypes
     q["golden_file_10k_delta"] = _q_golden_10k_delta
     q["parquet_export"] = _q_parquet_export
+    q["parquet_export_events"] = _q_parquet_export_events
     return q
 
 
@@ -2337,4 +2415,5 @@ def oracle_sql() -> dict[str, str]:
     o["golden_file_alltypes"] = _ORACLE_GOLDEN_ALLTYPES
     o["golden_file_10k_delta"] = _ORACLE_GOLDEN_10K
     o["parquet_export"] = _ORACLE_PARQUET_EXPORT
+    o["parquet_export_events"] = _ORACLE_PARQUET_EXPORT_EVENTS
     return o

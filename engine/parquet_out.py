@@ -63,6 +63,15 @@ _ENC_IDS = {
 # format — labeling frame bytes as id 5 would produce unreadable files
 # (r5 review #2). Modern readers (arrow, DuckDB, Spark) all take LZ4_RAW.
 _CODEC_IDS = {None: 0, "snappy": 1, "gzip": 2, "brotli": 4, "lz4": 7, "zstd": 6}
+# logical column aliases -> (physical type, ConvertedType id). UTF8=0,
+# DATE=6 (int32 days since epoch), TIMESTAMP_MILLIS=9, TIMESTAMP_MICROS=10
+# — the annotations that make readers surface str/date/timestamp columns.
+_LOGICAL = {
+    "utf8": ("byte_array", 0),
+    "date": ("int32", 6),
+    "timestamp_ms": ("int64", 9),
+    "timestamp_us": ("int64", 10),
+}
 
 
 class _Writer:
@@ -201,6 +210,9 @@ def _encode_values(phys: str, enc: str, values) -> bytes:
             np.ascontiguousarray(values, np.uint64), 1
         )
     if enc == "BYTE_STREAM_SPLIT":
+        # NOTE: pyarrow and DuckDB read BSS pages; Spark's vectorized
+        # reader (as of 4.1) raises "Unsupported encoding" — pick PLAIN
+        # for files Spark itself must read back
         dt = {"float32": "<f4", "float64": "<f8", "int32": "<i4", "int64": "<i8"}
         if phys not in dt:
             raise ValueError(f"BYTE_STREAM_SPLIT unsupported on {phys}")
@@ -383,9 +395,7 @@ def write_table(path: str, columns: list, codec: str | None = None,
     norm = []
     num_rows = None
     for name, phys, enc, values, validity in columns:
-        utf8 = phys == "utf8"
-        if utf8:
-            phys = "byte_array"
+        phys, conv = _LOGICAL.get(phys, (phys, None))
         if phys == "byte_array":
             n_dense = len(values[0])
         else:
@@ -420,7 +430,7 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 else None
             ),
         }
-        norm.append((name, phys, utf8, enc, values, validity, aux))
+        norm.append((name, phys, conv, enc, values, validity, aux))
     num_rows = num_rows or 0
 
     out = bytearray(MAGIC)
@@ -462,7 +472,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2")
     col_meta = []
-    for name, phys, utf8, enc, all_values, all_validity, aux in norm:
+    for name, phys, conv, enc, all_values, all_validity, aux in norm:
         values, validity = _slice_col(
             phys, all_values, all_validity, aux, lo, hi
         )
@@ -563,7 +573,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             {
                 "name": name,
                 "phys": phys,
-                "utf8": utf8,
+                "conv": conv,
                 "max_def": max_def,
                 "encodings": sorted(_ENC_IDS[e] for e in encodings),
                 "n": n,
@@ -593,8 +603,8 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             (3, _CT_I32, 1 if c["max_def"] else 0),  # optional / required
             (4, _CT_BINARY, c["name"]),
         ]
-        if c["utf8"]:
-            el.append((6, _CT_I32, 0))  # ConvertedType.UTF8
+        if c["conv"] is not None:
+            el.append((6, _CT_I32, c["conv"]))  # ConvertedType
         schema.append(el)
 
     rg_structs = []

@@ -564,3 +564,50 @@ def test_data_page_v2_dictionary_advertises_rle_dictionary(tmp_path):
     assert duckdb.sql(
         f"SELECT count(DISTINCT s) FROM read_parquet('{path}')"
     ).fetchone() == (9,)
+
+
+def test_logical_date_and_timestamp_annotations(tmp_path):
+    """'date' and 'timestamp_us' logical aliases annotate int32/int64
+    columns with ConvertedType DATE / TIMESTAMP_MICROS, so readers
+    surface real date32/timestamp types; values ride any int encoding
+    (delta here)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    n = 1000
+    days = np.arange(19000, 19000 + n, dtype=np.int32)
+    micros = np.int64(1_700_000_000_000_000) + np.arange(n, dtype=np.int64) * 1_000_000
+    path = str(tmp_path / "logical.parquet")
+    po.write_table(
+        path,
+        [
+            ("d", "date", "PLAIN", days, None),
+            ("ts", "timestamp_us", "DELTA_BINARY_PACKED", micros, None),
+        ],
+    )
+    t = pq.read_table(path)
+    assert str(t.schema.field("d").type) == "date32[day]"
+    assert str(t.schema.field("ts").type).startswith("timestamp[us")
+    assert t.column("d").cast("int32").to_pylist() == days.tolist()
+    assert t.column("ts").cast("int64").to_pylist() == micros.tolist()
+    lo, hi = duckdb.sql(
+        f"SELECT CAST(min(d) AS VARCHAR), CAST(epoch_us(max(ts)) AS BIGINT) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert lo == "2022-01-08" and hi == int(micros[-1])
+
+
+def test_spark_rejects_bss_documented(spark, tmp_path):
+    """Documented interop boundary: Spark's vectorized reader (4.1) does
+    not support BYTE_STREAM_SPLIT — pyarrow/DuckDB do. Pin the behavior
+    so a future Spark upgrade that adds support shows up as this test
+    failing (then BSS can join the Spark-facing export paths)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "bss.parquet")
+    po.write_table(
+        path,
+        [("f", "float64", "BYTE_STREAM_SPLIT", np.arange(100, dtype=np.float64), None)],
+    )
+    with _pytest.raises(Exception, match="BYTE_STREAM_SPLIT|FAILED_READ"):
+        spark.read.parquet(path).collect()
