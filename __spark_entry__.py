@@ -2102,29 +2102,24 @@ FROM read_parquet('{_GOLDEN_DIR}/10k-v2.parquet')
 """
 
 
-def _q_parquet_export(spark, sf_dir) -> DataFrame:
-    """Writer-side parquet interop (the inverse of the golden_file_* read
-    gates): each partition of the documents table is written as a REAL
-    parquet file by engine/parquet_out.py — engine codecs wrapped in
-    thrift-compact page headers + footer (DELTA_BINARY_PACKED doc ids,
-    DELTA_LENGTH_BYTE_ARRAY text, PLAIN_DICTIONARY lang/source) — then
-    read back with Spark's own JVM parquet reader and hashed against the
-    DuckDB oracle over the ORIGINAL table. Green means a plain parquet
-    consumer can read what this engine writes, byte-grammar included."""
+def _export_partitions(spark, df, out_prefix, sf_dir, cols_fn, **write_kwargs):
+    """Shared export scaffold for the parquet_export* gates (one copy of
+    the retry-safety machinery — r5 review pass 5 #2): each partition
+    writes one engine-made parquet file via tmp + atomic rename (a task
+    killed mid-write never leaves a truncated file), and the read-back
+    uses ONLY the manifest-listed paths — one row per SUCCESSFUL task —
+    so a retried/speculative attempt's orphan file is excluded (the same
+    committed-files-only contract the engine's ChunkStore snapshots
+    enforce). ``cols_fn(pdf, parquet_out)`` builds the column spec."""
     import shutil
     import tempfile
     import uuid as _uuid
 
-    import numpy as np
     import pandas as pd
 
-    _engine(spark)
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"sg_pq_export_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{out_prefix}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
@@ -2136,11 +2131,39 @@ def _q_parquet_export(spark, sf_dir) -> DataFrame:
         if not pdfs:
             return
         pdf = pd.concat(pdfs)
-        pdf = pdf.sort_values("doc_id")  # delta loves sorted ids; any order works
+        cols = cols_fn(pdf, parquet_out)
+        p = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
+        info = parquet_out.write_table(p + ".tmp", cols, **write_kwargs)
+        os.replace(p + ".tmp", p)
+        yield pd.DataFrame({"path": [p], "rows": [info["rows"]]})
+
+    manifest = df.mapInPandas(part, "path string, rows long")
+    paths = [r["path"] for r in manifest.collect()]
+    return spark.read.parquet(*paths)
+
+
+def _q_parquet_export(spark, sf_dir) -> DataFrame:
+    """Writer-side parquet interop (the inverse of the golden_file_* read
+    gates): each partition of the documents table is written as a REAL
+    parquet file by engine/parquet_out.py — engine codecs wrapped in
+    thrift-compact page headers + footer (DELTA_BINARY_PACKED doc ids,
+    DELTA_LENGTH_BYTE_ARRAY text, PLAIN_DICTIONARY lang/source) — then
+    read back with Spark's own JVM parquet reader and hashed against the
+    DuckDB oracle over the ORIGINAL table. Green means a plain parquet
+    consumer can read what this engine writes, byte-grammar included."""
+    import numpy as np
+
+    _engine(spark)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+    def cols_fn(pdf, parquet_out):
+        pdf = pdf.sort_values("doc_id")  # delta loves sorted ids
         # AUTO = the engine's per-chunk codec selector resolving to parquet
         # encodings (sorted ids -> DELTA_BINARY_PACKED, low-card lang/
         # source -> PLAIN_DICTIONARY, high-card text -> delta-length)
-        cols = [
+        return [
             ("doc_id", "int64", "AUTO",
              pdf["doc_id"].to_numpy(np.int64), None),
             ("text", "utf8", "AUTO",
@@ -2152,20 +2175,8 @@ def _q_parquet_export(spark, sf_dir) -> DataFrame:
             ("n_chars", "int64", "AUTO",
              pdf["n_chars"].to_numpy(np.int64), None),
         ]
-        # tmp + atomic rename so a task killed mid-write never leaves a
-        # truncated .parquet for the read-back to trip on (r5 review #3)
-        p = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        info = parquet_out.write_table(p + ".tmp", cols)
-        os.replace(p + ".tmp", p)
-        yield pd.DataFrame({"path": [p], "rows": [info["rows"]]})
 
-    manifest = docs.mapInPandas(part, "path string, rows long")
-    # read back ONLY the manifest-listed files: the manifest holds one row
-    # per SUCCESSFUL task, so a retried/speculative attempt's orphan file
-    # in the directory is excluded (the same committed-files-only contract
-    # the engine's ChunkStore snapshots enforce)
-    paths = [r["path"] for r in manifest.collect()]
-    back = spark.read.parquet(*paths)
+    back = _export_partitions(spark, docs, "sg_pq_export", sf_dir, cols_fn)
     return back.select(
         F.col("doc_id").cast("long"),
         "text",
@@ -2183,40 +2194,23 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 def _q_parquet_export_events(spark, sf_dir) -> DataFrame:
     """Writer-side interop over a TIMESTAMPED table: the events table
     exports through engine-written parquet with logical annotations
-    (TIMESTAMP_MICROS on delta-packed epoch micros, BYTE_STREAM_SPLIT
-    doubles, dictionary event types) and v2 data pages, then reads back
-    with Spark's JVM reader. Timestamps compare as epoch microseconds on
-    both sides — tz-rendering-free (the r3 lesson: pin epoch arithmetic,
-    not session-zone display)."""
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
+    (TIMESTAMP_MICROS on delta-packed epoch micros, dictionary event
+    types, PLAIN doubles — NOT BYTE_STREAM_SPLIT, which Spark's reader
+    rejects) and v2 data pages, then reads back with Spark's JVM reader.
+    Timestamps compare as epoch microseconds on both sides —
+    tz-rendering-free (the r3 lesson: pin epoch arithmetic, not
+    session-zone display)."""
     import numpy as np
-    import pandas as pd
 
     _engine(spark)
     ev = _read(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_pq_export_ev_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
 
-    def part(batches):
-        from engine import parquet_out
-
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs).sort_values("event_id")
-        micros = (
-            pdf["ts"].astype("datetime64[us]").astype(np.int64)
-        )
-        cols = [
+    def cols_fn(pdf, parquet_out):
+        pdf = pdf.sort_values("event_id")
+        micros = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+        return [
             ("event_id", "int64", "DELTA_BINARY_PACKED",
              pdf["event_id"].to_numpy(np.int64), None),
             ("ts", "timestamp_us", "DELTA_BINARY_PACKED",
@@ -2231,16 +2225,11 @@ def _q_parquet_export_events(spark, sf_dir) -> DataFrame:
             ("value", "float64", "PLAIN",
              pdf["value"].to_numpy(np.float64), None),
         ]
-        p = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
-        info = parquet_out.write_table(
-            p + ".tmp", cols, codec="zstd", data_page_version=2
-        )
-        os.replace(p + ".tmp", p)
-        yield pd.DataFrame({"path": [p], "rows": [info["rows"]]})
 
-    manifest = ev.mapInPandas(part, "path string, rows long")
-    paths = [r["path"] for r in manifest.collect()]
-    back = spark.read.parquet(*paths)
+    back = _export_partitions(
+        spark, ev, "sg_pq_export_ev", sf_dir, cols_fn,
+        codec="zstd", data_page_version=2,
+    )
     return back.select(
         F.col("event_id").cast("long"),
         F.unix_micros(F.col("ts")).alias("ts_us"),

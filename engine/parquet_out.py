@@ -382,8 +382,11 @@ def write_table(path: str, columns: list, codec: str | None = None,
     'float64'/'byte_array'/'utf8'), values is a numpy array (fixed types,
     null slots may hold anything) or (lengths, data) for byte arrays
     (dense: non-null values only), and validity is a bool array or None
-    for required. 'utf8' = byte_array + UTF8 annotation so readers
-    surface strings. ``row_group_size`` splits rows into multiple row
+    for required. Logical aliases annotate the physical type so readers
+    surface typed columns: 'utf8' = byte_array + UTF8 (str), 'date' =
+    int32 days + DATE, 'timestamp_us' / 'timestamp_ms' = int64 epoch
+    micros/millis + TIMESTAMP_MICROS/_MILLIS. ``row_group_size`` splits
+    rows into multiple row
     groups (each with its own dictionary pages) — at fleet scale bounded
     groups are what keep a reader's memory bounded; default is a single
     group. ``data_page_version=2`` emits DataPageV2 (levels sectioned
@@ -391,7 +394,8 @@ def write_table(path: str, columns: list, codec: str | None = None,
     form parquet-mr/arrow default to). Returns {'rows': n, 'bytes': file
     size}.
     """
-    # -- normalize once: (name, phys, utf8, enc, dense values, validity) --
+    # -- normalize once: 7-tuples of (name, phys, conv, enc, dense values,
+    # validity, aux prefix-sums) --
     norm = []
     num_rows = None
     for name, phys, enc, values, validity in columns:

@@ -577,24 +577,29 @@ def test_logical_date_and_timestamp_annotations(tmp_path):
     n = 1000
     days = np.arange(19000, 19000 + n, dtype=np.int32)
     micros = np.int64(1_700_000_000_000_000) + np.arange(n, dtype=np.int64) * 1_000_000
+    millis = micros // 1000
     path = str(tmp_path / "logical.parquet")
     po.write_table(
         path,
         [
             ("d", "date", "PLAIN", days, None),
             ("ts", "timestamp_us", "DELTA_BINARY_PACKED", micros, None),
+            ("tsm", "timestamp_ms", "DELTA_BINARY_PACKED", millis, None),
         ],
     )
     t = pq.read_table(path)
     assert str(t.schema.field("d").type) == "date32[day]"
     assert str(t.schema.field("ts").type).startswith("timestamp[us")
+    assert str(t.schema.field("tsm").type).startswith("timestamp[ms")
     assert t.column("d").cast("int32").to_pylist() == days.tolist()
     assert t.column("ts").cast("int64").to_pylist() == micros.tolist()
-    lo, hi = duckdb.sql(
-        f"SELECT CAST(min(d) AS VARCHAR), CAST(epoch_us(max(ts)) AS BIGINT) "
+    assert t.column("tsm").cast("int64").to_pylist() == millis.tolist()
+    lo, hi, hm = duckdb.sql(
+        f"SELECT CAST(min(d) AS VARCHAR), CAST(epoch_us(max(ts)) AS BIGINT), "
+        f"CAST(epoch_ms(max(tsm)) AS BIGINT) "
         f"FROM read_parquet('{path}')"
     ).fetchone()
-    assert lo == "2022-01-08" and hi == int(micros[-1])
+    assert lo == "2022-01-08" and hi == int(micros[-1]) and hm == int(millis[-1])
 
 
 def test_spark_rejects_bss_documented(spark, tmp_path):
