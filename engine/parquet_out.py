@@ -187,6 +187,12 @@ def _encode_values(phys: str, enc: str, values) -> bytes:
 
         lens, data = values
         lens = np.ascontiguousarray(lens, np.int64)
+        if lens.size == 0:
+            # all-null group: two empty self-delimiting delta streams
+            # (prefix lengths + suffix lengths), no suffix bytes
+            # (hypothesis-found: the offset scatter below assumes >=1 value)
+            empty = delta_for.encode(np.empty(0, np.int32), "int32")
+            return empty + empty
         arr = np.frombuffer(data, np.uint8)
         prefix = bytearrays._common_prefix_lengths(lens, arr)
         suffix_lens = lens - prefix
@@ -481,7 +487,13 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             phys, all_values, all_validity, aux, lo, hi
         )
         n = hi - lo
-        if enc == "AUTO":
+        n_dense = len(values[0]) if phys == "byte_array" else len(values)
+        if n_dense == 0 and enc in ("AUTO", "PLAIN_DICTIONARY"):
+            # an all-null group has nothing to dictionary-encode (and
+            # nothing for the selector to sample) — PLAIN of zero values
+            # is the canonical empty value section (hypothesis-found)
+            enc = "PLAIN"
+        elif enc == "AUTO":
             # per-row-group adaptivity, same granularity as the engine's
             # per-chunk selection
             enc = _auto_encoding(phys, values)
