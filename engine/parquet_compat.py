@@ -11,16 +11,20 @@ by Impala and parquet-mr (the reference's golden files,
 and matching pyarrow's read value-for-value is the cross-validation
 self-round-trips cannot provide.
 
-Scope: flat (non-repeated) leaf columns — any nesting depth of structs,
+Scope: leaf columns of any nesting — structs and REPEATED (list) levels,
 optional at any level — with data page v1 + v2, dictionary pages,
 PLAIN / PLAIN_DICTIONARY / RLE_DICTIONARY / RLE(boolean) /
 DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY encodings,
 UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW / hadoop-framed LZ4 /
 BROTLI codecs, physical
 types BOOLEAN / INT32 / INT64 / INT96 / FLOAT / DOUBLE / BYTE_ARRAY /
-FIXED_LEN_BYTE_ARRAY. Repeated (list) columns raise — the engine's own
-chunk format covers nesting; this module is a *validator* against foreign
-flat data, not a second reader.
+FIXED_LEN_BYTE_ARRAY. Repeated columns assemble per-leaf into nested
+Python lists via ``assemble_repeated`` (Dremel record assembly restricted
+to one leaf — the reference's ``src/record/reader.rs:334-376`` including
+the legacy repeated-group-without-LIST-annotation shape); struct leaves
+stay parallel columns (zip them in the query layer). The engine's own
+chunk format remains the production container; this module is a
+*validator* against foreign data, not a second reader.
 """
 
 from __future__ import annotations
@@ -193,6 +197,8 @@ class ColumnInfo:
     num_values: int
     start_offset: int
     total_compressed: int
+    conv: int | None = None  # leaf ConvertedType (0 = UTF8)
+    nodes: list = field(default_factory=list)  # root->leaf schema path
 
 
 @dataclass
@@ -205,13 +211,14 @@ class FileInfo:
 
 def _walk_schema(elems: list) -> dict:
     """Flatten the schema tree into {dotted.path: (SchemaElement, max_def,
-    max_rep)} for leaves. SchemaElement fields: 1 type, 2 type_length,
-    3 repetition (0 required / 1 optional / 2 repeated), 4 name,
-    5 num_children."""
+    max_rep, nodes)} for leaves, where ``nodes`` is the root->leaf path of
+    {name, kind ('req'/'opt'/'rep'), def, rep} dicts assembly needs.
+    SchemaElement fields: 1 type, 2 type_length, 3 repetition (0 required
+    / 1 optional / 2 repeated), 4 name, 5 num_children."""
     leaves: dict = {}
     idx = 1  # elems[0] is the root
 
-    def rec(prefix: list, max_def: int, max_rep: int):
+    def rec(prefix: list, path_nodes: list, max_def: int, max_rep: int):
         nonlocal idx
         el = elems[idx]
         idx += 1
@@ -219,16 +226,22 @@ def _walk_schema(elems: list) -> dict:
         rep = el.get(3, 0)
         d = max_def + (1 if rep in (1, 2) else 0)
         r = max_rep + (1 if rep == 2 else 0)
+        node = {
+            "name": name,
+            "kind": {0: "req", 1: "opt", 2: "rep"}[rep],
+            "def": d,
+            "rep": r,
+        }
         nchild = el.get(5, 0)
         if nchild:
             for _ in range(nchild):
-                rec(prefix + [name], d, r)
+                rec(prefix + [name], path_nodes + [node], d, r)
         else:
-            leaves[".".join(prefix + [name])] = (el, d, r)
+            leaves[".".join(prefix + [name])] = (el, d, r, path_nodes + [node])
 
     nroot = elems[0].get(5, 0)
     for _ in range(nroot):
-        rec([], 0, 0)
+        rec([], [], 0, 0)
     return leaves
 
 
@@ -242,37 +255,46 @@ def read_file_info(path: str) -> FileInfo:
     (flen,) = struct.unpack("<I", data[-8:-4])
     if flen + 8 > len(data):
         raise ValueError(f"{path}: footer length {flen} exceeds file")
-    meta = _Reader(data[-8 - flen : -8]).struct()
-    # FileMetaData: 2 schema, 3 num_rows, 4 row_groups, 6 created_by
-    leaves = _walk_schema(meta[2])
-    info = FileInfo(
-        path=path,
-        num_rows=meta[3],
-        created_by=(meta.get(6) or b"").decode(errors="replace"),
-    )
-    for rg in meta[4]:
-        for chunk in rg[1]:  # RowGroup.columns
-            cm = chunk[3]  # ColumnChunk.meta_data
-            col_path = ".".join(p.decode() for p in cm[3])
-            el, max_def, max_rep = leaves[col_path]
-            # first page offset: dictionary page (11) if present else data (9)
-            start = min(
-                x for x in (cm.get(11), cm[9]) if x is not None
-            )
-            info.columns.append(
-                ColumnInfo(
-                    path=col_path,
-                    phys=_PHYS[cm[1]],
-                    type_length=el.get(2, 0),
-                    max_def=max_def,
-                    max_rep=max_rep,
-                    encodings=[_ENC.get(e, str(e)) for e in cm[2]],
-                    codec=_CODEC.get(cm[4], f"codec{cm[4]}"),
-                    num_values=cm[5],
-                    start_offset=start,
-                    total_compressed=cm[7],
+    # fail-clean contract: a corrupt/truncated footer parses into missing
+    # field ids or runs off the buffer — surface all of it as ValueError
+    # (r5 advice #4; same pattern as read_column_with_levels)
+    try:
+        meta = _Reader(data[-8 - flen : -8]).struct()
+        # FileMetaData: 2 schema, 3 num_rows, 4 row_groups, 6 created_by
+        leaves = _walk_schema(meta[2])
+        info = FileInfo(
+            path=path,
+            num_rows=meta[3],
+            created_by=(meta.get(6) or b"").decode(errors="replace"),
+        )
+        for rg in meta[4]:
+            for chunk in rg[1]:  # RowGroup.columns
+                cm = chunk[3]  # ColumnChunk.meta_data
+                col_path = ".".join(p.decode() for p in cm[3])
+                el, max_def, max_rep, nodes = leaves[col_path]
+                # first page offset: dict page (11) if present else data (9)
+                start = min(
+                    x for x in (cm.get(11), cm[9]) if x is not None
                 )
-            )
+                info.columns.append(
+                    ColumnInfo(
+                        path=col_path,
+                        phys=_PHYS[cm[1]],
+                        type_length=el.get(2, 0),
+                        max_def=max_def,
+                        max_rep=max_rep,
+                        encodings=[_ENC.get(e, str(e)) for e in cm[2]],
+                        codec=_CODEC.get(cm[4], f"codec{cm[4]}"),
+                        num_values=cm[5],
+                        start_offset=start,
+                        total_compressed=cm[7],
+                        conv=el.get(6),
+                        nodes=nodes,
+                    )
+                )
+    except (KeyError, IndexError, TypeError, AttributeError,
+            struct.error) as e:
+        raise ValueError(f"{path}: malformed parquet footer ({e!r})") from e
     return info
 
 
@@ -566,6 +588,86 @@ def read_column_with_levels(path: str, col: ColumnInfo):
     return vals, defs, reps
 
 
+def _leaf_values_list(vals, conv):
+    """Dense leaf values -> a Python list the assembler can consume:
+    bytes (or str when UTF8-annotated) for byte arrays, Python scalars
+    for fixed types."""
+    if isinstance(vals, tuple):
+        lens, data = vals
+        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+        if conv == 0:  # UTF8
+            return [
+                bytes(data[offs[i] : offs[i + 1]]).decode()
+                for i in range(len(lens))
+            ]
+        return [bytes(data[offs[i] : offs[i + 1]]) for i in range(len(lens))]
+    return np.asarray(vals).tolist()
+
+
+def assemble_repeated(col: ColumnInfo, vals, defs: np.ndarray,
+                      reps: np.ndarray) -> list:
+    """Dremel record assembly for ONE leaf (reference
+    ``src/record/reader.rs:334-376``): the (values, def, rep) streams of
+    ``read_column_with_levels`` become one leaf-projected value per record
+    — nested Python lists following every REPEATED ancestor, with structs
+    collapsed (parallel struct leaves assemble independently and zip in
+    the query layer). Handles both the 3-level LIST convention and the
+    legacy repeated-group-without-annotation shape (Spark back-compat
+    rules, same walk): null list (def below an optional ancestor) -> None,
+    present-but-empty (def below the repeated node) -> [], null element ->
+    None inside the list. Python-loop per level entry — this module is a
+    bounded-file validator (module docstring); the engine's own chunk
+    format is the at-scale nested path."""
+    nodes = col.nodes
+    rep_node_idx = [i for i, nd in enumerate(nodes) if nd["kind"] == "rep"]
+    leaf_vals = _leaf_values_list(vals, col.conv)
+    max_def = col.max_def
+    records: list = []
+    open_lists: list = [None] * (len(rep_node_idx) + 1)
+    vi = 0
+    last = len(nodes) - 1
+    for j in range(len(defs)):
+        d = int(defs[j])
+        r = int(reps[j])
+        if r == 0:
+            root: list = []
+            cur = root
+            start = 0
+        else:
+            cur = open_lists[r]
+            start = rep_node_idx[r - 1] + 1
+        for idx in range(start, len(nodes)):
+            nd = nodes[idx]
+            if nd["kind"] == "rep":
+                if d < nd["def"]:
+                    cur.append([])
+                    break
+                new: list = []
+                cur.append(new)
+                open_lists[nd["rep"]] = new
+                cur = new
+            else:
+                if nd["kind"] == "opt" and d < nd["def"]:
+                    cur.append(None)
+                    break
+                if idx == last:
+                    if d != max_def:
+                        raise ValueError(
+                            f"{col.path}: def level {d} reaches leaf but "
+                            f"is not max_def {max_def}"
+                        )
+                    cur.append(leaf_vals[vi])
+                    vi += 1
+                    break
+        if r == 0:
+            records.append(root[0])
+    if vi != len(leaf_vals):
+        raise ValueError(
+            f"{col.path}: assembled {vi} values, stream has {len(leaf_vals)}"
+        )
+    return records
+
+
 def _int96_to_ns(lens: np.ndarray, data: bytes) -> np.ndarray:
     """Impala INT96 timestamps -> epoch nanoseconds (int64): 8 LE bytes of
     nanos-within-day then 4 LE bytes of Julian day number. Julian day 0 is
@@ -593,6 +695,24 @@ _SPARK_TYPES = {
 }
 
 
+def _spark_type(c: ColumnInfo) -> str:
+    """Spark DDL type of one leaf's projection: each repeated ancestor
+    wraps one array<> level. Assembled UTF8 elements arrive as str
+    (decoded in _leaf_values_list) -> string; flat byte arrays stay
+    binary — read_table hands them over as bytes and the query layer
+    casts (the alltypes golden files lack UTF8 annotations anyway)."""
+    if c.max_rep:
+        t = (
+            "string"
+            if (c.phys == "byte_array" and c.conv == 0)
+            else _SPARK_TYPES[c.phys]
+        )
+        for _ in range(c.max_rep):
+            t = f"array<{t}>"
+        return t
+    return _SPARK_TYPES[c.phys]
+
+
 def read_parquet_with_engine(spark, path: str | list, columns: list | None = None):
     """Distributed read of FOREIGN parquet through the engine's own codecs:
     the work list is a DataFrame of file paths (``path`` may be one path
@@ -616,9 +736,7 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     if columns is not None:  # honor requested order
         cols.sort(key=lambda c: columns.index(c.path))
     names = [c.path for c in cols]
-    schema = ", ".join(
-        f"`{c.path}` {_SPARK_TYPES[c.phys]}" for c in cols
-    )
+    schema = ", ".join(f"`{c.path}` {_spark_type(c)}" for c in cols)
 
     def gen(batches):
         for pdf in batches:
@@ -656,6 +774,12 @@ def read_table(path: str, columns: list | None = None) -> dict:
     parts: dict = {}
     for col in info.columns:
         if columns is not None and col.path not in columns:
+            continue
+        if col.max_rep:
+            v, defs, reps = read_column_with_levels(path, col)
+            records = assemble_repeated(col, v, defs, reps)
+            valid = np.array([rec is not None for rec in records], bool)
+            parts.setdefault(col.path, []).append((records, valid))
             continue
         vals, validity = read_column(path, col)
         if isinstance(vals, tuple):

@@ -8,8 +8,12 @@ pyarrow, DuckDB and Spark's built-in reader all consume.
 
 Scope (deliberately the engine's core value shapes, not a second general
 writer): flat required/optional columns of bool / int32 / int64 / float32
-/ float64 / byte_array (UTF8 or raw); multiple row groups
-(``row_group_size``) with per-group min/max/null_count statistics +
+/ float64 / byte_array (UTF8 or raw), plus REPEATED list columns
+(``list<elem>``) via the 3-level LIST convention — rep/def level shredding
+exactly as the reference's ``src/column/writer.rs:304-345`` (rows counted
+where rep == 0, ``:325-345``), so ``tokens array<int32>`` — this engine's
+flagship column — hands off to any plain parquet consumer; multiple row
+groups (``row_group_size``) with per-group min/max/null_count statistics +
 ``column_orders`` so readers actually prune; data pages v1 AND v2
 (``data_page_version``); encodings PLAIN, PLAIN_DICTIONARY (v2:
 RLE_DICTIONARY), DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY,
@@ -72,6 +76,37 @@ _LOGICAL = {
     "timestamp_ms": ("int64", 9),
     "timestamp_us": ("int64", 10),
 }
+
+
+def _list_level_arrays(counts: np.ndarray, row_valid, ev_slice):
+    """Rep/def level streams for one row group of a LIST column (3-level
+    convention, always ``optional group (LIST) / repeated group list /
+    optional element``): def 0 = null row, 1 = empty list, 2 = null
+    element, 3 = present element; rep 0 starts a record (reference
+    src/column/writer.rs:304-345). Rows with no entries still emit ONE
+    level slot — that is where null-vs-empty lives."""
+    counts = np.asarray(counts, np.int64)
+    slots = np.maximum(counts, 1)
+    n_lev = int(slots.sum())
+    starts = np.concatenate(([0], np.cumsum(slots)[:-1])).astype(np.int64)
+    rep = np.ones(n_lev, np.uint64)
+    rep[starts] = 0
+    defs = np.full(n_lev, 3, np.uint64)
+    zero = counts == 0
+    if zero.any():
+        pad = starts[zero]
+        if row_valid is None:
+            defs[pad] = 1
+        else:
+            defs[pad] = np.where(np.asarray(row_valid, bool)[zero], 1, 0)
+    if ev_slice is not None:
+        ev = np.asarray(ev_slice, bool)
+        if not ev.all():
+            is_entry = np.ones(n_lev, bool)
+            is_entry[starts[zero]] = False
+            entry_pos = np.flatnonzero(is_entry)
+            defs[entry_pos[~ev]] = 2
+    return rep, defs
 
 
 class _Writer:
@@ -231,6 +266,25 @@ def _encode_values(phys: str, enc: str, values) -> bytes:
     raise ValueError(f"unsupported write encoding {enc}")
 
 
+_STATS_TRUNC = 64  # parquet-mr's default byte-array stats truncation
+
+
+def _truncate_max(hi: bytes) -> bytes | None:
+    """Bound a byte-array max to a _STATS_TRUNC-byte prefix that still
+    upper-bounds the value: truncate, then increment the last byte that
+    can carry (parquet-mr's BinaryTruncator); an all-0xFF prefix has no
+    finite upper bound at this length -> None (stat omitted) so footers
+    never embed multi-KB document bodies (r5 advice #2)."""
+    if len(hi) <= _STATS_TRUNC:
+        return hi
+    pre = bytearray(hi[:_STATS_TRUNC])
+    for i in range(len(pre) - 1, -1, -1):
+        if pre[i] != 0xFF:
+            pre[i] += 1
+            return bytes(pre[: i + 1])
+    return None
+
+
 def _column_stats(phys: str, values, validity, n: int):
     """Per-row-group Statistics (min_value/max_value/null_count) — the
     metadata that lets ANY parquet reader prune row groups on engine-
@@ -252,7 +306,11 @@ def _column_stats(phys: str, values, validity, n: int):
                 lo = v
             elif v > hi:
                 hi = v
-        return {"null_count": null_count, "min": lo, "max": hi}
+        return {
+            "null_count": null_count,
+            "min": lo[:_STATS_TRUNC],
+            "max": _truncate_max(hi),
+        }
     v = np.asarray(values)
     if phys in ("float32", "float64") and np.isnan(v).any():
         return {"null_count": null_count, "min": None, "max": None}
@@ -391,7 +449,18 @@ def write_table(path: str, columns: list, codec: str | None = None,
     for required. Logical aliases annotate the physical type so readers
     surface typed columns: 'utf8' = byte_array + UTF8 (str), 'date' =
     int32 days + DATE, 'timestamp_us' / 'timestamp_ms' = int64 epoch
-    micros/millis + TIMESTAMP_MICROS/_MILLIS. ``row_group_size`` splits
+    micros/millis + TIMESTAMP_MICROS/_MILLIS.
+
+    LIST columns: phys ``'list<elem>'`` (elem = any alias above), values =
+    ``(offsets, elem_values, elem_validity)`` — offsets is an int64 array
+    of length rows+1 over element ENTRIES (null elements included),
+    elem_values holds the dense non-null elements (numpy or (lengths,
+    data)), elem_validity is a bool array over entries or None. The row
+    ``validity`` argument distinguishes null lists from empty ones (a
+    null row must have zero entries). Written as the standard 3-level
+    LIST group, readable by Spark/pyarrow/DuckDB as ``array<elem>``.
+
+    ``row_group_size`` splits
     rows into multiple row
     groups (each with its own dictionary pages) — at fleet scale bounded
     groups are what keep a reader's memory bounded; default is a single
@@ -400,23 +469,64 @@ def write_table(path: str, columns: list, codec: str | None = None,
     form parquet-mr/arrow default to). Returns {'rows': n, 'bytes': file
     size}.
     """
-    # -- normalize once: 7-tuples of (name, phys, conv, enc, dense values,
-    # validity, aux prefix-sums) --
+    # -- normalize once: 8-tuples of (name, phys, conv, enc, dense values,
+    # validity, aux prefix-sums, list-shape) --
     norm = []
     num_rows = None
     for name, phys, enc, values, validity in columns:
-        phys, conv = _LOGICAL.get(phys, (phys, None))
-        if phys == "byte_array":
-            n_dense = len(values[0])
+        lst = None
+        if phys.startswith("list<") and phys.endswith(">"):
+            elem_alias = phys[5:-1]
+            phys, conv = _LOGICAL.get(elem_alias, (elem_alias, None))
+            if phys not in _PHYS_IDS:
+                raise ValueError(f"{name}: unsupported list element {elem_alias}")
+            offsets, values, elem_valid = values
+            offsets = np.ascontiguousarray(offsets, np.int64)
+            if len(offsets) == 0 or (np.diff(offsets) < 0).any():
+                raise ValueError(f"{name}: list offsets must be non-decreasing")
+            n = len(offsets) - 1
+            if validity is not None:
+                validity = np.asarray(validity, bool)
+                if len(validity) != n:
+                    raise ValueError(f"{name}: validity length != rows")
+                if (np.diff(offsets)[~validity] != 0).any():
+                    raise ValueError(f"{name}: null list rows must be empty")
+            if elem_valid is not None:
+                elem_valid = np.asarray(elem_valid, bool)
+                if len(elem_valid) != int(offsets[-1]):
+                    raise ValueError(f"{name}: elem_validity length != entries")
+            n_dense = len(values[0]) if phys == "byte_array" else len(values)
+            n_present = (
+                int(offsets[-1]) if elem_valid is None else int(elem_valid.sum())
+            )
+            if n_dense != n_present:
+                raise ValueError(
+                    f"{name}: {n_dense} dense elements vs {n_present} present"
+                )
+            if phys != "byte_array":
+                values = np.asarray(values)
+            lst = {
+                "offsets": offsets,
+                "elem_valid": elem_valid,
+                "evpre": (
+                    np.concatenate(([0], np.cumsum(elem_valid, dtype=np.int64)))
+                    if elem_valid is not None
+                    else None
+                ),
+            }
         else:
-            values = np.asarray(values)
-            n_dense = len(values)
-        n = n_dense if validity is None else len(validity)
+            phys, conv = _LOGICAL.get(phys, (phys, None))
+            if phys == "byte_array":
+                n_dense = len(values[0])
+            else:
+                values = np.asarray(values)
+                n_dense = len(values)
+            n = n_dense if validity is None else len(validity)
         if num_rows is None:
             num_rows = n
         elif num_rows != n:
             raise ValueError(f"{name}: {n} rows vs {num_rows} in prior columns")
-        if validity is not None:
+        if lst is None and validity is not None:
             validity = np.asarray(validity, bool)
             if phys != "byte_array":
                 values = values[validity]
@@ -436,11 +546,11 @@ def write_table(path: str, columns: list, codec: str | None = None,
             ),
             "vpre": (
                 np.concatenate(([0], np.cumsum(validity, dtype=np.int64)))
-                if validity is not None
+                if validity is not None and lst is None
                 else None
             ),
         }
-        norm.append((name, phys, conv, enc, values, validity, aux))
+        norm.append((name, phys, conv, enc, values, validity, aux, lst))
     num_rows = num_rows or 0
 
     out = bytearray(MAGIC)
@@ -477,16 +587,54 @@ def _slice_col(phys, values, validity, aux, lo, hi):
     return values[dlo:dhi], vslice
 
 
+def _slice_list_col(phys, values, validity, aux, lst, lo, hi):
+    """Row-range slice of a LIST column -> (dense element values, rep
+    levels, def levels, n_levels); dense ranges come off the entry offsets
+    + element-validity prefix sums, all O(group size)."""
+    offsets = lst["offsets"]
+    elo, ehi = int(offsets[lo]), int(offsets[hi])
+    if lst["elem_valid"] is None:
+        dlo, dhi = elo, ehi
+        ev_slice = None
+    else:
+        dlo = int(lst["evpre"][elo])
+        dhi = int(lst["evpre"][ehi])
+        ev_slice = lst["elem_valid"][elo:ehi]
+    if phys == "byte_array":
+        lens, data = values
+        boffs = aux["offs"]
+        dense = (lens[dlo:dhi], data[boffs[dlo] : boffs[dhi]])
+    else:
+        dense = values[dlo:dhi]
+    counts = np.diff(offsets[lo : hi + 1])
+    row_valid = None if validity is None else validity[lo:hi]
+    rep, defs = _list_level_arrays(counts, row_valid, ev_slice)
+    return dense, rep, defs
+
+
 def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                  codec: str | None, data_page_version: int = 1) -> list:
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2")
     col_meta = []
-    for name, phys, conv, enc, all_values, all_validity, aux in norm:
-        values, validity = _slice_col(
-            phys, all_values, all_validity, aux, lo, hi
-        )
+    for name, phys, conv, enc, all_values, all_validity, aux, lst in norm:
         n = hi - lo
+        if lst is not None:
+            values, rep_lev, def_lev = _slice_list_col(
+                phys, all_values, all_validity, aux, lst, lo, hi
+            )
+            validity = None
+            max_def, max_rep = 3, 1
+            n_lev = len(def_lev)
+        else:
+            values, validity = _slice_col(
+                phys, all_values, all_validity, aux, lo, hi
+            )
+            rep_lev = None
+            def_lev = None if validity is None else validity.astype(np.uint64)
+            max_def = 0 if validity is None else 1
+            max_rep = 0
+            n_lev = n
         n_dense = len(values[0]) if phys == "byte_array" else len(values)
         if n_dense == 0 and enc in ("AUTO", "PLAIN_DICTIONARY"):
             # an all-null group has nothing to dictionary-encode (and
@@ -497,19 +645,33 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             # per-row-group adaptivity, same granularity as the engine's
             # per-chunk selection
             enc = _auto_encoding(phys, values)
-        stats = _column_stats(phys, values, validity, n)
-        if validity is not None:
-            if data_page_version == 2:
-                # v2: raw hybrid, no length prefix (length in the header)
-                levels = rle.encode(validity.astype(np.uint64), 1)
-            else:
-                levels = rle.encode_len_prefixed(
-                    validity.astype(np.uint64), 1
-                )
-            max_def = 1
+        if lst is not None:
+            # leaf stats over the present elements; null_count counts every
+            # def < max_def slot (missing-by-ancestor + null elements), the
+            # parquet-mr/arrow convention for repeated leaves
+            stats = _column_stats(phys, values, None, n_dense)
+            stats["null_count"] = n_lev - n_dense
         else:
-            levels = b""
-            max_def = 0
+            stats = _column_stats(phys, values, validity, n)
+        def_width = 2 if max_def > 1 else 1
+        if data_page_version == 2:
+            # v2: raw hybrid, no length prefix (lengths in the header);
+            # repetition levels FIRST, then definition levels
+            rep_bytes = b"" if max_rep == 0 else rle.encode(rep_lev, 1)
+            dl_bytes = (
+                b"" if def_lev is None else rle.encode(def_lev, def_width)
+            )
+            levels = rep_bytes + dl_bytes
+        else:
+            rep_bytes = (
+                b"" if max_rep == 0 else rle.encode_len_prefixed(rep_lev, 1)
+            )
+            dl_bytes = (
+                b""
+                if def_lev is None
+                else rle.encode_len_prefixed(def_lev, def_width)
+            )
+            levels = rep_bytes + dl_bytes
 
         start = len(out)
         encodings = set()
@@ -547,17 +709,17 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
         if data_page_version == 2:
             # v2: levels live OUTSIDE the compressed section, lengths in
             # the header; only the value bytes compress
-            n_nulls = 0 if validity is None else int(n - validity.sum())
+            n_nulls = n_lev - n_dense
             comp_vals = _compress(vals_raw, codec)
             is_comp = codec is not None and len(comp_vals) < len(vals_raw)
             body_vals = comp_vals if is_comp else vals_raw
             dph2 = [
-                (1, _CT_I32, n),
+                (1, _CT_I32, n_lev),
                 (2, _CT_I32, n_nulls),
-                (3, _CT_I32, n),  # rows == values for flat columns
+                (3, _CT_I32, n),  # rows (level slots where rep == 0)
                 (4, _CT_I32, _ENC_IDS[enc]),
-                (5, _CT_I32, len(levels)),  # definition_levels_byte_length
-                (6, _CT_I32, 0),  # repetition_levels_byte_length
+                (5, _CT_I32, len(dl_bytes)),  # definition_levels_byte_length
+                (6, _CT_I32, len(rep_bytes)),  # repetition_levels_byte_length
                 (7, _CT_TRUE, bool(is_comp)),
             ]
             hdr = _page_header(
@@ -574,7 +736,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             data_raw = levels + vals_raw
             comp = _compress(data_raw, codec)
             dph = [
-                (1, _CT_I32, n),
+                (1, _CT_I32, n_lev),
                 (2, _CT_I32, _ENC_IDS[enc]),
                 (3, _CT_I32, _ENC_IDS["RLE"]),  # definition level encoding
                 (4, _CT_I32, _ENC_IDS["RLE"]),  # repetition level encoding
@@ -591,8 +753,9 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 "phys": phys,
                 "conv": conv,
                 "max_def": max_def,
+                "is_list": lst is not None,
                 "encodings": sorted(_ENC_IDS[e] for e in encodings),
-                "n": n,
+                "n": n_lev,
                 "start": start,
                 "data_off": data_off,
                 "dict_off": dict_off,
@@ -614,6 +777,30 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
         )
     ]
     for c in col_meta0:
+        if c["is_list"]:
+            # 3-level LIST convention: optional group (LIST, ConvertedType
+            # 3) / repeated group "list" / optional "element" — the shape
+            # Spark, pyarrow and DuckDB all surface as array<elem>
+            schema.append(
+                [
+                    (3, _CT_I32, 1),  # optional
+                    (4, _CT_BINARY, c["name"]),
+                    (5, _CT_I32, 1),
+                    (6, _CT_I32, 3),  # ConvertedType LIST
+                ]
+            )
+            schema.append(
+                [(3, _CT_I32, 2), (4, _CT_BINARY, "list"), (5, _CT_I32, 1)]
+            )
+            el = [
+                (1, _CT_I32, _PHYS_IDS[c["phys"]]),
+                (3, _CT_I32, 1),  # optional element
+                (4, _CT_BINARY, "element"),
+            ]
+            if c["conv"] is not None:
+                el.append((6, _CT_I32, c["conv"]))
+            schema.append(el)
+            continue
         el = [
             (1, _CT_I32, _PHYS_IDS[c["phys"]]),
             (3, _CT_I32, 1 if c["max_def"] else 0),  # optional / required
@@ -627,10 +814,13 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
     for col_meta, rg_rows in rowgroups:
         chunks = []
         for c in col_meta:
+            col_path = (
+                [c["name"], "list", "element"] if c["is_list"] else [c["name"]]
+            )
             meta = [
                 (1, _CT_I32, _PHYS_IDS[c["phys"]]),
                 (2, _CT_LIST, (_CT_I32, c["encodings"])),
-                (3, _CT_LIST, (_CT_BINARY, [c["name"]])),
+                (3, _CT_LIST, (_CT_BINARY, col_path)),
                 (4, _CT_I32, _CODEC_IDS[codec]),
                 (5, _CT_I64, c["n"]),
                 (6, _CT_I64, c["total_raw"]),
@@ -644,7 +834,10 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
         rg_structs.append(
             [
                 (1, _CT_LIST, (_CT_STRUCT, chunks)),
-                (2, _CT_I64, sum(c["total_comp"] for c in col_meta)),
+                # total_byte_size is the UNCOMPRESSED data size by spec
+                # (readers use it for split planning; r5 advice #1) — the
+                # compressed size lives per-chunk in field 7
+                (2, _CT_I64, sum(c["total_raw"] for c in col_meta)),
                 (3, _CT_I64, rg_rows),
             ]
         )
