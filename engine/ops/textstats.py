@@ -109,3 +109,56 @@ def fingerprint(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
         F.xxhash64(text_col).alias("text_hash"),
         weighted.alias("rolling_fp"),
     )
+
+
+def all_stats(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Every per-document text statistic in ONE projection: token counts,
+    quality ratios, language id, and an order-sensitive positional
+    fingerprint. At fleet scale this is the shape a per-doc stats pass
+    must take — one scan, zero shuffles, whole-stage codegen end to end —
+    instead of joining four separate per-metric outputs back together on
+    doc_id (three needless exchanges of the same key)."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_chars = F.length(t)
+    nd = F.greatest(n_chars, F.lit(1)).cast("double")
+
+    def ratio_of(pattern: str):
+        return F.round(F.length(F.regexp_replace(t, pattern, "")) / nd, 6)
+
+    lwords = F.split(F.lower(t), " ")
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(lwords, lambda w: F.array_contains(sw, w)))
+        score = F.round(hits / F.greatest(F.size(lwords), F.lit(1)), 6)
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pos_fp = F.aggregate(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(1), F.size(words)),
+            lambda w, i: (F.length(w) + 1).cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return docs.select(
+        F.col(key_col),
+        F.size(words).cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        (F.size(words) + F.ceil(n_chars / 4)).cast("long").alias("n_tokens_est"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+        ).cast("long").alias("n_tokens_regex"),
+        ratio_of(r"[^.,;:!?]").alias("punct_ratio"),
+        ratio_of(r"[^0-9]").alias("digit_ratio"),
+        ratio_of(r"[^A-Z]").alias("upper_ratio"),
+        F.round(
+            (n_chars - F.size(words) + 1) / F.greatest(F.size(words), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+        pos_fp.alias("pos_fingerprint"),
+    )

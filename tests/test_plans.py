@@ -66,7 +66,12 @@ def test_textstats_whole_stage_codegen_no_python(spark):
         [(1, "some text here"), (2, "more words in this text")],
         "doc_id long, text string",
     )
-    for op in (textstats.token_count, textstats.quality_score, textstats.language_id):
+    for op in (
+        textstats.token_count,
+        textstats.quality_score,
+        textstats.language_id,
+        textstats.all_stats,  # the merged single-scan projection (r6)
+    ):
         plan = _plan(op(docs))
         assert "EvalPython" not in plan and "InPandas" not in plan, (op, plan)
         # codegen stages print as "WholeStageCodegen" or the compact "*(n)"
