@@ -30,6 +30,24 @@ sys.path.insert(0, REPO)
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))
 
 
+def _timed_reps(reps: int, run) -> list[float]:
+    """``reps`` timed passes of one item, extended by up to 2 extra passes
+    while the spread exceeds 1.5x (VERDICT r5 #4: this VM's neighbor load
+    swings throughput 2-4x between moments, and best-of-2 inside one
+    window could not bound it — BENCH_r05 recorded a 32s wall that re-ran
+    at 14.8s). Every pass is recorded in the artifact ("passes"), so the
+    bench JSON itself shows the envelope; the headline takes the best."""
+    times: list[float] = []
+    max_extra = 2
+    while len(times) < reps or (
+        len(times) < reps + max_extra and max(times) > 1.5 * min(times)
+    ):
+        t0 = time.time()
+        run(len(times))
+        times.append(time.time() - t0)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -59,22 +77,22 @@ def main() -> None:
     # at 10^12 rows the production default (65536) yields millions of buckets,
     # at bench scale we derive it from the corpus size (~128 buckets)
     rows_per_bucket = max(512, BENCH_ROWS // 128)
-    # best-of-2: this VM's neighbor load swings throughput 2-4x between
-    # moments (BENCH/BASELINE.md); two timed passes bound the noise while
-    # staying honest (identical deterministic input, reported as best-of)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    t_encode = None
-    for _ in range(max(reps, 1)):
-        t0 = time.time()
-        chunks = encode_job.encode_table(
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    passes: dict[str, list[float]] = {}
+    state: dict = {}
+
+    def run_encode(i):
+        if "chunks" in state:
+            state["chunks"].unpersist()
+        state["chunks"] = encode_job.encode_table(
             corpus, rows_per_bucket=rows_per_bucket
         ).persist()
-        enc_rows = chunks.count()
-        dt = time.time() - t0
-        if t_encode is None or dt < t_encode:
-            t_encode = dt
-        if _ < reps - 1:
-            chunks.unpersist()
+        state["chunks"].count()
+
+    enc_times = _timed_reps(reps, run_encode)
+    chunks = state["chunks"]
+    passes["encode"] = [round(t, 3) for t in enc_times]
+    t_encode = min(enc_times)
     timings["encode"] = round(t_encode, 3)
     extras["encode_tokens_per_sec"] = round(n_tokens / t_encode, 1)
 
@@ -87,16 +105,17 @@ def main() -> None:
     extras["compression_ratio"] = round(m["enc"] / m["raw"], 4)
     extras["n_tokens"] = int(n_tokens)
 
-    t_decode = None
-    for _ in range(max(reps, 1)):
-        t0 = time.time()
-        decoded_tokens = decode_job.decode_chunks(chunks).agg(F.sum("n_tok")).first()[0]
-        dt = time.time() - t0
-        if t_decode is None or dt < t_decode:
-            t_decode = dt
+    def run_decode(i):
+        decoded_tokens = (
+            decode_job.decode_chunks(chunks).agg(F.sum("n_tok")).first()[0]
+        )
         assert decoded_tokens == n_tokens, (
             f"decode lost tokens: {decoded_tokens} != {n_tokens}"
         )
+
+    dec_times = _timed_reps(reps, run_decode)
+    passes["decode"] = [round(t, 3) for t in dec_times]
+    t_decode = min(dec_times)
     timings["decode"] = round(t_decode, 3)
     extras["decode_tokens_per_sec"] = round(n_tokens / t_decode, 1)
     chunks.unpersist()
@@ -112,18 +131,25 @@ def main() -> None:
     # compilation (the 64-aggregate minhash signature stage alone compiles
     # for seconds), which is amortized away on any real corpus
     for name in bench_queries:
-        t_q = None
-        for _ in range(max(reps, 1)):
-            t0 = time.time()
-            entry.queries()[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.time() - t0
-            if t_q is None or dt < t_q:
-                t_q = dt
-        timings[name] = round(t_q, 3)
+        q_times = _timed_reps(
+            reps,
+            lambda i, n=name: entry.queries()[n](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        passes[name] = [round(t, 3) for t in q_times]
+        timings[name] = round(min(q_times), 3)
 
     total = round(sum(timings.values()), 3)
+    # window-noise summary: max/min spread per item, medianed — >1.5 means
+    # the recorded window was contended even after the adaptive extra reps
+    spreads = sorted(
+        max(t) / min(t) for t in passes.values() if min(t) > 0
+    )
+    extras["noise_ratio_median"] = round(
+        spreads[len(spreads) // 2] if spreads else 1.0, 3
+    )
     print(
         json.dumps(
             {
@@ -131,6 +157,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
                 "cpus": cpus,
                 "extras": extras,
