@@ -114,6 +114,10 @@ class _Reader:
             etype = head & 0x0F
             if size == 15:
                 size = self.varint()
+            if etype in (_CT_TRUE, _CT_FALSE):
+                # bool list ELEMENTS are one byte each (1=true, 2=false),
+                # unlike bool struct fields (value in the type nibble)
+                return [self.byte() == 1 for _ in range(size)]
             return [self.skip_or_value(etype) for _ in range(size)]
         if ctype == _CT_MAP:
             size = self.varint()
@@ -199,6 +203,11 @@ class ColumnInfo:
     total_compressed: int
     conv: int | None = None  # leaf ConvertedType (0 = UTF8)
     nodes: list = field(default_factory=list)  # root->leaf schema path
+    # PageIndex locations (ColumnChunk fields 4-7; None when absent)
+    oi_off: int | None = None
+    oi_len: int | None = None
+    ci_off: int | None = None
+    ci_len: int | None = None
 
 
 @dataclass
@@ -290,6 +299,10 @@ def read_file_info(path: str) -> FileInfo:
                         total_compressed=cm[7],
                         conv=el.get(6),
                         nodes=nodes,
+                        oi_off=chunk.get(4),
+                        oi_len=chunk.get(5),
+                        ci_off=chunk.get(6),
+                        ci_len=chunk.get(7),
                     )
                 )
     except (KeyError, IndexError, TypeError, AttributeError,
@@ -453,17 +466,23 @@ def read_column(path: str, col: ColumnInfo):
     return vals, defs == col.max_def
 
 
-def read_column_with_levels(path: str, col: ColumnInfo):
+def read_column_with_levels(path: str, col: ColumnInfo,
+                            chunk: bytes | None = None,
+                            num_values: int | None = None):
     """Decode one column chunk of ANY nesting -> (values, def_levels,
     rep_levels): the raw Dremel leaf streams. ``values`` holds exactly the
     stored (non-null, def == max_def) leaf values in record order — the
     stream the engine's TreeBuilder analog assembles from — so foreign
     repeated columns validate the level grammar + value grammar without a
     second row-assembly implementation. rep_levels is all-zero for
-    non-repeated columns."""
-    with open(path, "rb") as f:
-        f.seek(col.start_offset)
-        chunk = f.read(col.total_compressed)
+    non-repeated columns. ``chunk``/``num_values`` override the source
+    bytes and level-entry target — the page-pruned read path feeds a
+    synthetic buffer of (dict page + selected data pages only)."""
+    if chunk is None:
+        with open(path, "rb") as f:
+            f.seek(col.start_offset)
+            chunk = f.read(col.total_compressed)
+    target = col.num_values if num_values is None else num_values
     raw = np.frombuffer(chunk, np.uint8)
     pos = 0
     dictionary = None
@@ -471,7 +490,7 @@ def read_column_with_levels(path: str, col: ColumnInfo):
     defs_parts = []
     reps_parts = []
     n_done = 0
-    while n_done < col.num_values:
+    while n_done < target:
         # fail-clean contract (same as the engine's chunk decoders): a
         # corrupt/misaligned page header parses into garbage field ids or
         # runs off the buffer — surface all of it as ValueError
@@ -586,6 +605,100 @@ def read_column_with_levels(path: str, col: ColumnInfo):
         else np.empty(0, np.uint8)
     )
     return vals, defs, reps
+
+
+def read_page_index(path: str, col: ColumnInfo):
+    """Parse one chunk's PageIndex -> (page_locations, column_index).
+    page_locations: [{offset, comp_size, first_row}] from the
+    OffsetIndex; column_index: {null_pages, mins, maxs, null_counts} or
+    None when the chunk carries no ColumnIndex."""
+    if col.oi_off is None:
+        raise ValueError(f"{col.path}: no OffsetIndex in this file")
+    with open(path, "rb") as f:
+        f.seek(col.oi_off)
+        oi_buf = f.read(col.oi_len)
+        ci_buf = None
+        if col.ci_off is not None:
+            f.seek(col.ci_off)
+            ci_buf = f.read(col.ci_len)
+    try:
+        oi = _Reader(oi_buf).struct()
+        locs = [
+            {"offset": p[1], "comp_size": p[2], "first_row": p[3]}
+            for p in oi[1]
+        ]
+        ci = None
+        if ci_buf is not None:
+            c = _Reader(ci_buf).struct()
+            ci = {
+                "null_pages": c[1],
+                "mins": c[2],
+                "maxs": c[3],
+                "null_counts": c.get(5),
+            }
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"{col.path}: malformed PageIndex ({e!r})") from e
+    return locs, ci
+
+
+def _plain_scalar(buf: bytes, phys: str):
+    """One PLAIN-encoded stat value -> Python scalar (numeric types)."""
+    return plain.decode(np.frombuffer(buf, np.uint8), 1, phys)[0]
+
+
+def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
+    """Page-level predicate pushdown over a FOREIGN (or engine-written)
+    parquet file using its PageIndex: decode only the data pages whose
+    ColumnIndex [min, max] intersects [lo, hi] — the reader half of the
+    page-stats feature the reference left as TODO
+    (src/column/writer.rs:356,480-481). Returns (values, def_levels,
+    pages_read, pages_total); the dictionary page (when present) is
+    always read, selected page bytes are fetched by direct seek from the
+    OffsetIndex, and skipped pages' bytes never leave storage."""
+    locs, ci = read_page_index(path, col)
+    if ci is None:
+        raise ValueError(f"{col.path}: no ColumnIndex to prune with")
+    if col.phys == "byte_array":
+        keep = [
+            not null and not (bytes(mx) < lo or bytes(mn) > hi)
+            for null, mn, mx in zip(ci["null_pages"], ci["mins"], ci["maxs"])
+        ]
+    else:
+        keep = [
+            not null
+            and not (
+                _plain_scalar(bytes(mx), col.phys) < lo
+                or _plain_scalar(bytes(mn), col.phys) > hi
+            )
+            for null, mn, mx in zip(ci["null_pages"], ci["mins"], ci["maxs"])
+        ]
+    with open(path, "rb") as f:
+        parts = []
+        if locs and col.start_offset < locs[0]["offset"]:
+            # dictionary page sits between chunk start and the first data
+            # page; indices are meaningless without it
+            f.seek(col.start_offset)
+            parts.append(f.read(locs[0]["offset"] - col.start_offset))
+        for k, p in zip(keep, locs):
+            if k:
+                f.seek(p["offset"])
+                parts.append(f.read(p["comp_size"]))
+    synthetic = b"".join(parts)
+    # count the level entries the selected pages hold (headers only)
+    n_lev = 0
+    pos = 0
+    while pos < len(synthetic):
+        rd = _Reader(synthetic, pos)
+        h = rd.struct()
+        if h[1] == _PAGE_DATA:
+            n_lev += h[5][1]
+        elif h[1] == _PAGE_DATA_V2:
+            n_lev += h[8][1]
+        pos = rd.pos + h[3]
+    vals, defs, _ = read_column_with_levels(
+        path, col, chunk=synthetic, num_values=n_lev
+    )
+    return vals, defs, sum(keep), len(locs)
 
 
 def _leaf_values_list(vals, conv):
@@ -790,13 +903,40 @@ def read_table(path: str, columns: list | None = None) -> dict:
                 full96[validity] = dense
                 piece = (full96, validity)
             else:
-                offs = np.concatenate(([0], np.cumsum(lens)))
-                present = iter(
-                    bytes(data[offs[i] : offs[i + 1]])
-                    for i in range(len(lens))
+                # Arrow-buffer lift (VERDICT r5 #6): scatter dense lengths
+                # to row slots, then build the BinaryArray straight from
+                # (validity bitmap, offsets, data) buffers — one zero-copy
+                # C++ constructor + one to_pylist instead of a per-value
+                # Python slice loop
+                import pyarrow as pa
+
+                n_rows = len(validity)
+                row_lens = np.zeros(n_rows, np.int64)
+                row_lens[validity] = np.asarray(lens, np.int64)
+                offs = np.concatenate(([0], np.cumsum(row_lens)))
+                if offs[-1] <= np.iinfo(np.int32).max:
+                    typ, off_arr = pa.binary(), offs.astype(np.int32)
+                else:
+                    typ, off_arr = pa.large_binary(), offs
+                vbuf = (
+                    None
+                    if validity.all()
+                    else pa.py_buffer(
+                        np.packbits(validity, bitorder="little").tobytes()
+                    )
                 )
-                full = [next(present) if ok else None for ok in validity]
-                piece = (full, validity)
+                arr = pa.Array.from_buffers(
+                    typ,
+                    n_rows,
+                    [
+                        vbuf,
+                        pa.py_buffer(off_arr.tobytes()),
+                        pa.py_buffer(
+                            data if isinstance(data, bytes) else bytes(data)
+                        ),
+                    ],
+                )
+                piece = (arr.to_pylist(), validity)
         else:
             # pages store ONLY def==max_def values; scatter the dense
             # stream to row positions so callers can index by row (null

@@ -147,8 +147,16 @@ class _Writer:
             else:
                 self.parts.append(bytes([0xF0 | etype]))
                 self._varint(n)
-            for it in items:
-                self._value(etype, it)
+            if etype in (_CT_TRUE, _CT_FALSE):
+                # bool LIST ELEMENTS take a full byte (1=true, 2=false),
+                # unlike struct fields where the type nibble carries the
+                # value — needed by ColumnIndex.null_pages
+                self.parts.append(
+                    bytes(1 if it else 2 for it in items)
+                )
+            else:
+                for it in items:
+                    self._value(etype, it)
         elif ctype == _CT_STRUCT:
             self.struct(v)
         elif ctype in (_CT_TRUE, _CT_FALSE):
@@ -378,10 +386,12 @@ def _auto_encoding(phys: str, values) -> str:
     }[choice]
 
 
-def _dict_pages(phys: str, values):
-    """PLAIN_DICTIONARY: (dict page bytes, data page value bytes, n_dict).
+def _dict_build(phys: str, values):
+    """PLAIN_DICTIONARY: (dict page bytes, int64 index array, n_dict).
     Uniques keep first-appearance order — same contract as the engine's
-    DictEncoder (pd.factorize / arrow dictionary_encode order)."""
+    DictEncoder (pd.factorize / arrow dictionary_encode order). The
+    caller slices the index array per data page (one shared dictionary
+    per column chunk, parquet's layout)."""
     if phys == "byte_array":
         # arrow dictionary_encode over zero-copy buffers — first-appearance
         # order, no per-value Python (r5 review #6; same idiom the engine's
@@ -419,9 +429,7 @@ def _dict_pages(phys: str, values):
         n_dict = len(uniques)
     if n_dict == 0:
         raise ValueError("dictionary encoding of an empty column")
-    width = max(int(n_dict - 1).bit_length(), 1)
-    body = bytes([width]) + rle.encode(idx.astype(np.uint64), width)
-    return dict_plain, body, n_dict
+    return dict_plain, idx, n_dict
 
 
 def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
@@ -438,7 +446,8 @@ def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
 def write_table(path: str, columns: list, codec: str | None = None,
                 created_by: str = "spark-graft encoder",
                 row_group_size: int | None = None,
-                data_page_version: int = 1) -> dict:
+                data_page_version: int = 1,
+                page_size_rows: int | None = None) -> dict:
     """Write flat columns as a real parquet file.
 
     ``columns``: list of (name, phys, encoding, values, validity) where
@@ -466,8 +475,14 @@ def write_table(path: str, columns: list, codec: str | None = None,
     groups are what keep a reader's memory bounded; default is a single
     group. ``data_page_version=2`` emits DataPageV2 (levels sectioned
     outside the compressed area, lengths in the header — the modern page
-    form parquet-mr/arrow default to). Returns {'rows': n, 'bytes': file
-    size}.
+    form parquet-mr/arrow default to). ``page_size_rows`` splits each
+    column chunk into multiple data pages (one shared dictionary page per
+    chunk); every file also carries the PageIndex (ColumnIndex with
+    per-page min/max/null_count + OffsetIndex) so external readers can
+    page-prune — the reference leaves page stats as a TODO
+    (src/column/writer.rs:356,480-481); the engine's own PAGED container
+    already had per-page selection, and this exports it to the
+    interchange format. Returns {'rows': n, 'bytes': file size}.
     """
     # -- normalize once: 8-tuples of (name, phys, conv, enc, dense values,
     # validity, aux prefix-sums, list-shape) --
@@ -558,7 +573,9 @@ def write_table(path: str, columns: list, codec: str | None = None,
     step = row_group_size if row_group_size and row_group_size > 0 else max(num_rows, 1)
     for lo in range(0, max(num_rows, 1), step):
         hi = min(lo + step, num_rows)
-        col_meta = _write_group(out, norm, lo, hi, codec, data_page_version)
+        col_meta = _write_group(
+            out, norm, lo, hi, codec, data_page_version, page_size_rows
+        )
         rowgroups.append((col_meta, hi - lo))
         if num_rows == 0:
             break
@@ -613,30 +630,32 @@ def _slice_list_col(phys, values, validity, aux, lst, lo, hi):
 
 
 def _write_group(out: bytearray, norm: list, lo: int, hi: int,
-                 codec: str | None, data_page_version: int = 1) -> list:
+                 codec: str | None, data_page_version: int = 1,
+                 page_rows: int | None = None) -> list:
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2")
     col_meta = []
     for name, phys, conv, enc, all_values, all_validity, aux, lst in norm:
         n = hi - lo
+        # -- group-level pass: resolve AUTO + build the dictionary + chunk
+        # stats over the WHOLE group so every page shares one encoding and
+        # one dict page --
         if lst is not None:
-            values, rep_lev, def_lev = _slice_list_col(
+            g_values, _, g_defs = _slice_list_col(
                 phys, all_values, all_validity, aux, lst, lo, hi
             )
-            validity = None
+            g_validity = None
             max_def, max_rep = 3, 1
-            n_lev = len(def_lev)
+            g_nlev = len(g_defs)
         else:
-            values, validity = _slice_col(
+            g_values, g_validity = _slice_col(
                 phys, all_values, all_validity, aux, lo, hi
             )
-            rep_lev = None
-            def_lev = None if validity is None else validity.astype(np.uint64)
-            max_def = 0 if validity is None else 1
+            max_def = 0 if g_validity is None else 1
             max_rep = 0
-            n_lev = n
-        n_dense = len(values[0]) if phys == "byte_array" else len(values)
-        if n_dense == 0 and enc in ("AUTO", "PLAIN_DICTIONARY"):
+            g_nlev = n
+        g_dense = len(g_values[0]) if phys == "byte_array" else len(g_values)
+        if g_dense == 0 and enc in ("AUTO", "PLAIN_DICTIONARY"):
             # an all-null group has nothing to dictionary-encode (and
             # nothing for the selector to sample) — PLAIN of zero values
             # is the canonical empty value section (hypothesis-found)
@@ -644,40 +663,24 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
         elif enc == "AUTO":
             # per-row-group adaptivity, same granularity as the engine's
             # per-chunk selection
-            enc = _auto_encoding(phys, values)
+            enc = _auto_encoding(phys, g_values)
         if lst is not None:
             # leaf stats over the present elements; null_count counts every
             # def < max_def slot (missing-by-ancestor + null elements), the
             # parquet-mr/arrow convention for repeated leaves
-            stats = _column_stats(phys, values, None, n_dense)
-            stats["null_count"] = n_lev - n_dense
+            stats = _column_stats(phys, g_values, None, g_dense)
+            stats["null_count"] = g_nlev - g_dense
         else:
-            stats = _column_stats(phys, values, validity, n)
+            stats = _column_stats(phys, g_values, g_validity, n)
         def_width = 2 if max_def > 1 else 1
-        if data_page_version == 2:
-            # v2: raw hybrid, no length prefix (lengths in the header);
-            # repetition levels FIRST, then definition levels
-            rep_bytes = b"" if max_rep == 0 else rle.encode(rep_lev, 1)
-            dl_bytes = (
-                b"" if def_lev is None else rle.encode(def_lev, def_width)
-            )
-            levels = rep_bytes + dl_bytes
-        else:
-            rep_bytes = (
-                b"" if max_rep == 0 else rle.encode_len_prefixed(rep_lev, 1)
-            )
-            dl_bytes = (
-                b""
-                if def_lev is None
-                else rle.encode_len_prefixed(def_lev, def_width)
-            )
-            levels = rep_bytes + dl_bytes
 
         start = len(out)
         encodings = set()
         raw_total = 0  # uncompressed bytes of all pages INCL headers (spec)
+        dict_idx = None
         if enc == "PLAIN_DICTIONARY":
-            dict_plain, body, n_dict = _dict_pages(phys, values)
+            dict_plain, dict_idx, n_dict = _dict_build(phys, g_values)
+            dict_width = max(int(n_dict - 1).bit_length(), 1)
             comp_dict = _compress(dict_plain, codec)
             # v2 convention: dict page declares PLAIN, data pages
             # RLE_DICTIONARY (PLAIN_DICTIONARY is deprecated for v2
@@ -695,7 +698,6 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             out += hdr
             out += comp_dict
             raw_total += len(hdr) + len(dict_plain)
-            vals_raw = body
             # the data-page encoding name: RLE_DICTIONARY for v2 pages
             enc = "RLE_DICTIONARY" if data_page_version == 2 else enc
             encodings.add(enc)
@@ -703,48 +705,116 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 encodings.add("PLAIN")  # the dict page's declared encoding
         else:
             dict_off = None
-            vals_raw = _encode_values(phys, enc, values)
             encodings.add(enc)
-        data_off = len(out)
-        if data_page_version == 2:
-            # v2: levels live OUTSIDE the compressed section, lengths in
-            # the header; only the value bytes compress
-            n_nulls = n_lev - n_dense
-            comp_vals = _compress(vals_raw, codec)
-            is_comp = codec is not None and len(comp_vals) < len(vals_raw)
-            body_vals = comp_vals if is_comp else vals_raw
-            dph2 = [
-                (1, _CT_I32, n_lev),
-                (2, _CT_I32, n_nulls),
-                (3, _CT_I32, n),  # rows (level slots where rep == 0)
-                (4, _CT_I32, _ENC_IDS[enc]),
-                (5, _CT_I32, len(dl_bytes)),  # definition_levels_byte_length
-                (6, _CT_I32, len(rep_bytes)),  # repetition_levels_byte_length
-                (7, _CT_TRUE, bool(is_comp)),
-            ]
-            hdr = _page_header(
-                3,
-                len(levels) + len(vals_raw),
-                len(levels) + len(body_vals),
-                dph2,
+
+        # -- per-page pass: slice rows, shred levels, encode, record the
+        # page's location + stats (the ColumnIndex/OffsetIndex inputs) --
+        step = page_rows if page_rows and page_rows > 0 else max(n, 1)
+        ranges = [
+            (plo, min(plo + step, hi)) for plo in range(lo, hi, step)
+        ] or [(lo, hi)]
+        data_off = None
+        pages = []
+        dcur = 0  # dense-value cursor into the group's dictionary indices
+        for plo, phi in ranges:
+            if lst is not None:
+                values, rep_lev, def_lev = _slice_list_col(
+                    phys, all_values, all_validity, aux, lst, plo, phi
+                )
+                validity = None
+                n_lev = len(def_lev)
+            else:
+                values, validity = _slice_col(
+                    phys, all_values, all_validity, aux, plo, phi
+                )
+                rep_lev = None
+                def_lev = (
+                    None if validity is None else validity.astype(np.uint64)
+                )
+                n_lev = phi - plo
+            n_dense = len(values[0]) if phys == "byte_array" else len(values)
+            if lst is not None:
+                pstats = _column_stats(phys, values, None, n_dense)
+                pstats["null_count"] = n_lev - n_dense
+            else:
+                pstats = _column_stats(phys, values, validity, phi - plo)
+            if data_page_version == 2:
+                # v2: raw hybrid, no length prefix (lengths in the header);
+                # repetition levels FIRST, then definition levels
+                rep_bytes = b"" if max_rep == 0 else rle.encode(rep_lev, 1)
+                dl_bytes = (
+                    b"" if def_lev is None else rle.encode(def_lev, def_width)
+                )
+            else:
+                rep_bytes = (
+                    b""
+                    if max_rep == 0
+                    else rle.encode_len_prefixed(rep_lev, 1)
+                )
+                dl_bytes = (
+                    b""
+                    if def_lev is None
+                    else rle.encode_len_prefixed(def_lev, def_width)
+                )
+            levels = rep_bytes + dl_bytes
+            if dict_idx is not None:
+                idx_slice = dict_idx[dcur : dcur + n_dense]
+                vals_raw = bytes([dict_width]) + rle.encode(
+                    idx_slice.astype(np.uint64), dict_width
+                )
+            else:
+                vals_raw = _encode_values(phys, enc, values)
+            dcur += n_dense
+            page_off = len(out)
+            if data_off is None:
+                data_off = page_off
+            if data_page_version == 2:
+                # v2: levels live OUTSIDE the compressed section, lengths
+                # in the header; only the value bytes compress
+                comp_vals = _compress(vals_raw, codec)
+                is_comp = codec is not None and len(comp_vals) < len(vals_raw)
+                body_vals = comp_vals if is_comp else vals_raw
+                dph2 = [
+                    (1, _CT_I32, n_lev),
+                    (2, _CT_I32, n_lev - n_dense),
+                    (3, _CT_I32, phi - plo),  # rows (slots where rep == 0)
+                    (4, _CT_I32, _ENC_IDS[enc]),
+                    (5, _CT_I32, len(dl_bytes)),
+                    (6, _CT_I32, len(rep_bytes)),
+                    (7, _CT_TRUE, bool(is_comp)),
+                ]
+                hdr = _page_header(
+                    3,
+                    len(levels) + len(vals_raw),
+                    len(levels) + len(body_vals),
+                    dph2,
+                )
+                out += hdr
+                out += levels
+                out += body_vals
+                raw_total += len(hdr) + len(levels) + len(vals_raw)
+            else:
+                data_raw = levels + vals_raw
+                comp = _compress(data_raw, codec)
+                dph = [
+                    (1, _CT_I32, n_lev),
+                    (2, _CT_I32, _ENC_IDS[enc]),
+                    (3, _CT_I32, _ENC_IDS["RLE"]),  # def level encoding
+                    (4, _CT_I32, _ENC_IDS["RLE"]),  # rep level encoding
+                ]
+                hdr = _page_header(0, len(data_raw), len(comp), dph)
+                out += hdr
+                out += comp
+                raw_total += len(hdr) + len(data_raw)
+            pages.append(
+                {
+                    "offset": page_off,
+                    "comp_size": len(out) - page_off,
+                    "first_row": plo - lo,
+                    "n_dense": n_dense,
+                    "stats": pstats,
+                }
             )
-            out += hdr
-            out += levels
-            out += body_vals
-            raw_total += len(hdr) + len(levels) + len(vals_raw)
-        else:
-            data_raw = levels + vals_raw
-            comp = _compress(data_raw, codec)
-            dph = [
-                (1, _CT_I32, n_lev),
-                (2, _CT_I32, _ENC_IDS[enc]),
-                (3, _CT_I32, _ENC_IDS["RLE"]),  # definition level encoding
-                (4, _CT_I32, _ENC_IDS["RLE"]),  # repetition level encoding
-            ]
-            hdr = _page_header(0, len(data_raw), len(comp), dph)
-            out += hdr
-            out += comp
-            raw_total += len(hdr) + len(data_raw)
         total_comp = len(out) - start
         encodings.add("RLE")
         col_meta.append(
@@ -755,13 +825,14 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 "max_def": max_def,
                 "is_list": lst is not None,
                 "encodings": sorted(_ENC_IDS[e] for e in encodings),
-                "n": n_lev,
+                "n": g_nlev,
                 "start": start,
                 "data_off": data_off,
                 "dict_off": dict_off,
                 "total_comp": total_comp,
                 "total_raw": raw_total,
                 "stats": stats,
+                "pages": pages,
             }
         )
     return col_meta
@@ -810,6 +881,60 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             el.append((6, _CT_I32, c["conv"]))  # ConvertedType
         schema.append(el)
 
+    # -- PageIndex: all ColumnIndex structs, then all OffsetIndex structs,
+    # after the data and before the footer (parquet-mr's layout). A chunk
+    # with a non-null page whose min/max could not be computed (NaN floats,
+    # un-boundable byte-array max) skips its ColumnIndex — a wrong bound
+    # would corrupt pruning; the OffsetIndex is unconditional. --
+    for col_meta, _ in rowgroups:
+        for c in col_meta:
+            pages = c["pages"]
+            indexable = all(
+                p["n_dense"] == 0 or p["stats"]["min"] is not None
+                for p in pages
+            )
+            if not indexable:
+                c["ci_off"] = None
+                continue
+            ci = _tstruct(
+                [
+                    (1, _CT_LIST, (_CT_TRUE,
+                                   [p["n_dense"] == 0 for p in pages])),
+                    (2, _CT_LIST, (_CT_BINARY,
+                                   [p["stats"]["min"] or b"" for p in pages])),
+                    (3, _CT_LIST, (_CT_BINARY,
+                                   [p["stats"]["max"] or b"" for p in pages])),
+                    (4, _CT_I32, 0),  # boundary_order UNORDERED (safe)
+                    (5, _CT_LIST, (_CT_I64,
+                                   [p["stats"]["null_count"] for p in pages])),
+                ]
+            )
+            c["ci_off"], c["ci_len"] = len(out), len(ci)
+            out += ci
+    for col_meta, _ in rowgroups:
+        for c in col_meta:
+            oi = _tstruct(
+                [
+                    (
+                        1,
+                        _CT_LIST,
+                        (
+                            _CT_STRUCT,
+                            [
+                                [
+                                    (1, _CT_I64, p["offset"]),
+                                    (2, _CT_I32, p["comp_size"]),
+                                    (3, _CT_I64, p["first_row"]),
+                                ]
+                                for p in c["pages"]
+                            ],
+                        ),
+                    )
+                ]
+            )
+            c["oi_off"], c["oi_len"] = len(out), len(oi)
+            out += oi
+
     rg_structs = []
     for col_meta, rg_rows in rowgroups:
         chunks = []
@@ -830,7 +955,13 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             if c["dict_off"] is not None:
                 meta.append((11, _CT_I64, c["dict_off"]))
             meta.append((12, _CT_STRUCT, _stats_struct(c["stats"])))
-            chunks.append([(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)])
+            chunk = [(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)]
+            chunk.append((4, _CT_I64, c["oi_off"]))
+            chunk.append((5, _CT_I32, c["oi_len"]))
+            if c["ci_off"] is not None:
+                chunk.append((6, _CT_I64, c["ci_off"]))
+                chunk.append((7, _CT_I32, c["ci_len"]))
+            chunks.append(chunk)
         rg_structs.append(
             [
                 (1, _CT_LIST, (_CT_STRUCT, chunks)),

@@ -1,0 +1,166 @@
+"""PageIndex (ColumnIndex/OffsetIndex) on engine-written parquet files —
+the page-stats feature the reference leaves as TODO (src/column/writer.rs:
+356,480-481): multi-page column chunks, per-page min/max/null_count, and
+a page-pruned read that decodes only index-selected pages."""
+
+import numpy as np
+import pytest
+
+from engine import parquet_compat as pc
+from engine import parquet_out as po
+
+
+def _write(tmp_path, version, codec="snappy", page_rows=1000, n=10000):
+    vals = np.arange(n, dtype=np.int64)
+    strs = po.flat_strings([f"doc-{i:06d}" for i in range(n)])
+    path = str(tmp_path / f"pidx_v{version}.parquet")
+    po.write_table(
+        path,
+        [
+            ("x", "int64", "DELTA_BINARY_PACKED", vals, None),
+            ("s", "utf8", "PLAIN_DICTIONARY", strs, None),
+        ],
+        codec=codec,
+        page_size_rows=page_rows,
+        data_page_version=version,
+    )
+    return path
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_pyarrow_sees_page_index(tmp_path, version):
+    """Structural: an independent reader parses both index structures and
+    still reads every value (multi-page chunks, shared dict page)."""
+    import pyarrow.parquet as pq
+
+    path = _write(tmp_path, version)
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    for i in range(md.num_columns):
+        assert md.column(i).has_column_index
+        assert md.column(i).has_offset_index
+    t = pq.read_table(path)
+    assert t.column("x").to_pylist() == list(range(10000))
+    assert t.column("s").to_pylist()[-1] == "doc-009999"
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_page_skip_on_range_predicate(tmp_path, version):
+    """Behavioral: a narrow range predicate decodes exactly one of ten
+    pages — skipped pages' bytes never leave storage — and the surviving
+    values are exact. Exercises int (delta) and string (dict) chunks."""
+    path = _write(tmp_path, version)
+    info = pc.read_file_info(path)
+    colx = next(c for c in info.columns if c.path == "x")
+    got, defs, nread, ntot = pc.read_column_pruned_pages(path, colx, 5000, 5009)
+    assert (nread, ntot) == (1, 10)
+    assert got.tolist() == list(range(5000, 6000))  # the containing page
+    cols = next(c for c in info.columns if c.path == "s")
+    gs, _, nr, nt = pc.read_column_pruned_pages(
+        path, cols, b"doc-002000", b"doc-002999"
+    )
+    assert (nr, nt) == (1, 10)
+    lens, data = gs
+    assert len(lens) == 1000
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    first = bytes(np.frombuffer(data, np.uint8)[offs[0] : offs[1]])
+    assert first == b"doc-002000"
+
+
+def test_index_on_default_single_page(tmp_path):
+    """page_size_rows unset -> one page per chunk; the index is still
+    written (one entry) so readers can always rely on it."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "single.parquet")
+    po.write_table(
+        path,
+        [("x", "int64", "PLAIN", np.arange(100, dtype=np.int64), None)],
+    )
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert md.has_column_index and md.has_offset_index
+    info = pc.read_file_info(path)
+    locs, ci = pc.read_page_index(path, info.columns[0])
+    assert len(locs) == 1 and ci["null_counts"] == [0]
+
+
+def test_nan_pages_skip_column_index_keep_offset_index(tmp_path):
+    """A float chunk with a NaN-containing page has no sound min/max —
+    the ColumnIndex is omitted (a wrong bound would corrupt pruning)
+    while the OffsetIndex stays, and pruning fails clean."""
+    vals = np.arange(2000, dtype=np.float64)
+    vals[1500] = np.nan
+    path = str(tmp_path / "nan.parquet")
+    po.write_table(
+        path,
+        [("f", "float64", "PLAIN", vals, None)],
+        page_size_rows=500,
+    )
+    info = pc.read_file_info(path)
+    col = info.columns[0]
+    locs, ci = pc.read_page_index(path, col)
+    assert len(locs) == 4 and ci is None
+    with pytest.raises(ValueError, match="no ColumnIndex"):
+        pc.read_column_pruned_pages(path, col, 0.0, 1.0)
+
+
+def test_multi_row_group_page_index(tmp_path):
+    """Indexes per (row group x column): offsets point into the right
+    group's pages and pruning works inside a later group."""
+    vals = np.arange(8000, dtype=np.int64)
+    path = str(tmp_path / "rg.parquet")
+    po.write_table(
+        path,
+        [("x", "int64", "PLAIN", vals, None)],
+        row_group_size=4000,
+        page_size_rows=1000,
+    )
+    info = pc.read_file_info(path)
+    assert len(info.columns) == 2  # one entry per group
+    got, _, nread, ntot = pc.read_column_pruned_pages(
+        path, info.columns[1], 6500, 6501
+    )
+    assert (nread, ntot) == (1, 4)
+    assert 6500 in got.tolist() and 6501 in got.tolist()
+
+
+def test_nullable_page_null_counts(tmp_path):
+    """Per-page null_count lands in the ColumnIndex; an all-null page is
+    marked null_pages[i]=True and never selected."""
+    n = 3000
+    vals = np.arange(n, dtype=np.int64)
+    valid = np.ones(n, bool)
+    valid[1000:2000] = False  # middle page all-null
+    path = str(tmp_path / "nulls.parquet")
+    po.write_table(
+        path,
+        [("x", "int64", "PLAIN", vals, valid)],
+        page_size_rows=1000,
+    )
+    info = pc.read_file_info(path)
+    locs, ci = pc.read_page_index(path, info.columns[0])
+    assert ci["null_pages"] == [False, True, False]
+    assert ci["null_counts"] == [0, 1000, 0]
+    got, defs, nread, ntot = pc.read_column_pruned_pages(
+        path, info.columns[0], 500, 2500
+    )
+    assert (nread, ntot) == (2, 3)  # the all-null page is skipped
+    assert 500 in got.tolist() and 2500 in got.tolist()
+
+
+def test_list_column_page_index(tmp_path):
+    """Repeated columns get per-page element stats too; pruning on the
+    leaf range selects only intersecting pages."""
+    counts = np.full(1000, 4, np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    dense = np.repeat(np.arange(1000, dtype=np.int64), 4)
+    path = str(tmp_path / "lists.parquet")
+    po.write_table(
+        path,
+        [("v", "list<int64>", "PLAIN", (offsets, dense, None), None)],
+        page_size_rows=250,
+    )
+    info = pc.read_file_info(path)
+    col = info.columns[0]
+    got, defs, nread, ntot = pc.read_column_pruned_pages(path, col, 300, 310)
+    assert (nread, ntot) == (1, 4)
+    assert set(range(300, 311)).issubset(set(got.tolist()))
