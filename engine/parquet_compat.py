@@ -358,6 +358,21 @@ def _bit_width(maxval: int) -> int:
     return int(maxval).bit_length()
 
 
+def _unpack_msb(buf: np.ndarray, width: int, n: int) -> np.ndarray:
+    """Deprecated BIT_PACKED level encoding: values packed MSB-FIRST with
+    no run headers (parquet.thrift Encoding.BIT_PACKED; the reference
+    reads it in src/encodings/levels.rs:57,76-80) — the bit order is the
+    OPPOSITE of the RLE-hybrid's bit-packed runs, which is why this has
+    its own kernel instead of reusing codecs/bitpack."""
+    nbytes = (n * width + 7) // 8
+    if len(buf) < nbytes:
+        raise ValueError("BIT_PACKED level run shorter than declared")
+    bits = np.unpackbits(np.ascontiguousarray(buf[:nbytes], np.uint8))
+    bits = bits[: n * width].reshape(n, width)
+    weights = (np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
 def _decode_values(enc: str, payload: np.ndarray, nvals: int, col: ColumnInfo,
                    dictionary):
     """Decode ``nvals`` leaf values from one data page's value section using
@@ -523,26 +538,32 @@ def read_column_with_levels(path: str, col: ColumnInfo,
             )
             off = 0
             # v1 level order: repetition levels first, then definition
-            # levels, each a 4-byte-length-prefixed RLE hybrid
-            if col.max_rep:
-                if dh.get(4, 3) != 3:
-                    raise ValueError(
-                        f"{col.path}: BIT_PACKED v1 rep levels unsupported"
+            # levels — RLE hybrid with a 4-byte length prefix, or the
+            # deprecated BIT_PACKED form (MSB-first, no prefix, length
+            # computable from nlevels x width)
+            def _v1_levels(buf, enc_id, max_level):
+                width = _bit_width(max_level)
+                if enc_id == 3:  # RLE
+                    return rle.decode_len_prefixed(buf, width, nlevels)
+                if enc_id == 4:  # BIT_PACKED (deprecated)
+                    return (
+                        _unpack_msb(buf, width, nlevels),
+                        (nlevels * width + 7) // 8,
                     )
-                reps, consumed = rle.decode_len_prefixed(
-                    payload, _bit_width(col.max_rep), nlevels
+                raise ValueError(
+                    f"{col.path}: unsupported v1 level encoding {enc_id}"
+                )
+
+            if col.max_rep:
+                reps, consumed = _v1_levels(
+                    payload, dh.get(4, 3), col.max_rep
                 )
                 off += consumed
             else:
                 reps = np.zeros(nlevels, np.uint64)
             if col.max_def:
-                dlenc = dh.get(3, 3)
-                if dlenc != 3:  # definition_level_encoding must be RLE
-                    raise ValueError(
-                        f"{col.path}: BIT_PACKED v1 levels unsupported"
-                    )
-                defs, consumed = rle.decode_len_prefixed(
-                    payload[off:], _bit_width(col.max_def), nlevels
+                defs, consumed = _v1_levels(
+                    payload[off:], dh.get(3, 3), col.max_def
                 )
                 off += consumed
             else:

@@ -309,3 +309,70 @@ def test_spark_distributed_multi_file_read(spark):
     rows = df.collect()
     assert len(rows) == 10  # 8 + 2
     assert {r["id"] for r in rows} == set(range(8))  # snappy twin has ids 0,1
+
+
+def test_bit_packed_v1_levels_decode():
+    """Deprecated BIT_PACKED level encoding (MSB-first, no length prefix —
+    parquet.thrift Encoding.BIT_PACKED; reference LevelDecoder
+    src/encodings/levels.rs:57,76-80): a hand-built v1 page per the spec
+    text, since no modern writer emits it. Def levels 1,0,1,1,0,1,1,1,0,1
+    at width 1 pack MSB-first into 0b10110111 0b01000000."""
+    import struct as _struct
+
+    from engine import parquet_out as po
+
+    defs = [1, 0, 1, 1, 0, 1, 1, 1, 0, 1]
+    packed = bytes([0b10110111, 0b01000000])
+    dense = np.arange(7, dtype=np.int32)  # seven present values
+    values = dense.tobytes()
+    body = packed + values
+    hdr = po._tstruct(
+        [
+            (1, po._CT_I32, 0),  # DATA_PAGE
+            (2, po._CT_I32, len(body)),
+            (3, po._CT_I32, len(body)),
+            (
+                5,
+                po._CT_STRUCT,
+                [
+                    (1, po._CT_I32, len(defs)),
+                    (2, po._CT_I32, 0),  # PLAIN
+                    (3, po._CT_I32, 4),  # definition levels BIT_PACKED
+                    (4, po._CT_I32, 3),  # repetition levels RLE (absent)
+                ],
+            ),
+        ]
+    )
+    chunk = hdr + body
+    col = pc.ColumnInfo(
+        path="x", phys="int32", type_length=0, max_def=1, max_rep=0,
+        encodings=[], codec=None, num_values=len(defs), start_offset=0,
+        total_compressed=len(chunk),
+    )
+    vals, got_defs, reps = pc.read_column_with_levels(
+        "<synthetic>", col, chunk=chunk
+    )
+    assert got_defs.tolist() == defs
+    assert vals.tolist() == list(range(7))
+    # unknown level encoding still fails clean
+    bad_hdr = po._tstruct(
+        [
+            (1, po._CT_I32, 0),
+            (2, po._CT_I32, len(body)),
+            (3, po._CT_I32, len(body)),
+            (
+                5,
+                po._CT_STRUCT,
+                [
+                    (1, po._CT_I32, len(defs)),
+                    (2, po._CT_I32, 0),
+                    (3, po._CT_I32, 9),  # bogus level encoding
+                    (4, po._CT_I32, 3),
+                ],
+            ),
+        ]
+    )
+    with pytest.raises(ValueError, match="level encoding"):
+        pc.read_column_with_levels(
+            "<synthetic>", col, chunk=bad_hdr + body
+        )
