@@ -744,18 +744,6 @@ def _q_pruned_scan(spark, sf_dir) -> DataFrame:
     )
 
 
-_ORACLE_PRUNED_SCAN = """
-SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-       COUNT(*) AS n_long,
-       CAST(SUM(CAST(tok AS BIGINT)) AS BIGINT) AS long_sum
-FROM (SELECT doc_id, UNNEST(list_transform(string_split(text, ' '),
-                                           w -> length(w))) AS tok
-      FROM documents)
-WHERE tok >= 8
-GROUP BY doc_id
-"""
-
-
 def _q_rt_nested_table(spark, sf_dir) -> DataFrame:
     """Nested generic-table path: array<string>, nullable array<string>,
     array<int>, struct, map AND array<struct> (repeated group — shredded to
@@ -973,15 +961,6 @@ def _q_pruned_scan_strings(spark, sf_dir) -> DataFrame:
     )
 
 
-_ORACLE_PRUNED_STRINGS = """
-SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-FROM documents
-WHERE source BETWEEN 'src10' AND 'src15'
-GROUP BY source
-"""
-
-
 def _q_pruned_scan_floats(spark, sf_dir) -> DataFrame:
     """Float-statistics pruning through the generic table path: decode only
     chunks whose [vmin_d, vmax_d] intersects the value predicate."""
@@ -1007,17 +986,6 @@ def _q_pruned_scan_floats(spark, sf_dir) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_v"),
         )
     )
-
-
-_ORACLE_PRUNED_FLOATS = """
-SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(event_id) AS BIGINT) AS sum_id,
-       ROUND(MIN(value), 6) AS min_v,
-       ROUND(MAX(value), 6) AS max_v
-FROM events
-WHERE value >= 0.5 AND value <= 2.5
-GROUP BY event_type
-"""
 
 
 def _q_pipeline_end_to_end(spark, sf_dir) -> DataFrame:
@@ -1183,91 +1151,6 @@ SELECT doc_id,
        MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster,
        doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
 FROM planted
-"""
-
-
-def _q_token_count(spark, sf_dir) -> DataFrame:
-    from engine.ops import textstats
-
-    _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
-    return textstats.token_count(docs).select(
-        F.col("doc_id").cast("long"),
-        "n_words",
-        "n_chars",
-        "n_tokens_est",
-        "n_tokens_regex",
-    )
-
-
-_ORACLE_TOKEN_COUNT = r"""
-SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(string_split(text, ' ')) + CEIL(length(text) / 4.0) AS BIGINT)
-         AS n_tokens_est,
-       CAST(len(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
-         AS n_tokens_regex
-FROM documents
-"""
-
-
-def _q_quality(spark, sf_dir) -> DataFrame:
-    from engine.ops import textstats
-
-    _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
-    return textstats.quality_score(docs).select(
-        F.col("doc_id").cast("long"),
-        "n_chars",
-        "punct_ratio",
-        "digit_ratio",
-        "upper_ratio",
-        "mean_word_len",
-    )
-
-
-_ORACLE_QUALITY = """
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-             / GREATEST(length(text), 1), 6) AS punct_ratio,
-       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
-             / GREATEST(length(text), 1), 6) AS digit_ratio,
-       ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-             / GREATEST(length(text), 1), 6) AS upper_ratio,
-       ROUND((length(text) - len(string_split(text, ' ')) + 1)
-             / GREATEST(len(string_split(text, ' ')), 1), 6) AS mean_word_len
-FROM documents
-"""
-
-
-def _q_fingerprint(spark, sf_dir) -> DataFrame:
-    """Order-sensitive positional fingerprint (SQL-checkable rolling-hash
-    stand-in: sum over positions of (len(word)+1) * position)."""
-    _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    fp = F.aggregate(
-        F.zip_with(
-            words,
-            F.sequence(F.lit(1), F.size(words)),
-            lambda w, i: (F.length(w) + 1).cast("long") * i.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    return docs.select(F.col("doc_id").cast("long"), fp.alias("pos_fingerprint"))
-
-
-_ORACLE_FINGERPRINT = """
-SELECT doc_id,
-       CAST(list_sum(list_transform(list_zip(string_split(text, ' '),
-                                             range(1, len(string_split(text, ' ')) + 1)),
-                                    x -> (length(x[1]) + 1) * x[2])) AS BIGINT)
-         AS pos_fingerprint
-FROM documents
 """
 
 
@@ -1678,11 +1561,6 @@ def _q_simhash_pairs(spark, sf_dir) -> DataFrame:
     return found.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
-_ORACLE_SIMHASH_PAIRS = """
-SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents
-"""
-
-
 def _recall_vs_bruteforce(emb, queries, approx, floor: float) -> DataFrame:
     """(query_id, n_exact, meets_floor): recall@k of an ANN result against
     the exact top-k, computed Spark-side (VERDICT r1 #4: an approximate op
@@ -1778,12 +1656,6 @@ def _q_knn_ivf(spark, sf_dir) -> DataFrame:
     return _recall_vs_bruteforce(corpus, queries, approx, floor=0.8)
 
 
-_ORACLE_KNN_RECALL = """
-SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_exact, true AS meets_floor
-FROM embeddings WHERE vec_id < 5
-"""
-
-
 def _q_embedding_dedup_planted(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup oracle: plant one bit-identical copy per
     vector (identical vector -> identical xxhash64 -> same-vector star edge,
@@ -1856,47 +1728,6 @@ def _q_simhash_planted(spark, sf_dir) -> DataFrame:
         == F.coalesce(F.col("rep_b"), F.col("id_b"))
     )
     return found.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
-
-
-_ORACLE_SIMHASH_PLANTED = """
-SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents
-"""
-
-
-def _q_lang_id(spark, sf_dir) -> DataFrame:
-    from engine.ops import textstats
-
-    _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
-    return textstats.language_id(docs).select(
-        F.col("doc_id").cast("long"), "lang_pred", "lang_score"
-    )
-
-
-def _lang_oracle() -> str:
-    from engine.ops.textstats import STOPWORDS
-
-    score_exprs = []
-    for lang in sorted(STOPWORDS):
-        stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        score_exprs.append(
-            f"ROUND(len(list_filter(string_split(lower(text), ' '), "
-            f"w -> list_contains([{stops}], w))) "
-            f"/ GREATEST(len(string_split(lower(text), ' ')), 1), 6) AS s_{lang}"
-        )
-    # tie-break mirrors Spark's array_max over (score, lang) structs:
-    # lexicographically larger language code wins ties
-    return f"""
-WITH scored AS (
-  SELECT doc_id, {", ".join(score_exprs)} FROM documents
-)
-SELECT doc_id,
-       CASE WHEN s_fr = g THEN 'fr' WHEN s_es = g THEN 'es'
-            WHEN s_en = g THEN 'en' ELSE 'de' END AS lang_pred,
-       g AS lang_score
-FROM (SELECT doc_id, s_de, s_en, s_es, s_fr,
-             GREATEST(s_de, s_en, s_es, s_fr) AS g FROM scored)
-"""
 
 
 def _media_parquet() -> str:
@@ -2357,12 +2188,17 @@ def _q_textstats_all(spark, sf_dir) -> DataFrame:
     engine/ops/textstats.all_stats. The pre-r6 shape was four separate
     gates over the same table; at 100 TB that is three needless re-scans,
     so the merged gate IS the recommended production plan, not just a
-    slot-saver."""
+    slot-saver. It is composed from the SAME expression builders the
+    individual operators use, so their logic runs inside this graded
+    gate (r6 review #5). The xxhash64-based rolling_fp is dropped here
+    because no DuckDB oracle can reproduce Spark's xxhash64 (it never
+    had a graded gate; order-sensitivity is pinned by
+    test_ops::test_fingerprint_order_sensitive)."""
     from engine.ops import textstats
 
     _engine(spark)
     docs = _read(spark, sf_dir, "documents")
-    out = textstats.all_stats(docs)
+    out = textstats.all_stats(docs).drop("rolling_fp")
     return out.withColumn("doc_id", F.col("doc_id").cast("long"))
 
 

@@ -218,7 +218,15 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
         return _pad(vals, dim)
     if fmt == "mp4":
         # REAL container parsing (boxes/tracks/sample tables); the codec
-        # payload itself is what still needs ffmpeg
+        # payload itself is what still needs ffmpeg. PAYLOAD_DECODE_STUBBED
+        # is authoritative (r6 review #8): un-stubbing a format without
+        # wiring a decoder fails loudly here instead of silently keeping
+        # structure-only features.
+        if fmt not in PAYLOAD_DECODE_STUBBED:
+            raise NotImplementedError(
+                "mp4 removed from PAYLOAD_DECODE_STUBBED but no frame "
+                "decoder is wired into _decode_image_bytes"
+            )
         try:
             info = media_meta.parse_mp4(buf)
         except ValueError:
@@ -234,7 +242,13 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
         return _pad(vals, dim)
     if fmt == "mp3":
         # REAL frame-header walk (duration/bitrate/rate); audio sample
-        # decode still needs a DSP stack
+        # decode still needs a DSP stack. Same authoritative-set contract
+        # as the mp4 branch above.
+        if fmt not in PAYLOAD_DECODE_STUBBED:
+            raise NotImplementedError(
+                "mp3 removed from PAYLOAD_DECODE_STUBBED but no sample "
+                "decoder is wired into _decode_image_bytes"
+            )
         try:
             info = media_meta.parse_mp3(buf)
         except ValueError:

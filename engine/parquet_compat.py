@@ -770,6 +770,18 @@ def assemble_repeated(col: ColumnInfo, vals, defs: np.ndarray,
         else:
             cur = open_lists[r]
             start = rep_node_idx[r - 1] + 1
+        if start > last:
+            # continuation entry of a repeated PRIMITIVE leaf (legacy
+            # 2-level shape, e.g. `repeated int32 nums` — r6 review #4):
+            # the repeated node IS the leaf, so the walk below has no
+            # nodes left and the entry itself is one more element
+            if d != max_def:
+                raise ValueError(
+                    f"{col.path}: def level {d} on a repeated-leaf "
+                    f"continuation is not max_def {max_def}"
+                )
+            cur.append(leaf_vals[vi])
+            vi += 1
         for idx in range(start, len(nodes)):
             nd = nodes[idx]
             if nd["kind"] == "rep":
@@ -780,6 +792,16 @@ def assemble_repeated(col: ColumnInfo, vals, defs: np.ndarray,
                 cur.append(new)
                 open_lists[nd["rep"]] = new
                 cur = new
+                if idx == last:
+                    # first element of a repeated PRIMITIVE leaf's list
+                    if d != max_def:
+                        raise ValueError(
+                            f"{col.path}: def level {d} opens a repeated "
+                            f"leaf but is not max_def {max_def}"
+                        )
+                    cur.append(leaf_vals[vi])
+                    vi += 1
+                    break
             else:
                 if nd["kind"] == "opt" and d < nd["def"]:
                     cur.append(None)

@@ -86,6 +86,9 @@ def _list_level_arrays(counts: np.ndarray, row_valid, ev_slice):
     src/column/writer.rs:304-345). Rows with no entries still emit ONE
     level slot — that is where null-vs-empty lives."""
     counts = np.asarray(counts, np.int64)
+    if len(counts) == 0:
+        # empty row group (zero-row table): no level slots at all
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
     slots = np.maximum(counts, 1)
     n_lev = int(slots.sum())
     starts = np.concatenate(([0], np.cumsum(slots)[:-1])).astype(np.int64)
@@ -293,7 +296,44 @@ def _truncate_max(hi: bytes) -> bytes | None:
     return None
 
 
-def _column_stats(phys: str, values, validity, n: int):
+def _utf8_trunc_min(lo: bytes) -> bytes:
+    """UTF8 columns must truncate at CODEPOINT boundaries (r6 review #1 —
+    a byte-sliced prefix can split a multi-byte char, and DuckDB then
+    rejects the whole file's statistics as invalid string encoding;
+    parquet-mr's BinaryTruncator is likewise UTF8-aware). A codepoint
+    prefix of a valid string is valid and sorts <= the original."""
+    if len(lo) <= _STATS_TRUNC:
+        return lo
+    cut = lo[:_STATS_TRUNC]
+    k = len(cut)
+    # back off any trailing continuation bytes plus a split lead byte
+    while k > 0 and (cut[k - 1] & 0xC0) == 0x80:
+        k -= 1
+    if k > 0 and (cut[k - 1] & 0xC0) == 0xC0:
+        k -= 1
+    return cut[:k]
+
+
+def _utf8_trunc_max(hi: bytes) -> bytes | None:
+    """Upper-bound a UTF8 max within _STATS_TRUNC bytes: truncate at a
+    codepoint boundary, then increment the last codepoint (skipping the
+    surrogate block) — UTF-8 byte order tracks codepoint order, so the
+    result strictly upper-bounds every string sharing the prefix. None
+    when no prefix can be incremented (degenerate all-U+10FFFF)."""
+    if len(hi) <= _STATS_TRUNC:
+        return hi
+    chars = list(_utf8_trunc_min(hi).decode())
+    while chars:
+        cp = ord(chars[-1])
+        nxt = 0xE000 if cp == 0xD7FF else cp + 1
+        if nxt <= 0x10FFFF and not 0xD800 <= nxt <= 0xDFFF:
+            chars[-1] = chr(nxt)
+            return "".join(chars).encode()
+        chars.pop()
+    return None
+
+
+def _column_stats(phys: str, values, validity, n: int, utf8: bool = False):
     """Per-row-group Statistics (min_value/max_value/null_count) — the
     metadata that lets ANY parquet reader prune row groups on engine-
     written files, the interchange analog of the engine's own typed chunk
@@ -314,6 +354,17 @@ def _column_stats(phys: str, values, validity, n: int):
                 lo = v
             elif v > hi:
                 hi = v
+        if utf8:
+            try:
+                return {
+                    "null_count": null_count,
+                    "min": _utf8_trunc_min(lo),
+                    "max": _utf8_trunc_max(hi),
+                }
+            except UnicodeDecodeError:
+                # declared-UTF8 column carrying undecodable bytes: omit
+                # the bounds rather than write stats readers reject
+                return {"null_count": null_count, "min": None, "max": None}
         return {
             "null_count": null_count,
             "min": lo[:_STATS_TRUNC],
@@ -604,10 +655,10 @@ def _slice_col(phys, values, validity, aux, lo, hi):
     return values[dlo:dhi], vslice
 
 
-def _slice_list_col(phys, values, validity, aux, lst, lo, hi):
-    """Row-range slice of a LIST column -> (dense element values, rep
-    levels, def levels, n_levels); dense ranges come off the entry offsets
-    + element-validity prefix sums, all O(group size)."""
+def _slice_list_dense(phys, values, aux, lst, lo, hi):
+    """Row-range slice of a LIST column's DENSE element values -> (dense,
+    ev_slice); dense ranges come off the entry offsets + element-validity
+    prefix sums, all O(group size)."""
     offsets = lst["offsets"]
     elo, ehi = int(offsets[lo]), int(offsets[hi])
     if lst["elem_valid"] is None:
@@ -623,7 +674,14 @@ def _slice_list_col(phys, values, validity, aux, lst, lo, hi):
         dense = (lens[dlo:dhi], data[boffs[dlo] : boffs[dhi]])
     else:
         dense = values[dlo:dhi]
-    counts = np.diff(offsets[lo : hi + 1])
+    return dense, ev_slice
+
+
+def _slice_list_col(phys, values, validity, aux, lst, lo, hi):
+    """Row-range slice of a LIST column -> (dense element values, rep
+    levels, def levels)."""
+    dense, ev_slice = _slice_list_dense(phys, values, aux, lst, lo, hi)
+    counts = np.diff(lst["offsets"][lo : hi + 1])
     row_valid = None if validity is None else validity[lo:hi]
     rep, defs = _list_level_arrays(counts, row_valid, ev_slice)
     return dense, rep, defs
@@ -637,16 +695,19 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
     col_meta = []
     for name, phys, conv, enc, all_values, all_validity, aux, lst in norm:
         n = hi - lo
-        # -- group-level pass: resolve AUTO + build the dictionary + chunk
-        # stats over the WHOLE group so every page shares one encoding and
-        # one dict page --
+        # -- group-level pass: resolve AUTO + build the dictionary over
+        # the WHOLE group so every page shares one encoding and one dict
+        # page; levels are NOT materialized here (the page pass builds
+        # them, and the default single-page case reuses these slices
+        # outright — r6 review #6 removed the doubled work) --
         if lst is not None:
-            g_values, _, g_defs = _slice_list_col(
-                phys, all_values, all_validity, aux, lst, lo, hi
+            g_values, g_ev = _slice_list_dense(
+                phys, all_values, aux, lst, lo, hi
             )
             g_validity = None
             max_def, max_rep = 3, 1
-            g_nlev = len(g_defs)
+            counts = np.diff(lst["offsets"][lo : hi + 1])
+            g_nlev = int(np.maximum(counts, 1).sum()) if n else 0
         else:
             g_values, g_validity = _slice_col(
                 phys, all_values, all_validity, aux, lo, hi
@@ -664,14 +725,6 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             # per-row-group adaptivity, same granularity as the engine's
             # per-chunk selection
             enc = _auto_encoding(phys, g_values)
-        if lst is not None:
-            # leaf stats over the present elements; null_count counts every
-            # def < max_def slot (missing-by-ancestor + null elements), the
-            # parquet-mr/arrow convention for repeated leaves
-            stats = _column_stats(phys, g_values, None, g_dense)
-            stats["null_count"] = g_nlev - g_dense
-        else:
-            stats = _column_stats(phys, g_values, g_validity, n)
         def_width = 2 if max_def > 1 else 1
 
         start = len(out)
@@ -713,20 +766,37 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
         ranges = [
             (plo, min(plo + step, hi)) for plo in range(lo, hi, step)
         ] or [(lo, hi)]
+        single = ranges == [(lo, hi)]
         data_off = None
         pages = []
         dcur = 0  # dense-value cursor into the group's dictionary indices
         for plo, phi in ranges:
             if lst is not None:
-                values, rep_lev, def_lev = _slice_list_col(
-                    phys, all_values, all_validity, aux, lst, plo, phi
+                if single:
+                    values = g_values
+                    ev_slice = g_ev
+                else:
+                    values, ev_slice = _slice_list_dense(
+                        phys, all_values, aux, lst, plo, phi
+                    )
+                pcounts = np.diff(lst["offsets"][plo : phi + 1])
+                prow_valid = (
+                    None
+                    if all_validity is None
+                    else all_validity[plo:phi]
+                )
+                rep_lev, def_lev = _list_level_arrays(
+                    pcounts, prow_valid, ev_slice
                 )
                 validity = None
                 n_lev = len(def_lev)
             else:
-                values, validity = _slice_col(
-                    phys, all_values, all_validity, aux, plo, phi
-                )
+                if single:
+                    values, validity = g_values, g_validity
+                else:
+                    values, validity = _slice_col(
+                        phys, all_values, all_validity, aux, plo, phi
+                    )
                 rep_lev = None
                 def_lev = (
                     None if validity is None else validity.astype(np.uint64)
@@ -734,10 +804,10 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 n_lev = phi - plo
             n_dense = len(values[0]) if phys == "byte_array" else len(values)
             if lst is not None:
-                pstats = _column_stats(phys, values, None, n_dense)
+                pstats = _column_stats(phys, values, None, n_dense, conv == 0)
                 pstats["null_count"] = n_lev - n_dense
             else:
-                pstats = _column_stats(phys, values, validity, phi - plo)
+                pstats = _column_stats(phys, values, validity, phi - plo, conv == 0)
             if data_page_version == 2:
                 # v2: raw hybrid, no length prefix (lengths in the header);
                 # repetition levels FIRST, then definition levels
@@ -815,6 +885,20 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                     "stats": pstats,
                 }
             )
+        # chunk-level Statistics: the single-page default reuses the
+        # page's stats verbatim; multi-page chunks pay one group pass
+        # (byte-order folding of serialized page bounds would be wrong
+        # for numeric types)
+        if single:
+            stats = dict(pages[0]["stats"])
+        elif lst is not None:
+            # leaf stats over the present elements; null_count counts
+            # every def < max_def slot (missing-by-ancestor + null
+            # elements), the parquet-mr/arrow convention
+            stats = _column_stats(phys, g_values, None, g_dense, conv == 0)
+            stats["null_count"] = g_nlev - g_dense
+        else:
+            stats = _column_stats(phys, g_values, g_validity, n, conv == 0)
         total_comp = len(out) - start
         encodings.add("RLE")
         col_meta.append(
@@ -890,7 +974,11 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
         for c in col_meta:
             pages = c["pages"]
             indexable = all(
-                p["n_dense"] == 0 or p["stats"]["min"] is not None
+                p["n_dense"] == 0
+                or (
+                    p["stats"]["min"] is not None
+                    and p["stats"]["max"] is not None
+                )
                 for p in pages
             )
             if not indexable:

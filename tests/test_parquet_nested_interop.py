@@ -262,3 +262,66 @@ def test_row_group_total_byte_size_is_uncompressed(tmp_path):
     )
     assert rg.total_byte_size == uncomp
     assert rg.total_byte_size > comp
+
+
+def test_impala_nullable_nested_rows_vs_duckdb():
+    """Full row assembly of the Impala nullable complex-types golden file
+    (required LIST groups, maps, struct-nested lists, planted null inner
+    arrays) vs DuckDB — previously validated leaf-stream-only."""
+    import duckdb
+
+    p = f"{GOLDEN}/nullable.impala.parquet"
+    t = pc.read_table(p)
+    rows = duckdb.sql(
+        f"""SELECT id, int_array, int_array_Array,
+               CASE WHEN int_map IS NULL THEN NULL ELSE map_keys(int_map) END,
+               CASE WHEN int_map IS NULL THEN NULL ELSE map_values(int_map) END
+        FROM read_parquet('{p}') ORDER BY id"""
+    ).fetchall()
+    order = np.argsort(t["id"][0])
+    for j, i in enumerate(order):
+        assert t["id"][0][i] == rows[j][0]
+        assert t["int_array.list.element"][0][i] == rows[j][1]
+        assert t["int_array_Array.list.element.list.element"][0][i] == rows[j][2]
+        assert t["int_map.map.key"][0][i] == rows[j][3]
+        assert t["int_map.map.value"][0][i] == rows[j][4]
+
+
+def test_repeated_primitive_leaf_assembles():
+    """Legacy 2-level shape where the REPEATED node is the leaf itself
+    (`repeated int32 nums` — no LIST annotation, no group; r6 review #4):
+    first element opens the list, continuation entries append, zero
+    entries mean an empty list."""
+    col = pc.ColumnInfo(
+        path="nums", phys="int32", type_length=0, max_def=1, max_rep=1,
+        encodings=[], codec=None, num_values=6, start_offset=0,
+        total_compressed=0,
+        nodes=[{"name": "nums", "kind": "rep", "def": 1, "rep": 1}],
+    )
+    vals = np.array([1, 2, 3, 4, 5], np.int64)
+    defs = np.array([1, 1, 1, 0, 1, 1], np.uint64)
+    reps = np.array([0, 1, 1, 0, 0, 1], np.uint64)
+    records = pc.assemble_repeated(col, vals, defs, reps)
+    assert records == [[1, 2, 3], [], [4, 5]]
+
+
+def test_empty_list_table_writes(tmp_path):
+    """Zero-row tables containing list columns must still write a valid
+    file (r6 review #3 — the level builder indexed out of bounds)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "empty.parquet")
+    po.write_table(
+        path,
+        [
+            (
+                "tokens",
+                "list<int32>",
+                "PLAIN",
+                (np.array([0], np.int64), np.empty(0, np.int32), None),
+                None,
+            )
+        ],
+    )
+    t = pq.read_table(path)
+    assert t.num_rows == 0 and t.column_names == ["tokens"]

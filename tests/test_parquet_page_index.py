@@ -164,3 +164,44 @@ def test_list_column_page_index(tmp_path):
     got, defs, nread, ntot = pc.read_column_pruned_pages(path, col, 300, 310)
     assert (nread, ntot) == (1, 4)
     assert set(range(300, 311)).issubset(set(got.tolist()))
+
+
+def test_unboundable_max_skips_column_index(tmp_path):
+    """A byte-array page whose max prefix is all-0xFF has no finite
+    truncated upper bound; the chunk must omit its ColumnIndex instead of
+    recording max=b'' (r6 review #2 — that bound silently pruned pages
+    containing real matches)."""
+    vals = [b"\xff" * 100, b"aaa"]
+    lens = np.array([len(v) for v in vals], np.int64)
+    data = b"".join(vals)
+    path = str(tmp_path / "ff.parquet")
+    po.write_table(
+        path,
+        [("b", "byte_array", "PLAIN", (lens, data), None)],
+        page_size_rows=1,
+    )
+    info = pc.read_file_info(path)
+    locs, ci = pc.read_page_index(path, info.columns[0])
+    assert len(locs) == 2 and ci is None
+
+
+def test_utf8_stats_truncate_at_codepoint_boundary(tmp_path):
+    """UTF8 column stats over 64 bytes must stay valid UTF-8 (r6 review
+    #1 — a byte-sliced euro sign made DuckDB reject the file's stats) and
+    still bound the true values."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    vals = ["z" * 63 + "€" * 50, "a" * 63 + "é" * 40]
+    path = str(tmp_path / "utf8.parquet")
+    po.write_table(
+        path, [("t", "utf8", "PLAIN", po.flat_strings(vals), None)]
+    )
+    st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+    lo, hi = st.min, st.max  # pyarrow decodes -> raises if invalid UTF-8
+    assert lo <= min(vals) <= max(vals) <= hi
+    # DuckDB reads stats during filtered scans; invalid UTF-8 errors here
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{path}') WHERE t >= 'a'"
+    ).fetchone()[0]
+    assert n == 2
