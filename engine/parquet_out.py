@@ -677,16 +677,6 @@ def _slice_list_dense(phys, values, aux, lst, lo, hi):
     return dense, ev_slice
 
 
-def _slice_list_col(phys, values, validity, aux, lst, lo, hi):
-    """Row-range slice of a LIST column -> (dense element values, rep
-    levels, def levels)."""
-    dense, ev_slice = _slice_list_dense(phys, values, aux, lst, lo, hi)
-    counts = np.diff(lst["offsets"][lo : hi + 1])
-    row_valid = None if validity is None else validity[lo:hi]
-    rep, defs = _list_level_arrays(counts, row_valid, ev_slice)
-    return dense, rep, defs
-
-
 def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                  codec: str | None, data_page_version: int = 1,
                  page_rows: int | None = None) -> list:
@@ -775,11 +765,12 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 if single:
                     values = g_values
                     ev_slice = g_ev
+                    pcounts = counts  # same [lo, hi) range — no re-diff
                 else:
                     values, ev_slice = _slice_list_dense(
                         phys, all_values, aux, lst, plo, phi
                     )
-                pcounts = np.diff(lst["offsets"][plo : phi + 1])
+                    pcounts = np.diff(lst["offsets"][plo : phi + 1])
                 prow_valid = (
                     None
                     if all_validity is None
