@@ -494,6 +494,99 @@ def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
     return _tstruct(fields)
 
 
+def _norm_struct_fields(name: str, fields, struct_valid):
+    """Normalize a STRUCT column into per-leaf norm entries.
+
+    Each leaf carries a ``grp`` descriptor: parent name + optionality,
+    the leaf's own optionality, the combined max definition level
+    (optional ancestors count toward it — Dremel shredding, the same
+    rule engine/levels.py applies to the engine's own nested chunks)
+    and the per-row definition-level array when two levels are needed.
+    """
+    if not isinstance(fields, (list, tuple)) or not fields:
+        raise ValueError(f"{name}: struct values must be a non-empty field list")
+    parent_opt = struct_valid is not None
+    if parent_opt:
+        struct_valid = np.asarray(struct_valid, bool)
+    n = None if struct_valid is None else len(struct_valid)
+    entries = []
+    for fname, alias, fenc, fvalues, fvalid in fields:
+        if alias == "struct" or alias.startswith("list<"):
+            raise ValueError(
+                f"{name}.{fname}: nested {alias} inside struct not supported "
+                "(scalar leaves only — same scope as the compat reader)"
+            )
+        phys, conv = _LOGICAL.get(alias, (alias, None))
+        if phys not in _PHYS_IDS:
+            raise ValueError(f"{name}.{fname}: unsupported field type {alias}")
+        field_opt = fvalid is not None
+        if field_opt:
+            fvalid = np.asarray(fvalid, bool)
+            fn = len(fvalid)
+        elif phys != "byte_array":
+            fvalues = np.asarray(fvalues)
+            fn = len(fvalues)
+        elif struct_valid is not None:
+            fn = n  # dense byte arrays: row count comes from the struct mask
+        else:
+            fn = len(fvalues[0])  # required field in required struct
+        if n is None:
+            n = fn
+        elif fn != n:
+            raise ValueError(f"{name}.{fname}: {fn} rows vs {n} in struct")
+        # present = slots holding an actual leaf value (def == max_def)
+        if parent_opt and field_opt:
+            present = struct_valid & fvalid
+        elif parent_opt:
+            present = struct_valid
+        elif field_opt:
+            present = fvalid
+        else:
+            present = None
+        max_def = int(parent_opt) + int(field_opt)
+        # two optional levels need the real 0/1/2 def array; one collapses
+        # to the binary validity path the flat writer already has
+        def_rows = (
+            struct_valid.astype(np.uint8) + present.astype(np.uint8)
+            if max_def == 2
+            else None
+        )
+        if phys != "byte_array":
+            fvalues = np.asarray(fvalues)
+            if len(fvalues) != n:
+                raise ValueError(f"{name}.{fname}: {len(fvalues)} values vs {n} rows")
+            if present is not None:
+                fvalues = fvalues[present]
+        elif present is not None and len(fvalues[0]) != int(present.sum()):
+            raise ValueError(
+                f"{name}.{fname}: byte-array values must be dense over "
+                "present entries"
+            )
+        aux = {
+            "offs": (
+                np.concatenate(([0], np.cumsum(np.asarray(fvalues[0], np.int64))))
+                if phys == "byte_array"
+                else None
+            ),
+            "vpre": (
+                np.concatenate(([0], np.cumsum(present, dtype=np.int64)))
+                if present is not None
+                else None
+            ),
+        }
+        grp = {
+            "parent": name,
+            "parent_opt": parent_opt,
+            "field_opt": field_opt,
+            "max_def": max_def,
+            "def_rows": def_rows,
+        }
+        entries.append((fname, phys, conv, fenc, fvalues, present, aux, None, grp))
+    if n is None:
+        raise ValueError(f"{name}: cannot infer row count from required fields")
+    return n, entries
+
+
 def write_table(path: str, columns: list, codec: str | None = None,
                 created_by: str = "spark-graft encoder",
                 row_group_size: int | None = None,
@@ -520,6 +613,21 @@ def write_table(path: str, columns: list, codec: str | None = None,
     null row must have zero entries). Written as the standard 3-level
     LIST group, readable by Spark/pyarrow/DuckDB as ``array<elem>``.
 
+    STRUCT columns: phys ``'struct'``, values = a list of
+    ``(field_name, field_alias, field_enc, field_values, field_validity)``
+    (alias = any scalar alias above; no nested list/struct yet — the same
+    one-group-deep scope the compat reader documents). Fixed-type field
+    values span ALL rows (null slots may hold anything); byte-array field
+    values are dense over PRESENT entries (struct non-null AND field
+    non-null). ``field_validity`` spans all rows; its value at struct-null
+    rows is ignored. The column-level ``validity`` makes the struct itself
+    optional (a null struct row masks every field). Written as a real
+    parquet group — ``optional group name {{ fields }}`` with two-level
+    definition levels, surfaced by Spark/pyarrow/DuckDB as
+    ``struct<...>``; the reference writes the same shape via its
+    SchemaDescriptor + per-leaf writers (src/schema/types.rs,
+    src/column/writer.rs:304-345).
+
     ``row_group_size`` splits
     rows into multiple row
     groups (each with its own dictionary pages) — at fleet scale bounded
@@ -535,12 +643,20 @@ def write_table(path: str, columns: list, codec: str | None = None,
     already had per-page selection, and this exports it to the
     interchange format. Returns {'rows': n, 'bytes': file size}.
     """
-    # -- normalize once: 8-tuples of (name, phys, conv, enc, dense values,
-    # validity, aux prefix-sums, list-shape) --
+    # -- normalize once: 9-tuples of (name, phys, conv, enc, dense values,
+    # validity, aux prefix-sums, list-shape, struct-group) --
     norm = []
     num_rows = None
     for name, phys, enc, values, validity in columns:
         lst = None
+        if phys == "struct":
+            n, entries = _norm_struct_fields(name, values, validity)
+            if num_rows is None:
+                num_rows = n
+            elif num_rows != n:
+                raise ValueError(f"{name}: {n} rows vs {num_rows} in prior columns")
+            norm.extend(entries)
+            continue
         if phys.startswith("list<") and phys.endswith(">"):
             elem_alias = phys[5:-1]
             phys, conv = _LOGICAL.get(elem_alias, (elem_alias, None))
@@ -616,7 +732,7 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 else None
             ),
         }
-        norm.append((name, phys, conv, enc, values, validity, aux, lst))
+        norm.append((name, phys, conv, enc, values, validity, aux, lst, None))
     num_rows = num_rows or 0
 
     out = bytearray(MAGIC)
@@ -683,7 +799,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2")
     col_meta = []
-    for name, phys, conv, enc, all_values, all_validity, aux, lst in norm:
+    for name, phys, conv, enc, all_values, all_validity, aux, lst, grp in norm:
         n = hi - lo
         # -- group-level pass: resolve AUTO + build the dictionary over
         # the WHOLE group so every page shares one encoding and one dict
@@ -702,7 +818,11 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             g_values, g_validity = _slice_col(
                 phys, all_values, all_validity, aux, lo, hi
             )
-            max_def = 0 if g_validity is None else 1
+            max_def = (
+                grp["max_def"]
+                if grp is not None
+                else (0 if g_validity is None else 1)
+            )
             max_rep = 0
             g_nlev = n
         g_dense = len(g_values[0]) if phys == "byte_array" else len(g_values)
@@ -789,9 +909,14 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                         phys, all_values, all_validity, aux, plo, phi
                     )
                 rep_lev = None
-                def_lev = (
-                    None if validity is None else validity.astype(np.uint64)
-                )
+                if grp is not None and grp["def_rows"] is not None:
+                    # two optional levels (optional struct + optional
+                    # field): the 0/1/2 def array computed at normalize
+                    def_lev = grp["def_rows"][plo:phi].astype(np.uint64)
+                elif validity is not None:
+                    def_lev = validity.astype(np.uint64)
+                else:
+                    def_lev = None
                 n_lev = phi - plo
             n_dense = len(values[0]) if phys == "byte_array" else len(values)
             if lst is not None:
@@ -899,6 +1024,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 "conv": conv,
                 "max_def": max_def,
                 "is_list": lst is not None,
+                "grp": grp,
                 "encodings": sorted(_ENC_IDS[e] for e in encodings),
                 "n": g_nlev,
                 "start": start,
@@ -917,12 +1043,53 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
                  num_rows: int, codec, created_by: str) -> dict:
     """Footer: schema elements (root + one per column, from the first
     group's metadata) then one RowGroup struct per group."""
+    # root num_children counts TOP-LEVEL fields: each run of consecutive
+    # struct leaves shares one parent group element
+    n_top = 0
+    prev_parent = object()
+    for c in col_meta0:
+        g = c["grp"]
+        parent = g["parent"] if g is not None else None
+        if g is None or parent != prev_parent:
+            n_top += 1
+        prev_parent = parent
     schema = [
         (
-            [(4, _CT_BINARY, "schema"), (5, _CT_I32, len(col_meta0))]
+            [(4, _CT_BINARY, "schema"), (5, _CT_I32, n_top)]
         )
     ]
-    for c in col_meta0:
+    idx = 0
+    while idx < len(col_meta0):
+        c = col_meta0[idx]
+        g = c["grp"]
+        if g is not None:
+            # struct run: one group element, then its scalar leaves
+            end = idx
+            while (
+                end < len(col_meta0)
+                and col_meta0[end]["grp"] is not None
+                and col_meta0[end]["grp"]["parent"] == g["parent"]
+            ):
+                end += 1
+            schema.append(
+                [
+                    (3, _CT_I32, 1 if g["parent_opt"] else 0),
+                    (4, _CT_BINARY, g["parent"]),
+                    (5, _CT_I32, end - idx),
+                ]
+            )
+            for ck in col_meta0[idx:end]:
+                el = [
+                    (1, _CT_I32, _PHYS_IDS[ck["phys"]]),
+                    (3, _CT_I32, 1 if ck["grp"]["field_opt"] else 0),
+                    (4, _CT_BINARY, ck["name"]),
+                ]
+                if ck["conv"] is not None:
+                    el.append((6, _CT_I32, ck["conv"]))
+                schema.append(el)
+            idx = end
+            continue
+        idx += 1
         if c["is_list"]:
             # 3-level LIST convention: optional group (LIST, ConvertedType
             # 3) / repeated group "list" / optional "element" — the shape
@@ -1018,9 +1185,12 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
     for col_meta, rg_rows in rowgroups:
         chunks = []
         for c in col_meta:
-            col_path = (
-                [c["name"], "list", "element"] if c["is_list"] else [c["name"]]
-            )
+            if c["is_list"]:
+                col_path = [c["name"], "list", "element"]
+            elif c["grp"] is not None:
+                col_path = [c["grp"]["parent"], c["name"]]
+            else:
+                col_path = [c["name"]]
             meta = [
                 (1, _CT_I32, _PHYS_IDS[c["phys"]]),
                 (2, _CT_LIST, (_CT_I32, c["encodings"])),
