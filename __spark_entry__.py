@@ -2328,10 +2328,12 @@ def _q_parquet_export_nested(spark, sf_dir) -> DataFrame:
     array<int32> — this engine's flagship column — plus words
     array<string> written as REAL parquet by engine/parquet_out.py
     (3-level LIST convention, rep/def shredding per reference
-    src/column/writer.rs:304-345), read back by Spark's own JVM reader,
+    src/column/writer.rs:304-345), plus a STRUCT column (optional group
+    with two-level def levels, r6) with deterministic nulls at both the
+    struct and the field level — read back by Spark's own JVM reader,
     aggregated and hashed vs DuckDB over the ORIGINAL documents table.
     Green means a plain parquet consumer receives the engine's nested
-    token sequences intact."""
+    token sequences and grouped metadata intact."""
     import numpy as np
 
     _engine(spark)
@@ -2357,6 +2359,14 @@ def _q_parquet_export_nested(spark, sf_dir) -> DataFrame:
             ([0], np.cumsum(pdf["words"].map(len).to_numpy(np.int64)))
         )
         flat_words = [w for row in pdf["words"] for w in row]
+        # struct column with nulls at BOTH levels: the struct itself is
+        # null on 7|doc_id rows, its width field additionally null on
+        # 3|doc_id rows; 'first' is required within the struct
+        did = pdf["doc_id"].to_numpy(np.int64)
+        sv = (did % 7) != 0
+        n_words = pdf["words"].map(len).to_numpy(np.int32)
+        wvalid = (did % 3) != 0
+        firsts = [row[0] for row, s in zip(pdf["words"], sv) if s]
         return [
             ("doc_id", "int64", "AUTO", pdf["doc_id"].to_numpy(np.int64), None),
             ("tokens", "list<int32>", "AUTO", (t_off, t_dense, None), None),
@@ -2366,6 +2376,17 @@ def _q_parquet_export_nested(spark, sf_dir) -> DataFrame:
                 "AUTO",
                 (w_off, parquet_out.flat_strings(flat_words), None),
                 None,
+            ),
+            (
+                "meta",
+                "struct",
+                "AUTO",
+                [
+                    ("width", "int32", "AUTO", n_words, wvalid),
+                    ("first", "utf8", "AUTO",
+                     parquet_out.flat_strings(firsts), None),
+                ],
+                sv,
             ),
         ]
 
@@ -2391,6 +2412,8 @@ def _q_parquet_export_nested(spark, sf_dir) -> DataFrame:
         F.size("words").cast("long").alias("n_words"),
         F.element_at("words", 1).alias("first_word"),
         F.element_at("words", -1).alias("last_word"),
+        F.col("meta.width").cast("long").alias("m_width"),
+        F.col("meta.first").alias("m_first"),
     )
 
 
@@ -2411,7 +2434,14 @@ agg AS (
 SELECT d.doc_id, a.n_tok, a.tok_sum, a.tok_wsum,
        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
        string_split(d.text, ' ')[1] AS first_word,
-       string_split(d.text, ' ')[-1] AS last_word
+       string_split(d.text, ' ')[-1] AS last_word,
+       CASE WHEN CAST(d.doc_id AS BIGINT) % 7 = 0
+                 OR CAST(d.doc_id AS BIGINT) % 3 = 0 THEN NULL
+            ELSE CAST(len(string_split(d.text, ' ')) AS BIGINT)
+       END AS m_width,
+       CASE WHEN CAST(d.doc_id AS BIGINT) % 7 = 0 THEN NULL
+            ELSE string_split(d.text, ' ')[1]
+       END AS m_first
 FROM documents d JOIN agg a USING (doc_id)
 """
 
