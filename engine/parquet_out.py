@@ -78,6 +78,49 @@ _LOGICAL = {
 }
 
 
+def _list_struct_levels(counts, row_valid, sv_slice, fv_slice,
+                        elem_opt: bool, field_opt: bool):
+    """Rep/def streams for one leaf of a repeated GROUP element (LIST of
+    struct, or MAP): def counts the defined optional ancestors along
+    ``optional group (+1) / repeated (+1 when the row has entries) /
+    [optional] element struct (+1 when non-null) / [optional] field (+1
+    when non-null)``. ``sv_slice`` = element-struct validity over entries
+    (None when the element is required — MAP key_value), ``fv_slice`` =
+    this field's validity over entries (ignored where the struct is
+    null). Same slot rule as _list_level_arrays: empty/null rows emit
+    one pad slot."""
+    counts = np.asarray(counts, np.int64)
+    if len(counts) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    slots = np.maximum(counts, 1)
+    n_lev = int(slots.sum())
+    starts = np.concatenate(([0], np.cumsum(slots)[:-1])).astype(np.int64)
+    rep = np.ones(n_lev, np.uint64)
+    rep[starts] = 0
+    zero = counts == 0
+    n_entries = int(counts.sum())
+    d = np.full(n_entries, 2, np.uint64)
+    sv = None
+    if elem_opt:
+        sv = np.asarray(sv_slice, bool)
+        d += sv
+    if field_opt:
+        fv = np.asarray(fv_slice, bool)
+        d += (fv & sv) if sv is not None else fv
+    defs = np.empty(n_lev, np.uint64)
+    is_entry = np.ones(n_lev, bool)
+    if zero.any():
+        pad = starts[zero]
+        is_entry[pad] = False
+        defs[pad] = (
+            1
+            if row_valid is None
+            else np.where(np.asarray(row_valid, bool)[zero], 1, 0)
+        )
+    defs[is_entry] = d
+    return rep, defs
+
+
 def _list_level_arrays(counts: np.ndarray, row_valid, ev_slice):
     """Rep/def level streams for one row group of a LIST column (3-level
     convention, always ``optional group (LIST) / repeated group list /
@@ -575,6 +618,7 @@ def _norm_struct_fields(name: str, fields, struct_valid):
             ),
         }
         grp = {
+            "kind": "struct",
             "parent": name,
             "parent_opt": parent_opt,
             "field_opt": field_opt,
@@ -584,6 +628,104 @@ def _norm_struct_fields(name: str, fields, struct_valid):
         entries.append((fname, phys, conv, fenc, fvalues, present, aux, None, grp))
     if n is None:
         raise ValueError(f"{name}: cannot infer row count from required fields")
+    return n, entries
+
+
+def _norm_repeated_group(name: str, kind: str, spec, values, validity):
+    """Normalize a repeated-GROUP column — ``list<struct>`` (array of
+    structs) or ``map<key,value>`` — into per-leaf norm entries that ride
+    the existing LIST slicing machinery: every leaf shares the row
+    offsets, carries its own dense values + combined entry-validity
+    prefix sums, and a ``grp`` descriptor with the element/field
+    optionality the level builder needs. MAP is the same shape with a
+    required key_value element and key leaf (parquet MAP convention)."""
+    if kind == "map":
+        kalias, valias = (a.strip() for a in spec.split(",", 1))
+        offsets, kvals, vvals, vvalid = values
+        fields = [("key", kalias, "AUTO", kvals, None),
+                  ("value", valias, "AUTO", vvals, vvalid)]
+        elem_valid = None
+    else:
+        offsets, fields, elem_valid = values
+        if not isinstance(fields, (list, tuple)) or not fields:
+            raise ValueError(f"{name}: struct element needs a non-empty field list")
+    elem_opt = elem_valid is not None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    if len(offsets) == 0 or (np.diff(offsets) < 0).any():
+        raise ValueError(f"{name}: offsets must be non-decreasing")
+    n = len(offsets) - 1
+    n_entries = int(offsets[-1])
+    if validity is not None:
+        validity = np.asarray(validity, bool)
+        if len(validity) != n:
+            raise ValueError(f"{name}: validity length != rows")
+        if (np.diff(offsets)[~validity] != 0).any():
+            raise ValueError(f"{name}: null rows must be empty")
+    if elem_opt:
+        elem_valid = np.asarray(elem_valid, bool)
+        if len(elem_valid) != n_entries:
+            raise ValueError(f"{name}: elem_validity length != entries")
+    entries = []
+    for fname, alias, fenc, fvalues, fvalid in fields:
+        if alias == "struct" or alias.startswith(("list<", "map<")):
+            raise ValueError(
+                f"{name}.{fname}: nested {alias} inside a repeated group "
+                "not supported (scalar leaves only)"
+            )
+        phys, conv = _LOGICAL.get(alias, (alias, None))
+        if phys not in _PHYS_IDS:
+            raise ValueError(f"{name}.{fname}: unsupported field type {alias}")
+        field_opt = fvalid is not None
+        if field_opt:
+            fvalid = np.asarray(fvalid, bool)
+            if len(fvalid) != n_entries:
+                raise ValueError(f"{name}.{fname}: field validity != entries")
+        if elem_opt and field_opt:
+            combined = elem_valid & fvalid
+        elif elem_opt:
+            combined = elem_valid
+        elif field_opt:
+            combined = fvalid
+        else:
+            combined = None
+        n_present = n_entries if combined is None else int(combined.sum())
+        if phys != "byte_array":
+            fvalues = np.asarray(fvalues)
+            n_dense = len(fvalues)
+        else:
+            n_dense = len(fvalues[0])
+        if n_dense != n_present:
+            raise ValueError(
+                f"{name}.{fname}: {n_dense} dense values vs {n_present} present"
+            )
+        aux = {
+            "offs": (
+                np.concatenate(([0], np.cumsum(np.asarray(fvalues[0], np.int64))))
+                if phys == "byte_array"
+                else None
+            ),
+            "vpre": None,
+        }
+        lst = {
+            "offsets": offsets,
+            "elem_valid": combined,
+            "evpre": (
+                np.concatenate(([0], np.cumsum(combined, dtype=np.int64)))
+                if combined is not None
+                else None
+            ),
+            "sv": elem_valid if elem_opt else None,
+            "fv": fvalid if field_opt else None,
+        }
+        grp = {
+            "kind": kind,
+            "parent": name,
+            "elem_opt": elem_opt,
+            "field_opt": field_opt,
+            "max_def": 2 + int(elem_opt) + int(field_opt),
+            "def_rows": None,
+        }
+        entries.append((fname, phys, conv, fenc, fvalues, validity, aux, lst, grp))
     return n, entries
 
 
@@ -628,6 +770,18 @@ def write_table(path: str, columns: list, codec: str | None = None,
     SchemaDescriptor + per-leaf writers (src/schema/types.rs,
     src/column/writer.rs:304-345).
 
+    LIST-of-STRUCT columns: phys ``'list<struct>'``, values =
+    ``(offsets, fields, elem_validity)`` — fields as for STRUCT but with
+    per-ENTRY validity arrays and dense values over present entries
+    (entry struct non-null AND field non-null); ``elem_validity`` over
+    entries makes the element struct itself optional. Surfaced as
+    ``array<struct<...>>``. MAP columns: phys ``'map<key,value>'``
+    (scalar aliases), values = ``(offsets, key_values, value_values,
+    value_validity)`` — keys required per the parquet MAP convention,
+    value_values dense over non-null entries. Surfaced as
+    ``map<key,value>``. Row ``validity`` distinguishes null from empty
+    lists/maps in both shapes.
+
     ``row_group_size`` splits
     rows into multiple row
     groups (each with its own dictionary pages) — at fleet scale bounded
@@ -649,8 +803,21 @@ def write_table(path: str, columns: list, codec: str | None = None,
     num_rows = None
     for name, phys, enc, values, validity in columns:
         lst = None
-        if phys == "struct":
-            n, entries = _norm_struct_fields(name, values, validity)
+        if (
+            phys == "struct"
+            or phys == "list<struct>"
+            or (phys.startswith("map<") and phys.endswith(">"))
+        ):
+            if phys == "struct":
+                n, entries = _norm_struct_fields(name, values, validity)
+            elif phys == "list<struct>":
+                n, entries = _norm_repeated_group(
+                    name, "list_struct", None, values, validity
+                )
+            else:
+                n, entries = _norm_repeated_group(
+                    name, "map", phys[4:-1], values, validity
+                )
             if num_rows is None:
                 num_rows = n
             elif num_rows != n:
@@ -811,7 +978,8 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 phys, all_values, aux, lst, lo, hi
             )
             g_validity = None
-            max_def, max_rep = 3, 1
+            max_def = grp["max_def"] if grp is not None else 3
+            max_rep = 1
             counts = np.diff(lst["offsets"][lo : hi + 1])
             g_nlev = int(np.maximum(counts, 1).sum()) if n else 0
         else:
@@ -835,7 +1003,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
             # per-row-group adaptivity, same granularity as the engine's
             # per-chunk selection
             enc = _auto_encoding(phys, g_values)
-        def_width = 2 if max_def > 1 else 1
+        def_width = max(int(max_def).bit_length(), 1)
 
         start = len(out)
         encodings = set()
@@ -896,9 +1064,25 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                     if all_validity is None
                     else all_validity[plo:phi]
                 )
-                rep_lev, def_lev = _list_level_arrays(
-                    pcounts, prow_valid, ev_slice
-                )
+                if grp is not None:
+                    # repeated GROUP element (list<struct> / map): levels
+                    # carry the element-struct and field validity
+                    # separately so struct-null vs field-null stay
+                    # distinct def values
+                    elo = int(lst["offsets"][plo])
+                    ehi = int(lst["offsets"][phi])
+                    rep_lev, def_lev = _list_struct_levels(
+                        pcounts,
+                        prow_valid,
+                        None if lst["sv"] is None else lst["sv"][elo:ehi],
+                        None if lst["fv"] is None else lst["fv"][elo:ehi],
+                        grp["elem_opt"],
+                        grp["field_opt"],
+                    )
+                else:
+                    rep_lev, def_lev = _list_level_arrays(
+                        pcounts, prow_valid, ev_slice
+                    )
                 validity = None
                 n_lev = len(def_lev)
             else:
@@ -1063,7 +1247,8 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
         c = col_meta0[idx]
         g = c["grp"]
         if g is not None:
-            # struct run: one group element, then its scalar leaves
+            # grouped run (struct / list<struct> / map): one set of group
+            # elements, then the run's scalar leaves
             end = idx
             while (
                 end < len(col_meta0)
@@ -1071,13 +1256,54 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
                 and col_meta0[end]["grp"]["parent"] == g["parent"]
             ):
                 end += 1
-            schema.append(
-                [
-                    (3, _CT_I32, 1 if g["parent_opt"] else 0),
-                    (4, _CT_BINARY, g["parent"]),
-                    (5, _CT_I32, end - idx),
-                ]
-            )
+            if g["kind"] == "struct":
+                schema.append(
+                    [
+                        (3, _CT_I32, 1 if g["parent_opt"] else 0),
+                        (4, _CT_BINARY, g["parent"]),
+                        (5, _CT_I32, end - idx),
+                    ]
+                )
+            elif g["kind"] == "list_struct":
+                # optional group (LIST) / repeated group list /
+                # optional-or-required group element { leaves }
+                schema.append(
+                    [
+                        (3, _CT_I32, 1),
+                        (4, _CT_BINARY, g["parent"]),
+                        (5, _CT_I32, 1),
+                        (6, _CT_I32, 3),  # ConvertedType LIST
+                    ]
+                )
+                schema.append(
+                    [(3, _CT_I32, 2), (4, _CT_BINARY, "list"), (5, _CT_I32, 1)]
+                )
+                schema.append(
+                    [
+                        (3, _CT_I32, 1 if g["elem_opt"] else 0),
+                        (4, _CT_BINARY, "element"),
+                        (5, _CT_I32, end - idx),
+                    ]
+                )
+            else:  # map
+                # optional group (MAP) / repeated group key_value
+                # { required key, value }
+                schema.append(
+                    [
+                        (3, _CT_I32, 1),
+                        (4, _CT_BINARY, g["parent"]),
+                        (5, _CT_I32, 1),
+                        (6, _CT_I32, 1),  # ConvertedType MAP
+                    ]
+                )
+                schema.append(
+                    [
+                        (3, _CT_I32, 2),
+                        (4, _CT_BINARY, "key_value"),
+                        (5, _CT_I32, end - idx),
+                        (6, _CT_I32, 2),  # ConvertedType MAP_KEY_VALUE
+                    ]
+                )
             for ck in col_meta0[idx:end]:
                 el = [
                     (1, _CT_I32, _PHYS_IDS[ck["phys"]]),
@@ -1185,10 +1411,15 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
     for col_meta, rg_rows in rowgroups:
         chunks = []
         for c in col_meta:
-            if c["is_list"]:
+            g = c["grp"]
+            if g is not None and g["kind"] == "list_struct":
+                col_path = [g["parent"], "list", "element", c["name"]]
+            elif g is not None and g["kind"] == "map":
+                col_path = [g["parent"], "key_value", c["name"]]
+            elif c["is_list"]:
                 col_path = [c["name"], "list", "element"]
-            elif c["grp"] is not None:
-                col_path = [c["grp"]["parent"], c["name"]]
+            elif g is not None:
+                col_path = [g["parent"], c["name"]]
             else:
                 col_path = [c["name"]]
             meta = [
