@@ -202,6 +202,7 @@ class ColumnInfo:
     start_offset: int
     total_compressed: int
     conv: int | None = None  # leaf ConvertedType (0 = UTF8)
+    rg: int = 0  # row-group ordinal this chunk belongs to
     nodes: list = field(default_factory=list)  # root->leaf schema path
     # PageIndex locations (ColumnChunk fields 4-7; None when absent)
     oi_off: int | None = None
@@ -276,7 +277,7 @@ def read_file_info(path: str) -> FileInfo:
             num_rows=meta[3],
             created_by=(meta.get(6) or b"").decode(errors="replace"),
         )
-        for rg in meta[4]:
+        for rg_idx, rg in enumerate(meta[4]):
             for chunk in rg[1]:  # RowGroup.columns
                 cm = chunk[3]  # ColumnChunk.meta_data
                 col_path = ".".join(p.decode() for p in cm[3])
@@ -298,6 +299,7 @@ def read_file_info(path: str) -> FileInfo:
                         start_offset=start,
                         total_compressed=cm[7],
                         conv=el.get(6),
+                        rg=rg_idx,
                         nodes=nodes,
                         oi_off=chunk.get(4),
                         oi_len=chunk.get(5),
@@ -631,8 +633,9 @@ def read_column_with_levels(path: str, col: ColumnInfo,
 def read_page_index(path: str, col: ColumnInfo):
     """Parse one chunk's PageIndex -> (page_locations, column_index).
     page_locations: [{offset, comp_size, first_row}] from the
-    OffsetIndex; column_index: {null_pages, mins, maxs, null_counts} or
-    None when the chunk carries no ColumnIndex."""
+    OffsetIndex; column_index: {null_pages, mins, maxs, boundary_order,
+    null_counts} or None when the chunk carries no ColumnIndex
+    (boundary_order: 0 unordered / 1 ascending / 2 descending)."""
     if col.oi_off is None:
         raise ValueError(f"{col.path}: no OffsetIndex in this file")
     with open(path, "rb") as f:
@@ -655,6 +658,7 @@ def read_page_index(path: str, col: ColumnInfo):
                 "null_pages": c[1],
                 "mins": c[2],
                 "maxs": c[3],
+                "boundary_order": c.get(4, 0),
                 "null_counts": c.get(5),
             }
     except (KeyError, IndexError, struct.error) as e:
@@ -870,13 +874,18 @@ def _spark_type(c: ColumnInfo) -> str:
 
 
 def read_parquet_with_engine(spark, path: str | list, columns: list | None = None):
-    """Distributed read of FOREIGN parquet through the engine's own codecs:
-    the work list is a DataFrame of file paths (``path`` may be one path
-    or a list sharing a schema), each task decodes its file's column
-    chunks with ``read_column``, and the driver never touches payload
-    bytes — at fleet scale the parallelism unit is the file, the same way
-    Spark's own reader assigns splits. The schema comes from the FIRST
-    file's parsed footer (INT96 surfaces as epoch-ns longs).
+    """Distributed read of FOREIGN parquet through the engine's own codecs,
+    split at ROW-GROUP granularity (``path`` may be one path or a list
+    sharing a schema). Two distributed phases, mirroring Spark's own scan
+    planning: (1) a footer-parse pass over the file list yields one
+    (path, rg) unit per row group — executors read footers, the driver
+    only learns the unit COUNT via a distributed count; (2) the units are
+    round-robined one-per-partition and each task decodes exactly its
+    group's column chunks with ``read_table(row_group=...)``. A 10-group
+    file therefore fans out to 10 tasks instead of serializing behind one
+    — the property that matters when one file is 10 GB. The driver never
+    touches payload bytes; the schema comes from the FIRST file's parsed
+    footer (INT96 surfaces as epoch-ns longs).
 
     This is the validation path for golden-file interop (bounded files);
     it deliberately reuses zero pyarrow parquet machinery."""
@@ -886,7 +895,7 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     info = read_file_info(paths[0])
     cols = [c for c in info.columns if columns is None or c.path in columns]
     # multi-row-group files repeat each column once per group; keep the
-    # first occurrence for schema purposes (read_table concatenates groups)
+    # first occurrence for schema purposes
     seen: set = set()
     cols = [c for c in cols if not (c.path in seen or seen.add(c.path))]
     if columns is not None:  # honor requested order
@@ -894,10 +903,18 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     names = [c.path for c in cols]
     schema = ", ".join(f"`{c.path}` {_spark_type(c)}" for c in cols)
 
-    def gen(batches):
+    def plan(batches):
         for pdf in batches:
             for p in pdf["path"]:
-                table = read_table(p, columns=names)
+                n_rg = len({c.rg for c in read_file_info(p).columns})
+                yield pd.DataFrame(
+                    {"path": [p] * n_rg, "rg": np.arange(n_rg, dtype=np.int32)}
+                )
+
+    def gen(batches):
+        for pdf in batches:
+            for p, rg in zip(pdf["path"], pdf["rg"]):
+                table = read_table(p, columns=names, row_group=int(rg))
                 out = {}
                 for c in cols:
                     vals, valid = table[c.path]
@@ -916,20 +933,30 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
-    return paths_df.mapInPandas(gen, schema)
+    units = paths_df.mapInPandas(plan, "path string, rg int")
+    # one count() job sizes the fan-out (the split ledger Spark's scheduler
+    # would hold); round-robin then places exactly one unit per task
+    n_units = units.count()
+    units = units.repartition(max(n_units, 1))
+    return units.mapInPandas(gen, schema)
 
 
-def read_table(path: str, columns: list | None = None) -> dict:
+def read_table(path: str, columns: list | None = None,
+               row_group: int | None = None) -> dict:
     """Decode a whole flat parquet file with the engine's codecs ->
     {column: (values, validity)} where values is numpy for fixed types,
     a list[bytes|None] for byte arrays / FLBA, and epoch-ns int64 for
     INT96. One entry per column; multi-row-group files concatenate in
     row-group order (row groups are just consecutive chunk batches, same
-    as the engine's own ChunkStore decode)."""
+    as the engine's own ChunkStore decode). ``row_group`` selects one
+    group's chunks — the split unit of the distributed reader, so a task
+    never decodes bytes outside its split."""
     info = read_file_info(path)
     parts: dict = {}
     for col in info.columns:
         if columns is not None and col.path not in columns:
+            continue
+        if row_group is not None and col.rg != row_group:
             continue
         if col.max_rep:
             v, defs, reps = read_column_with_levels(path, col)

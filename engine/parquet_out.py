@@ -1349,6 +1349,29 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             el.append((6, _CT_I32, c["conv"]))  # ConvertedType
         schema.append(el)
 
+    def _boundary_order(phys: str, pages) -> int:
+        """ColumnIndex.boundary_order (0 UNORDERED / 1 ASCENDING / 2
+        DESCENDING), computed over the non-null pages' WRITTEN bounds —
+        the exact lists a reader binary-searches, so truncated byte-array
+        bounds stay consistent with the order claim (parquet-mr's
+        ColumnIndexBuilder makes the same call). Byte arrays and bools
+        compare as unsigned bytes (the file's declared TypeDefinedOrder);
+        fixed types decode their PLAIN stat bytes back to scalars."""
+        keys = []
+        for p in pages:
+            if p["n_dense"] == 0:
+                continue
+            mn, mx = p["stats"]["min"], p["stats"]["max"]
+            if phys not in ("byte_array", "bool"):
+                mn = plain.decode(mn, 1, phys)[0]
+                mx = plain.decode(mx, 1, phys)[0]
+            keys.append((mn, mx))
+        if all(a[0] <= b[0] and a[1] <= b[1] for a, b in zip(keys, keys[1:])):
+            return 1
+        if all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(keys, keys[1:])):
+            return 2
+        return 0
+
     # -- PageIndex: all ColumnIndex structs, then all OffsetIndex structs,
     # after the data and before the footer (parquet-mr's layout). A chunk
     # with a non-null page whose min/max could not be computed (NaN floats,
@@ -1376,7 +1399,7 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
                                    [p["stats"]["min"] or b"" for p in pages])),
                     (3, _CT_LIST, (_CT_BINARY,
                                    [p["stats"]["max"] or b"" for p in pages])),
-                    (4, _CT_I32, 0),  # boundary_order UNORDERED (safe)
+                    (4, _CT_I32, _boundary_order(c["phys"], pages)),
                     (5, _CT_LIST, (_CT_I64,
                                    [p["stats"]["null_count"] for p in pages])),
                 ]

@@ -311,6 +311,33 @@ def test_spark_distributed_multi_file_read(spark):
     assert {r["id"] for r in rows} == set(range(8))  # snappy twin has ids 0,1
 
 
+def test_spark_distributed_row_group_splits(spark, tmp_path):
+    """The split unit is the ROW GROUP, not the file: a 4-group engine-
+    written file fans out to 4 decode tasks (what keeps one 10 GB file
+    from serializing behind a single core), and the union of per-group
+    decodes is exactly the whole table."""
+    from engine import parquet_out as po
+
+    n = 8000
+    path = str(tmp_path / "multi_rg.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED",
+             np.arange(n, dtype=np.int64), None),
+            ("tag", "utf8", "PLAIN_DICTIONARY",
+             po.flat_strings([f"t{i % 7}" for i in range(n)]), None),
+        ],
+        row_group_size=2000,
+    )
+    df = pc.read_parquet_with_engine(spark, path, columns=["id", "tag"])
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == n
+    assert {r["id"] for r in rows} == set(range(n))
+    assert {bytes(r["tag"]) for r in rows} == {f"t{i}".encode() for i in range(7)}
+
+
 def test_bit_packed_v1_levels_decode():
     """Deprecated BIT_PACKED level encoding (MSB-first, no length prefix —
     parquet.thrift Encoding.BIT_PACKED; reference LevelDecoder

@@ -185,6 +185,52 @@ def test_unboundable_max_skips_column_index(tmp_path):
     assert len(locs) == 2 and ci is None
 
 
+def test_boundary_order_ascending_descending_unordered(tmp_path):
+    """boundary_order reflects the written per-page bounds so readers can
+    binary-search the index: sorted chunks claim ASCENDING, reversed
+    DESCENDING, shuffled UNORDERED — and string pages compare as unsigned
+    bytes."""
+    n = 4000
+    asc = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    shuf = rng.permutation(asc)
+    strs = po.flat_strings([f"k-{i:05d}" for i in range(n)])
+    path = str(tmp_path / "bo.parquet")
+    po.write_table(
+        path,
+        [
+            ("a", "int64", "PLAIN", asc, None),
+            ("d", "int64", "PLAIN", asc[::-1].copy(), None),
+            ("u", "int64", "PLAIN", shuf, None),
+            ("s", "utf8", "PLAIN_DICTIONARY", strs, None),
+        ],
+        page_size_rows=1000,
+    )
+    info = pc.read_file_info(path)
+    orders = {}
+    for c in info.columns:
+        _, ci = pc.read_page_index(path, c)
+        orders[c.path] = ci["boundary_order"]
+    assert orders == {"a": 1, "d": 2, "u": 0, "s": 1}
+
+
+def test_boundary_order_ignores_all_null_pages(tmp_path):
+    """Spec: ordering is judged over non-null pages only — an all-null
+    middle page must not break an otherwise-ascending claim."""
+    n = 3000
+    vals = np.arange(n, dtype=np.int64)
+    valid = np.ones(n, bool)
+    valid[1000:2000] = False
+    path = str(tmp_path / "bonull.parquet")
+    po.write_table(
+        path, [("x", "int64", "PLAIN", vals, valid)], page_size_rows=1000
+    )
+    info = pc.read_file_info(path)
+    _, ci = pc.read_page_index(path, info.columns[0])
+    assert ci["null_pages"] == [False, True, False]
+    assert ci["boundary_order"] == 1
+
+
 def test_utf8_stats_truncate_at_codepoint_boundary(tmp_path):
     """UTF8 column stats over 64 bytes must stay valid UTF-8 (r6 review
     #1 — a byte-sliced euro sign made DuckDB reject the file's stats) and
