@@ -683,20 +683,34 @@ def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
     locs, ci = read_page_index(path, col)
     if ci is None:
         raise ValueError(f"{col.path}: no ColumnIndex to prune with")
-    if col.phys == "byte_array":
-        keep = [
-            not null and not (bytes(mx) < lo or bytes(mn) > hi)
-            for null, mn, mx in zip(ci["null_pages"], ci["mins"], ci["maxs"])
-        ]
+
+    def bounds(i):
+        mn, mx = bytes(ci["mins"][i]), bytes(ci["maxs"][i])
+        if col.phys == "byte_array":
+            return mn, mx
+        return _plain_scalar(mn, col.phys), _plain_scalar(mx, col.phys)
+
+    nulls = ci["null_pages"]
+    nn = [i for i in range(len(nulls)) if not nulls[i]]
+    keep = [False] * len(nulls)
+    if ci.get("boundary_order") in (1, 2) and nn:
+        # ordered index: the surviving pages are one contiguous run of the
+        # non-null sequence — binary-search its ends (O(log P) stat
+        # decodes, the point of writing boundary_order) instead of
+        # decoding every page's bounds. A page survives iff max >= lo AND
+        # min <= hi; with mins and maxs both monotone those predicates
+        # flip exactly once each across the run.
+        from bisect import bisect_left
+
+        idxs = nn if ci["boundary_order"] == 1 else nn[::-1]
+        first = bisect_left(idxs, True, key=lambda i: bounds(i)[1] >= lo)
+        last = bisect_left(idxs, True, key=lambda i: bounds(i)[0] > hi)
+        for i in idxs[first:last]:
+            keep[i] = True
     else:
-        keep = [
-            not null
-            and not (
-                _plain_scalar(bytes(mx), col.phys) < lo
-                or _plain_scalar(bytes(mn), col.phys) > hi
-            )
-            for null, mn, mx in zip(ci["null_pages"], ci["mins"], ci["maxs"])
-        ]
+        for i in nn:
+            mn, mx = bounds(i)
+            keep[i] = not (mx < lo or mn > hi)
     with open(path, "rb") as f:
         parts = []
         if locs and col.start_offset < locs[0]["offset"]:

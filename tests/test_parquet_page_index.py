@@ -231,6 +231,54 @@ def test_boundary_order_ignores_all_null_pages(tmp_path):
     assert ci["boundary_order"] == 1
 
 
+def test_ordered_index_binary_search_pruning(tmp_path, monkeypatch):
+    """An ASCENDING ColumnIndex is binary-searched, not scanned: on a
+    50-page chunk the pruned read decodes O(log P) stat values instead of
+    2 per page, and selects exactly the pages a full scan would."""
+    n = 50_000
+    path = str(tmp_path / "bsearch.parquet")
+    po.write_table(
+        path,
+        [("x", "int64", "PLAIN", np.arange(n, dtype=np.int64), None)],
+        page_size_rows=1000,
+    )
+    info = pc.read_file_info(path)
+    col = info.columns[0]
+    calls = {"n": 0}
+    real = pc._plain_scalar
+
+    def counting(buf, phys):
+        calls["n"] += 1
+        return real(buf, phys)
+
+    monkeypatch.setattr(pc, "_plain_scalar", counting)
+    got, _, nread, ntot = pc.read_column_pruned_pages(path, col, 17_200, 19_100)
+    assert (nread, ntot) == (3, 50)
+    assert got.min() == 17_000 and got.max() == 19_999
+    assert calls["n"] < 30  # linear scan would decode 100
+
+
+def test_descending_index_binary_search_pruning(tmp_path):
+    """DESCENDING chunks prune through the same binary search on the
+    reversed non-null sequence."""
+    n = 20_000
+    path = str(tmp_path / "bsearch_desc.parquet")
+    po.write_table(
+        path,
+        [("x", "int64", "PLAIN",
+          np.arange(n, dtype=np.int64)[::-1].copy(), None)],
+        page_size_rows=1000,
+    )
+    info = pc.read_file_info(path)
+    _, ci = pc.read_page_index(path, info.columns[0])
+    assert ci["boundary_order"] == 2
+    got, _, nread, ntot = pc.read_column_pruned_pages(
+        path, info.columns[0], 5_500, 5_600
+    )
+    assert (nread, ntot) == (1, 20)
+    assert set(range(5_500, 5_601)).issubset(set(got.tolist()))
+
+
 def test_utf8_stats_truncate_at_codepoint_boundary(tmp_path):
     """UTF8 column stats over 64 bytes must stay valid UTF-8 (r6 review
     #1 — a byte-sliced euro sign made DuckDB reject the file's stats) and
