@@ -684,11 +684,13 @@ def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
     if ci is None:
         raise ValueError(f"{col.path}: no ColumnIndex to prune with")
 
-    def bounds(i):
-        mn, mx = bytes(ci["mins"][i]), bytes(ci["maxs"][i])
-        if col.phys == "byte_array":
-            return mn, mx
-        return _plain_scalar(mn, col.phys), _plain_scalar(mx, col.phys)
+    def page_min(i):
+        mn = bytes(ci["mins"][i])
+        return mn if col.phys == "byte_array" else _plain_scalar(mn, col.phys)
+
+    def page_max(i):
+        mx = bytes(ci["maxs"][i])
+        return mx if col.phys == "byte_array" else _plain_scalar(mx, col.phys)
 
     nulls = ci["null_pages"]
     nn = [i for i in range(len(nulls)) if not nulls[i]]
@@ -699,18 +701,18 @@ def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
         # decodes, the point of writing boundary_order) instead of
         # decoding every page's bounds. A page survives iff max >= lo AND
         # min <= hi; with mins and maxs both monotone those predicates
-        # flip exactly once each across the run.
+        # flip exactly once each across the run (each probe decodes only
+        # the one bound its predicate needs).
         from bisect import bisect_left
 
         idxs = nn if ci["boundary_order"] == 1 else nn[::-1]
-        first = bisect_left(idxs, True, key=lambda i: bounds(i)[1] >= lo)
-        last = bisect_left(idxs, True, key=lambda i: bounds(i)[0] > hi)
+        first = bisect_left(idxs, True, key=lambda i: page_max(i) >= lo)
+        last = bisect_left(idxs, True, key=lambda i: page_min(i) > hi)
         for i in idxs[first:last]:
             keep[i] = True
     else:
         for i in nn:
-            mn, mx = bounds(i)
-            keep[i] = not (mx < lo or mn > hi)
+            keep[i] = not (page_max(i) < lo or page_min(i) > hi)
     with open(path, "rb") as f:
         parts = []
         if locs and col.start_offset < locs[0]["offset"]:
@@ -890,16 +892,16 @@ def _spark_type(c: ColumnInfo) -> str:
 def read_parquet_with_engine(spark, path: str | list, columns: list | None = None):
     """Distributed read of FOREIGN parquet through the engine's own codecs,
     split at ROW-GROUP granularity (``path`` may be one path or a list
-    sharing a schema). Two distributed phases, mirroring Spark's own scan
-    planning: (1) a footer-parse pass over the file list yields one
+    sharing a schema). Two phases, mirroring Spark's own scan planning:
+    (1) a distributed footer-parse pass over the file list yields one
     (path, rg) unit per row group — executors read footers, the driver
-    only learns the unit COUNT via a distributed count; (2) the units are
-    round-robined one-per-partition and each task decodes exactly its
-    group's column chunks with ``read_table(row_group=...)``. A 10-group
-    file therefore fans out to 10 tasks instead of serializing behind one
-    — the property that matters when one file is 10 GB. The driver never
-    touches payload bytes; the schema comes from the FIRST file's parsed
-    footer (INT96 surfaces as epoch-ns longs).
+    collects only the metadata pairs (the split ledger Spark's scheduler
+    itself holds); (2) each unit becomes exactly one task that decodes
+    its group's column chunks with ``read_table(row_group=...)``. A
+    10-group file therefore fans out to 10 tasks instead of serializing
+    behind one — the property that matters when one file is 10 GB. The
+    driver never touches payload bytes; the schema comes from the FIRST
+    file's parsed footer (INT96 surfaces as epoch-ns longs).
 
     This is the validation path for golden-file interop (bounded files);
     it deliberately reuses zero pyarrow parquet machinery."""
@@ -947,11 +949,19 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
-    units = paths_df.mapInPandas(plan, "path string, rg int")
-    # one count() job sizes the fan-out (the split ledger Spark's scheduler
-    # would hold); round-robin then places exactly one unit per task
-    n_units = units.count()
-    units = units.repartition(max(n_units, 1))
+    # one job parses every footer executor-side; the collected (path, rg)
+    # pairs are the split ledger Spark's own scheduler holds for its scans
+    # — metadata only, never payload bytes. parallelize(n slices over n
+    # units) then places DETERMINISTICALLY one unit per task (round-robin
+    # repartition can collide streams from different input partitions).
+    pairs = [
+        (r["path"], int(r["rg"]))
+        for r in paths_df.mapInPandas(plan, "path string, rg int").collect()
+    ]
+    units = spark.createDataFrame(
+        spark.sparkContext.parallelize(pairs, max(len(pairs), 1)),
+        "path string, rg int",
+    )
     return units.mapInPandas(gen, schema)
 
 

@@ -337,6 +337,19 @@ def test_spark_distributed_row_group_splits(spark, tmp_path):
     assert {r["id"] for r in rows} == set(range(n))
     assert {bytes(r["tag"]) for r in rows} == {f"t{i}".encode() for i in range(7)}
 
+    # multi-file: units from DIFFERENT files must still land one per task
+    # (round-robin repartition could collide streams; the ledger path
+    # guarantees placement) — every partition holds exactly one group
+    twin = str(tmp_path / "multi_rg_twin.parquet")
+    import shutil
+
+    shutil.copy(path, twin)
+    df2 = pc.read_parquet_with_engine(spark, [path, twin], columns=["id"])
+    assert df2.rdd.getNumPartitions() == 8
+    per_part = df2.rdd.glom().map(len).collect()
+    assert sorted(per_part) == [2000] * 8
+    assert df2.count() == 2 * n
+
 
 def test_bit_packed_v1_levels_decode():
     """Deprecated BIT_PACKED level encoding (MSB-first, no length prefix —
