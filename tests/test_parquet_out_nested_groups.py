@@ -236,3 +236,49 @@ def test_repeated_group_input_validation(tmp_path):
              [("x", "int32", "AUTO", np.arange(5, dtype=np.int32), None)],
              None), None,
         )])
+
+
+def test_engine_reader_round_trips_list_of_struct_and_map(tmp_path):
+    """Closed loop for repeated GROUPS: engine-written array<struct> and
+    map columns assembled back per-leaf by the engine's own foreign
+    reader — write-side Dremel shredding and read-side record assembly
+    agree on every null distinction (null row / empty / null element
+    struct / null field)."""
+    from engine import parquet_compat as pc
+
+    ls_cols, f = _list_struct_fixture(n=300, seed=11)
+    mcol, g = _map_fixture(n=300)
+    for version in (1, 2):
+        path = str(tmp_path / f"own_groups_v{version}.parquet")
+        po.write_table(
+            path, ls_cols + [mcol], codec="snappy",
+            data_page_version=version,
+        )
+        t = pc.read_table(path)
+        xs = t["events.list.element.x"][0]
+        tags = t["events.list.element.tag"][0]
+        keys = t["attrs.key_value.key"][0]
+        vals = t["attrs.key_value.value"][0]
+        for i in range(f["n"]):
+            if not f["rv"][i]:
+                assert xs[i] is None and tags[i] is None
+                continue
+            lo, hi = f["offsets"][i], f["offsets"][i + 1]
+            assert xs[i] == [
+                int(f["x"][j]) if (f["sv"][j] and f["xv"][j]) else None
+                for j in range(lo, hi)
+            ]
+            assert tags[i] == [
+                str(f["tags"][j]) if f["sv"][j] else None
+                for j in range(lo, hi)
+            ]
+        for i in range(g["n"]):
+            if not g["rv"][i]:
+                assert keys[i] is None and vals[i] is None
+                continue
+            lo, hi = g["offsets"][i], g["offsets"][i + 1]
+            assert keys[i] == [g["keys"][j] for j in range(lo, hi)]
+            assert vals[i] == [
+                int(g["vals"][j]) if g["vv"][j] else None
+                for j in range(lo, hi)
+            ]
