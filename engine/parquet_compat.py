@@ -889,17 +889,21 @@ def _spark_type(c: ColumnInfo) -> str:
     return _SPARK_TYPES[c.phys]
 
 
-def read_parquet_with_engine(spark, path: str | list, columns: list | None = None):
+def read_parquet_with_engine(spark, path: str | list, columns: list | None = None,
+                             target_split_bytes: int = 128 * 1024 * 1024):
     """Distributed read of FOREIGN parquet through the engine's own codecs,
     split at ROW-GROUP granularity (``path`` may be one path or a list
     sharing a schema). Two phases, mirroring Spark's own scan planning:
     (1) a distributed footer-parse pass over the file list yields one
-    (path, rg) unit per row group — executors read footers, the driver
-    collects only the metadata pairs (the split ledger Spark's scheduler
-    itself holds); (2) each unit becomes exactly one task that decodes
-    its group's column chunks with ``read_table(row_group=...)``. A
-    10-group file therefore fans out to 10 tasks instead of serializing
-    behind one — the property that matters when one file is 10 GB. The
+    (path, rg, bytes) unit per row group — executors read footers, the
+    driver collects only the metadata triples (the split ledger Spark's
+    scheduler itself holds); (2) units are bin-packed in file order into
+    splits of up to ``target_split_bytes`` of projected compressed chunk
+    bytes (the analog of spark.sql.files.maxPartitionBytes), one task per
+    split, each decoding its groups with ``read_table(row_group=...)``.
+    Both scale failure modes are covered: a 10-group 10 GB file fans out
+    to 10 tasks instead of serializing behind one core, and 10k tiny row
+    groups coalesce into few tasks instead of 10k task launches. The
     driver never touches payload bytes; the schema comes from the FIRST
     file's parsed footer (INT96 surfaces as epoch-ns longs).
 
@@ -922,9 +926,20 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     def plan(batches):
         for pdf in batches:
             for p in pdf["path"]:
-                n_rg = len({c.rg for c in read_file_info(p).columns})
+                sizes: dict = {}
+                for c in read_file_info(p).columns:
+                    if columns is None or c.path in columns:
+                        sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
+                    else:
+                        sizes.setdefault(c.rg, 0)  # group exists, col pruned
                 yield pd.DataFrame(
-                    {"path": [p] * n_rg, "rg": np.arange(n_rg, dtype=np.int32)}
+                    {
+                        "path": [p] * len(sizes),
+                        "rg": np.array(sorted(sizes), dtype=np.int32),
+                        "bytes": np.array(
+                            [sizes[k] for k in sorted(sizes)], dtype=np.int64
+                        ),
+                    }
                 )
 
     def gen(batches):
@@ -949,19 +964,35 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
-    # one job parses every footer executor-side; the collected (path, rg)
-    # pairs are the split ledger Spark's own scheduler holds for its scans
-    # — metadata only, never payload bytes. parallelize(n slices over n
-    # units) then places DETERMINISTICALLY one unit per task (round-robin
-    # repartition can collide streams from different input partitions).
-    pairs = [
-        (r["path"], int(r["rg"]))
-        for r in paths_df.mapInPandas(plan, "path string, rg int").collect()
-    ]
-    units = spark.createDataFrame(
-        spark.sparkContext.parallelize(pairs, max(len(pairs), 1)),
-        "path string, rg int",
-    )
+    # one job parses every footer executor-side; the collected (path, rg,
+    # bytes) triples are the split ledger Spark's own scheduler holds for
+    # its scans — metadata only, never payload bytes
+    ledger = paths_df.mapInPandas(
+        plan, "path string, rg int, bytes long"
+    ).collect()
+    # bin-pack in file order (keeps a file's groups adjacent — sequential
+    # reads on the same handle) up to the byte budget; parallelize(one
+    # slice per split) then places DETERMINISTICALLY one split per task
+    # (round-robin repartition can collide streams from different input
+    # partitions). A single over-budget group still gets its own task —
+    # row groups are the atomic unit.
+    splits: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for r in sorted(ledger, key=lambda r: (paths.index(r["path"]), r["rg"])):
+        if cur and cur_bytes + r["bytes"] > target_split_bytes:
+            splits.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((r["path"], int(r["rg"])))
+        cur_bytes += r["bytes"]
+    if cur:
+        splits.append(cur)
+    # one split per slice, flatMap to its units (narrow — keeps each
+    # task's units exactly the bin-packed set, unlike count-based slicing)
+    rdd = spark.sparkContext.parallelize(
+        splits if splits else [[]], max(len(splits), 1)
+    ).flatMap(lambda s: s)
+    units = spark.createDataFrame(rdd, "path string, rg int")
     return units.mapInPandas(gen, schema)
 
 

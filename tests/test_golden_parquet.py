@@ -294,9 +294,10 @@ def test_dict_malformed_golden_fails_clean():
 
 
 def test_spark_distributed_multi_file_read(spark):
-    """A file LIST fans out one decode task per file — the fleet-scale
-    unit of parallelism — here the plain + snappy alltypes twins (same
-    schema, different codec) in one distributed read."""
+    """A file LIST fans out one decode task per split unit (single-group
+    files: per file) — here the plain + snappy alltypes twins (same
+    schema, different codec) in one distributed read; the tiny byte
+    budget pins maximal fan-out."""
     df = pc.read_parquet_with_engine(
         spark,
         [
@@ -304,6 +305,7 @@ def test_spark_distributed_multi_file_read(spark):
             f"{DATA}/alltypes_plain.snappy.parquet",
         ],
         columns=["id", "bigint_col"],
+        target_split_bytes=1,
     )
     assert df.rdd.getNumPartitions() == 2
     rows = df.collect()
@@ -330,7 +332,9 @@ def test_spark_distributed_row_group_splits(spark, tmp_path):
         ],
         row_group_size=2000,
     )
-    df = pc.read_parquet_with_engine(spark, path, columns=["id", "tag"])
+    df = pc.read_parquet_with_engine(
+        spark, path, columns=["id", "tag"], target_split_bytes=1
+    )
     assert df.rdd.getNumPartitions() == 4
     rows = df.collect()
     assert len(rows) == n
@@ -344,11 +348,31 @@ def test_spark_distributed_row_group_splits(spark, tmp_path):
     import shutil
 
     shutil.copy(path, twin)
-    df2 = pc.read_parquet_with_engine(spark, [path, twin], columns=["id"])
+    df2 = pc.read_parquet_with_engine(
+        spark, [path, twin], columns=["id"], target_split_bytes=1
+    )
     assert df2.rdd.getNumPartitions() == 8
     per_part = df2.rdd.glom().map(len).collect()
     assert sorted(per_part) == [2000] * 8
     assert df2.count() == 2 * n
+
+    # the default 128 MB budget COALESCES these tiny groups into one task
+    # (the other scale failure mode: 10k tiny groups != 10k task
+    # launches), and an intermediate budget packs adjacent groups
+    df3 = pc.read_parquet_with_engine(spark, [path, twin], columns=["id"])
+    assert df3.rdd.getNumPartitions() == 1
+    assert df3.count() == 2 * n
+    one_rg_bytes = max(
+        c.total_compressed
+        for c in pc.read_file_info(path).columns
+        if c.path == "id"
+    )
+    df4 = pc.read_parquet_with_engine(
+        spark, [path, twin], columns=["id"],
+        target_split_bytes=2 * one_rg_bytes + one_rg_bytes // 2,
+    )
+    assert df4.rdd.getNumPartitions() == 4  # 8 units -> 4 two-group bins
+    assert sorted(df4.rdd.glom().map(len).collect()) == [4000] * 4
 
 
 def test_bit_packed_v1_levels_decode():
