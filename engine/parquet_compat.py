@@ -979,7 +979,8 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     splits: list[list] = []
     cur: list = []
     cur_bytes = 0
-    for r in sorted(ledger, key=lambda r: (paths.index(r["path"]), r["rg"])):
+    order = {p: i for i, p in enumerate(paths)}
+    for r in sorted(ledger, key=lambda r: (order[r["path"]], r["rg"])):
         if cur and cur_bytes + r["bytes"] > target_split_bytes:
             splits.append(cur)
             cur, cur_bytes = [], 0
