@@ -258,18 +258,32 @@ def _walk_schema(elems: list) -> dict:
 def read_file_info(path: str) -> FileInfo:
     """Parse the footer of a real parquet file into per-column metadata,
     with nothing but the thrift compact parser above."""
+    # read ONLY the magic + footer bytes (seek from both ends) — planning
+    # a 10 GB file must not read 10 GB; payload bytes are fetched later by
+    # the column readers' own seeks
     with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] != MAGIC or data[-4:] != MAGIC:
-        raise ValueError(f"{path}: not a parquet file (missing PAR1 magic)")
-    (flen,) = struct.unpack("<I", data[-8:-4])
-    if flen + 8 > len(data):
-        raise ValueError(f"{path}: footer length {flen} exceeds file")
+        size = f.seek(0, 2)
+        if size < 12:
+            raise ValueError(
+                f"{path}: not a parquet file (too small for PAR1 magic"
+                " + footer)"
+            )
+        f.seek(0)
+        head = f.read(4)
+        f.seek(size - 8)
+        tail = f.read(8)
+        if head != MAGIC or tail[4:] != MAGIC:
+            raise ValueError(f"{path}: not a parquet file (missing PAR1 magic)")
+        (flen,) = struct.unpack("<I", tail[:4])
+        if flen + 8 > size:
+            raise ValueError(f"{path}: footer length {flen} exceeds file")
+        f.seek(size - 8 - flen)
+        footer = f.read(flen)
     # fail-clean contract: a corrupt/truncated footer parses into missing
     # field ids or runs off the buffer — surface all of it as ValueError
     # (r5 advice #4; same pattern as read_column_with_levels)
     try:
-        meta = _Reader(data[-8 - flen : -8]).struct()
+        meta = _Reader(footer).struct()
         # FileMetaData: 2 schema, 3 num_rows, 4 row_groups, 6 created_by
         leaves = _walk_schema(meta[2])
         info = FileInfo(
