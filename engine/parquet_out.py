@@ -387,16 +387,22 @@ def _column_stats(phys: str, values, validity, n: int, utf8: bool = False):
     if (n - null_count) == 0:
         return {"null_count": null_count, "min": None, "max": None}
     if phys == "byte_array":
+        import pyarrow as pa
+        import pyarrow.compute as pac
+
         lens, data = values
         offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
-        arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
-        lo = hi = bytes(arr[offs[0] : offs[1]])
-        for i in range(1, len(lens)):
-            v = bytes(arr[offs[i] : offs[i + 1]])
-            if v < lo:
-                lo = v
-            elif v > hi:
-                hi = v
+        buf = data if isinstance(data, bytes) else bytes(data)
+        # zero-copy BinaryArray over (offsets, data), then one vectorized
+        # C++ min_max pass — per-page stats sit in the writer's hot loop
+        # and a per-value Python scan dominated wide string chunks
+        arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(lens),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+        )
+        mm = pac.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if utf8:
             try:
                 return {
