@@ -616,3 +616,29 @@ def test_spark_rejects_bss_documented(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="BYTE_STREAM_SPLIT|FAILED_READ"):
         spark.read.parquet(path).collect()
+
+
+def test_byte_array_stats_arrow_ordering_parity():
+    """The vectorized Arrow min_max pass must order binary exactly like
+    Python bytes comparison (unsigned lexicographic, prefix-is-smaller) —
+    fuzzed over empty / prefix / 0xFF edge values. A divergence here
+    would write wrong stats bounds and silently mis-prune readers."""
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        vals = [
+            bytes(rng.integers(0, 256, rng.integers(0, 8), dtype=np.uint8))
+            for _ in range(int(rng.integers(1, 30)))
+        ]
+        if trial % 3 == 0:
+            vals += [b"", b"\xff", b"\xff\x00", b"a", b"ab"]
+        lens = np.array([len(v) for v in vals], np.int64)
+        s = po._column_stats(
+            "byte_array", (lens, b"".join(vals)), None, len(vals)
+        )
+        lo, hi = min(vals), max(vals)
+        assert s["min"] == lo[:64]
+        # max is truncated-and-incremented only when over the cap
+        if len(hi) <= 64:
+            assert s["max"] == hi
+        else:
+            assert s["max"] >= hi[: len(s["max"])] and len(s["max"]) <= 64
