@@ -966,13 +966,9 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
                     if isinstance(vals, list):
                         out[c.path] = pd.Series(vals, dtype=object)
                     else:
-                        out[c.path] = pd.Series(
-                            [
-                                vals[i] if ok else None
-                                for i, ok in enumerate(valid)
-                            ],
-                            dtype=object,
-                        )
+                        s = pd.Series(vals).astype(object)
+                        s[~valid] = None
+                        out[c.path] = s
                 yield pd.DataFrame(out)
 
     paths_df = spark.createDataFrame(
