@@ -11,6 +11,7 @@ Usage::
     python -m engine.cli lookup <store_dir> <doc_id> [doc_id ...]  # point lookup
     python -m engine.cli read-parquet   <path> [n]   # plain parquet files
     python -m engine.cli schema-parquet <path>
+    python -m engine.cli index-parquet  <path>   # PageIndex: per-page bounds
 """
 
 from __future__ import annotations
@@ -104,6 +105,45 @@ def cmd_schema_parquet(path: str) -> None:
     spark.read.parquet(path).printSchema()
 
 
+def cmd_index_parquet(path: str) -> None:
+    """Print each column chunk's PageIndex — per-page row offsets, sizes
+    and min/max/null_count bounds plus the boundary_order claim — the
+    page-stats structures the reference leaves as TODO
+    (``src/column/writer.rs:356,480-481``). No Spark session needed:
+    footer-only seeks."""
+    from engine import parquet_compat as pc
+
+    _BO = {0: "UNORDERED", 1: "ASCENDING", 2: "DESCENDING"}
+    info = pc.read_file_info(path)
+    for col in info.columns:
+        try:
+            locs, ci = pc.read_page_index(path, col)
+        except ValueError as e:
+            print(f"rg{col.rg} {col.path}: {e}")
+            continue
+        order = "no ColumnIndex" if ci is None else _BO.get(
+            ci["boundary_order"], "?"
+        )
+        print(f"rg{col.rg} {col.path} ({col.phys}): {len(locs)} pages, {order}")
+        for i, loc in enumerate(locs):
+            line = (
+                f"  page {i}: rows@{loc['first_row']} "
+                f"off={loc['offset']} comp={loc['comp_size']}B"
+            )
+            if ci is not None:
+                if ci["null_pages"][i]:
+                    line += "  ALL-NULL"
+                else:
+                    mn, mx = bytes(ci["mins"][i]), bytes(ci["maxs"][i])
+                    if col.phys not in ("byte_array", "bool"):
+                        mn = pc._plain_scalar(mn, col.phys)
+                        mx = pc._plain_scalar(mx, col.phys)
+                    line += f"  min={mn!r} max={mx!r}"
+                if ci["null_counts"] is not None:
+                    line += f" nulls={ci['null_counts'][i]}"
+            print(line)
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -124,6 +164,8 @@ def main() -> None:
         cmd_read_parquet(store, int(sys.argv[3]) if len(sys.argv) > 3 else 10)
     elif cmd == "schema-parquet":
         cmd_schema_parquet(store)
+    elif cmd == "index-parquet":
+        cmd_index_parquet(store)
     else:
         print(__doc__)
         raise SystemExit(2)

@@ -46,3 +46,23 @@ def test_main_dispatch(monkeypatch, capsys, store_dir, spark):
     monkeypatch.setattr("sys.argv", ["engine.cli", "nope", "x"])
     with pytest.raises(SystemExit):
         cli.main()
+
+
+def test_index_parquet_command(tmp_path, capsys):
+    """index-parquet prints per-page bounds with decoded numeric stats
+    and the boundary_order claim, no Spark session required."""
+    import numpy as np
+
+    from engine import cli
+    from engine import parquet_out as po
+
+    path = str(tmp_path / "ix.parquet")
+    po.write_table(
+        path,
+        [("x", "int64", "PLAIN", np.arange(3000, dtype=np.int64), None)],
+        page_size_rows=1000,
+    )
+    cli.cmd_index_parquet(path)
+    out = capsys.readouterr().out
+    assert "3 pages, ASCENDING" in out
+    assert "min=1000 max=1999" in out and "nulls=0" in out
