@@ -16,6 +16,7 @@ Usage::
 
 from __future__ import annotations
 
+import struct
 import sys
 
 
@@ -125,22 +126,28 @@ def cmd_index_parquet(path: str) -> None:
             ci["boundary_order"], "?"
         )
         print(f"rg{col.rg} {col.path} ({col.phys}): {len(locs)} pages, {order}")
+        # decode bounds only for the fixed types PLAIN stats encode 1:1;
+        # byte_array/bool/FLBA/INT96 display raw stat bytes
+        typed = col.phys in ("int32", "int64", "float32", "float64")
         for i, loc in enumerate(locs):
             line = (
                 f"  page {i}: rows@{loc['first_row']} "
                 f"off={loc['offset']} comp={loc['comp_size']}B"
             )
-            if ci is not None:
-                if ci["null_pages"][i]:
-                    line += "  ALL-NULL"
-                else:
-                    mn, mx = bytes(ci["mins"][i]), bytes(ci["maxs"][i])
-                    if col.phys not in ("byte_array", "bool"):
-                        mn = pc._plain_scalar(mn, col.phys)
-                        mx = pc._plain_scalar(mx, col.phys)
-                    line += f"  min={mn!r} max={mx!r}"
-                if ci["null_counts"] is not None:
-                    line += f" nulls={ci['null_counts'][i]}"
+            try:
+                if ci is not None:
+                    if ci["null_pages"][i]:
+                        line += "  ALL-NULL"
+                    else:
+                        mn, mx = bytes(ci["mins"][i]), bytes(ci["maxs"][i])
+                        if typed:
+                            mn = pc._plain_scalar(mn, col.phys)
+                            mx = pc._plain_scalar(mx, col.phys)
+                        line += f"  min={mn!r} max={mx!r}"
+                    if ci["null_counts"] is not None:
+                        line += f" nulls={ci['null_counts'][i]}"
+            except (IndexError, ValueError, struct.error) as e:
+                line += f"  <malformed ColumnIndex entry: {e!r}>"
             print(line)
 
 

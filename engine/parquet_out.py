@@ -392,14 +392,14 @@ def _column_stats(phys: str, values, validity, n: int, utf8: bool = False):
 
         lens, data = values
         offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
-        buf = data if isinstance(data, bytes) else bytes(data)
-        # zero-copy BinaryArray over (offsets, data), then one vectorized
-        # C++ min_max pass — per-page stats sit in the writer's hot loop
-        # and a per-value Python scan dominated wide string chunks
+        # zero-copy BinaryArray over (offsets, data) — py_buffer wraps
+        # bytes AND ndarrays without copying — then one vectorized C++
+        # min_max pass; per-page stats sit in the writer's hot loop and a
+        # per-value Python scan dominated wide string chunks
         arr = pa.Array.from_buffers(
             pa.large_binary(),
             len(lens),
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+            [None, pa.py_buffer(offs), pa.py_buffer(data)],
         )
         mm = pac.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
