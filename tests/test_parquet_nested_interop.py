@@ -325,3 +325,33 @@ def test_empty_list_table_writes(tmp_path):
     )
     t = pq.read_table(path)
     assert t.num_rows == 0 and t.column_names == ["tokens"]
+
+
+def test_distributed_read_multi_group_lists(spark, tmp_path):
+    """Repeated columns through the ROW-GROUP-split distributed reader: a
+    4-group list file fans out one assembly task per group and the union
+    of per-group Dremel assemblies is exactly the whole table."""
+    n = 400
+    counts = np.tile([0, 1, 2, 3], n // 4).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    dense = np.arange(int(offsets[-1]), dtype=np.int64)
+    path = str(tmp_path / "dist_lists.parquet")
+    po.write_table(
+        path,
+        [
+            ("rid", "int64", "PLAIN", np.arange(n, dtype=np.int64), None),
+            ("toks", "list<int64>", "PLAIN", (offsets, dense, None), None),
+        ],
+        row_group_size=100,
+        codec="snappy",
+    )
+    df = pc.read_parquet_with_engine(
+        spark, path, columns=["rid", "toks.list.element"],
+        target_split_bytes=1,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["rid"]: r["toks.list.element"] for r in df.collect()}
+    assert len(rows) == n
+    for i in range(n):
+        lo, hi = offsets[i], offsets[i + 1]
+        assert rows[i] == list(range(lo, hi))
