@@ -739,7 +739,8 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 created_by: str = "spark-graft encoder",
                 row_group_size: int | None = None,
                 data_page_version: int = 1,
-                page_size_rows: int | None = None) -> dict:
+                page_size_rows: int | None = None,
+                dict_page_size_limit: int = 1024 * 1024) -> dict:
     """Write flat columns as a real parquet file.
 
     ``columns``: list of (name, phys, encoding, values, validity) where
@@ -914,7 +915,8 @@ def write_table(path: str, columns: list, codec: str | None = None,
     for lo in range(0, max(num_rows, 1), step):
         hi = min(lo + step, num_rows)
         col_meta = _write_group(
-            out, norm, lo, hi, codec, data_page_version, page_size_rows
+            out, norm, lo, hi, codec, data_page_version, page_size_rows,
+            dict_page_size_limit,
         )
         rowgroups.append((col_meta, hi - lo))
         if num_rows == 0:
@@ -968,7 +970,8 @@ def _slice_list_dense(phys, values, aux, lst, lo, hi):
 
 def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                  codec: str | None, data_page_version: int = 1,
-                 page_rows: int | None = None) -> list:
+                 page_rows: int | None = None,
+                 dict_page_size_limit: int = 1024 * 1024) -> list:
     if data_page_version not in (1, 2):
         raise ValueError(f"data_page_version must be 1 or 2")
     col_meta = []
@@ -1017,6 +1020,16 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
         dict_idx = None
         if enc == "PLAIN_DICTIONARY":
             dict_plain, dict_idx, n_dict = _dict_build(phys, g_values)
+            if len(dict_plain) > dict_page_size_limit:
+                # parquet-mr's dict_fallback (the reference mirrors it in
+                # src/column/writer.rs add_data_page/dict_fallback): a
+                # dictionary page past the limit costs more than it saves
+                # — this one-shot writer knows the full dict upfront, so
+                # the whole group falls back to PLAIN before any bytes
+                # are emitted (no mixed-encoding chunk needed)
+                enc = "PLAIN"
+                dict_idx = None
+        if enc == "PLAIN_DICTIONARY":
             dict_width = max(int(n_dict - 1).bit_length(), 1)
             comp_dict = _compress(dict_plain, codec)
             # v2 convention: dict page declares PLAIN, data pages

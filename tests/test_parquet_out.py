@@ -642,3 +642,35 @@ def test_byte_array_stats_arrow_ordering_parity():
             assert s["max"] == hi
         else:
             assert s["max"] >= hi[: len(s["max"])] and len(s["max"]) <= 64
+
+
+def test_dictionary_page_size_fallback(tmp_path):
+    """A dictionary page over dict_page_size_limit falls back to PLAIN
+    for the whole group (parquet-mr's dict_fallback, one-shot form;
+    reference src/column/writer.rs add_data_page/dict_fallback) — and the
+    file stays exactly readable."""
+    import pyarrow.parquet as pq
+
+    n = 5000
+    vals = [f"unique-value-{i:08d}" for i in range(n)]  # all distinct
+    path = str(tmp_path / "fb.parquet")
+    po.write_table(
+        path,
+        [("s", "utf8", "PLAIN_DICTIONARY", po.flat_strings(vals), None)],
+        dict_page_size_limit=1024,
+    )
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert "PLAIN_DICTIONARY" not in str(md.encodings)
+    assert "RLE_DICTIONARY" not in str(md.encodings)
+    assert pq.read_table(path).column("s").to_pylist() == vals
+
+    # under the default limit the dictionary is kept
+    low = [f"k{i % 5}" for i in range(n)]
+    path2 = str(tmp_path / "keep.parquet")
+    po.write_table(
+        path2,
+        [("s", "utf8", "PLAIN_DICTIONARY", po.flat_strings(low), None)],
+    )
+    md2 = pq.ParquetFile(path2).metadata.row_group(0).column(0)
+    assert "PLAIN_DICTIONARY" in str(md2.encodings)
+    assert pq.read_table(path2).column("s").to_pylist() == low
