@@ -38,6 +38,7 @@ def _timed_reps(reps: int, run) -> list[float]:
     at 14.8s). Every pass is recorded in the artifact ("passes"), so the
     bench JSON itself shows the envelope; the headline takes the best."""
     times: list[float] = []
+    reps = max(reps, 1)  # reps=0 would evaluate max() on an empty list
     max_extra = 2
     while len(times) < reps or (
         len(times) < reps + max_extra and max(times) > 1.5 * min(times)

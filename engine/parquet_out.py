@@ -404,16 +404,21 @@ def _column_stats(phys: str, values, validity, n: int, utf8: bool = False):
         mm = pac.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if utf8:
+            # the two bounds fail independently: _utf8_trunc_min never
+            # decodes (pure byte backoff) but a declared-UTF8 column can
+            # still carry undecodable bytes that make the codepoint
+            # prefix unusable; _utf8_trunc_max decodes and can raise.
+            # Keep whichever bound is computable (r6 ADVICE #1).
+            mn = _utf8_trunc_min(lo)
             try:
-                return {
-                    "null_count": null_count,
-                    "min": _utf8_trunc_min(lo),
-                    "max": _utf8_trunc_max(hi),
-                }
+                mn.decode()
             except UnicodeDecodeError:
-                # declared-UTF8 column carrying undecodable bytes: omit
-                # the bounds rather than write stats readers reject
-                return {"null_count": null_count, "min": None, "max": None}
+                mn = None
+            try:
+                mx = _utf8_trunc_max(hi)
+            except UnicodeDecodeError:
+                mx = None
+            return {"null_count": null_count, "min": mn, "max": mx}
         return {
             "null_count": null_count,
             "min": lo[:_STATS_TRUNC],
@@ -438,10 +443,15 @@ def _column_stats(phys: str, values, validity, n: int, utf8: bool = False):
 
 def _stats_struct(stats: dict) -> list:
     """Thrift Statistics struct fields: 3 null_count, 5 max_value, 6
-    min_value (the order-defined v2 fields readers trust)."""
+    min_value (the order-defined v2 fields readers trust). Each bound is
+    written independently: a chunk whose max is un-boundable after
+    truncation (all-0xFF prefix / degenerate all-U+10FFFF) still carries
+    its perfectly valid truncated min, preserving min-based row-group
+    pruning (r6 ADVICE #1)."""
     fields = [(3, _CT_I64, stats["null_count"])]
     if stats["max"] is not None:
         fields.append((5, _CT_BINARY, stats["max"]))
+    if stats["min"] is not None:
         fields.append((6, _CT_BINARY, stats["min"]))
     return fields
 

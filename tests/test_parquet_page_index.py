@@ -299,3 +299,151 @@ def test_utf8_stats_truncate_at_codepoint_boundary(tmp_path):
         f"SELECT COUNT(*) FROM read_parquet('{path}') WHERE t >= 'a'"
     ).fetchone()[0]
     assert n == 2
+
+
+# --- read_table_pruned: row-aligned multi-column page pruning (round 7) ---
+
+
+def _write_table3(tmp_path, n=10000, page_rows=500, name="rt3.parquet",
+                  base=0):
+    ids = np.arange(base, base + n, dtype=np.int64)
+    vals = (ids * 7 % 1000).astype(np.int64)
+    strs = po.flat_strings([f"s{i:06d}" for i in range(base, base + n)])
+    path = str(tmp_path / name)
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+            ("v", "int64", "PLAIN", vals, None),
+            ("s", "utf8", "AUTO", strs, None),
+        ],
+        page_size_rows=page_rows,
+    )
+    return path
+
+
+def test_read_table_pruned_aligned_columns(tmp_path):
+    """The predicate column's surviving pages drive the row selection;
+    every other column decodes only intersecting pages and slices to the
+    exact residual rows (values AND row alignment exact)."""
+    path = _write_table3(tmp_path)
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("id", 2000, 2999), columns=["id", "v", "s"]
+    )
+    assert pr < pt  # pages actually skipped
+    ids, valid = tab["id"]
+    assert np.array_equal(ids, np.arange(2000, 3000)) and valid.all()
+    assert np.array_equal(tab["v"][0], np.arange(2000, 3000) * 7 % 1000)
+    assert tab["s"][0][0] == b"s002000" and tab["s"][0][-1] == b"s002999"
+
+
+def test_read_table_pruned_string_predicate(tmp_path):
+    """str bounds on a UTF8 column normalize to bytes at the API boundary
+    (r6 ADVICE #4) instead of raising inside bisect."""
+    path = _write_table3(tmp_path)
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("s", "s000100", "s000199"), columns=["s", "id"]
+    )
+    assert len(tab["id"][0]) == 100 and pr < pt
+    assert np.array_equal(tab["id"][0], np.arange(100, 200))
+
+
+def test_read_table_pruned_wrong_predicate_type(tmp_path):
+    path = _write_table3(tmp_path)
+    with pytest.raises(TypeError, match="must be str or bytes"):
+        pc.read_table_pruned(path, ("s", 5, 9), columns=["s"])
+    with pytest.raises(TypeError, match="must be numeric"):
+        pc.read_table_pruned(path, ("id", "5", "9"), columns=["id"])
+
+
+def test_read_table_pruned_nulls_fail_predicate(tmp_path):
+    """SQL range semantics: NULL predicate values never match, and the
+    non-predicate columns stay row-aligned through the null gaps."""
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    valid = np.ones(n, bool)
+    valid[1100:1200] = False
+    path = str(tmp_path / "nulls3.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "PLAIN", ids, valid),
+            ("v", "int64", "PLAIN", ids * 3, None),
+        ],
+        page_size_rows=500,
+    )
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("id", 1000, 1999), columns=["id", "v"]
+    )
+    got = tab["id"][0]
+    want = np.concatenate([np.arange(1000, 1100), np.arange(1200, 2000)])
+    assert np.array_equal(got, want)
+    assert np.array_equal(tab["v"][0], want * 3)
+
+
+def test_read_table_pruned_multi_row_group(tmp_path):
+    """A fully-pruned row group contributes zero rows and zero decoded
+    pages; a partially-pruned one contributes its exact slice."""
+    ids = np.arange(8000, dtype=np.int64)
+    path = str(tmp_path / "rg3.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "PLAIN", ids, None),
+            ("v", "int64", "PLAIN", ids + 7, None),
+        ],
+        row_group_size=4000,
+        page_size_rows=1000,
+    )
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("id", 6500, 6600), columns=["id", "v"]
+    )
+    assert np.array_equal(tab["id"][0], np.arange(6500, 6601))
+    assert np.array_equal(tab["v"][0], np.arange(6507, 6608))
+    # group 0: predicate column's 4 pages consulted, 0 decoded; group 1:
+    # 1 of 4 decoded per column
+    assert pr == 2 and pt == 16
+
+
+def test_read_table_pruned_no_index_fallback(tmp_path):
+    """A NaN page suppresses the float column's ColumnIndex: the pruned
+    read falls back to whole-chunk decode + residual filter (correct
+    rows, no page skipped) instead of failing."""
+    vals = np.arange(2000, dtype=np.float64)
+    vals[1500] = np.nan
+    path = str(tmp_path / "nanp.parquet")
+    po.write_table(
+        path,
+        [
+            ("f", "float64", "PLAIN", vals, None),
+            ("id", "int64", "PLAIN", np.arange(2000, dtype=np.int64), None),
+        ],
+        page_size_rows=500,
+    )
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("f", 100.0, 109.0), columns=["f", "id"]
+    )
+    assert np.array_equal(tab["id"][0], np.arange(100, 110))
+    assert np.array_equal(tab["f"][0], np.arange(100.0, 110.0))
+
+
+def test_distributed_pruned_read(tmp_path, spark):
+    """read_parquet_with_engine(predicate=...): row groups excluded by
+    footer stats never become tasks (prune_report), surviving units skip
+    pages (the _pages_read/_pages_total columns), and the returned rows
+    are exactly the WHERE rows."""
+    paths = [
+        _write_table3(tmp_path, n=5000, base=f * 5000,
+                      name=f"part{f}.parquet")
+        for f in range(4)
+    ]
+    rep: dict = {}
+    df = pc.read_parquet_with_engine(
+        spark, paths, columns=["id", "v"],
+        predicate=("id", 6000, 6499), prune_stats=True, prune_report=rep,
+    )
+    pdf = df.toPandas().sort_values("id")
+    assert rep == {"rg_total": 4, "rg_planned": 1}
+    assert pdf["id"].tolist() == list(range(6000, 6500))
+    assert (pdf["v"] == pdf["id"] * 7 % 1000).all()
+    assert (pdf["_pages_read"] < pdf["_pages_total"]).all()

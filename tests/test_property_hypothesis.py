@@ -309,3 +309,78 @@ def test_decode_wav_never_crashes_unclean(data):
     except ValueError:
         return
     assert samples.ndim == 2 and sr > 0
+
+
+# --- vectorized rep-1 Dremel assembly vs the Python-walk oracle (round 7) ---
+
+
+@st.composite
+def _rep1_lists(draw):
+    """Rows for a nullable list<nullable int64> column: None, [], or a
+    list mixing values and None elements."""
+    return draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.one_of(
+                        st.none(),
+                        st.integers(-(2**40), 2**40),
+                    ),
+                    max_size=6,
+                ),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(rows=_rep1_lists())
+def test_assemble_rep1_matches_python_walk(tmp_path_factory, rows):
+    """_assemble_rep1 (numpy + one ListArray constructor) must reproduce
+    the per-entry Python walk exactly on every list/null/empty shape —
+    the walk is the semantics oracle (reference
+    src/record/reader.rs:334-376)."""
+    from engine import parquet_compat as pc
+    from engine import parquet_out as po
+
+    tmp = tmp_path_factory.mktemp("rep1")
+    path = str(tmp / "lists.parquet")
+    offsets = np.zeros(len(rows) + 1, np.int64)
+    dense = []
+    elem_valid = []
+    row_valid = np.ones(len(rows), bool)
+    for i, r in enumerate(rows):
+        if r is None:
+            row_valid[i] = False
+            offsets[i + 1] = offsets[i]
+            continue
+        offsets[i + 1] = offsets[i] + len(r)
+        for e in r:
+            elem_valid.append(e is not None)
+            if e is not None:
+                dense.append(e)
+    po.write_table(
+        path,
+        [
+            (
+                "xs",
+                "list<int64>",
+                "PLAIN",
+                (
+                    offsets,
+                    np.array(dense, np.int64),
+                    np.array(elem_valid, bool),
+                ),
+                row_valid,
+            )
+        ],
+    )
+    info = pc.read_file_info(path)
+    col = next(c for c in info.columns if c.max_rep == 1)
+    vals, defs, reps = pc.read_column_with_levels(path, col)
+    fast = pc._assemble_rep1(col, vals, defs, reps)
+    slow = pc._assemble_walk(col, vals, defs, reps)
+    assert fast == slow == rows
