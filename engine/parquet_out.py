@@ -497,11 +497,15 @@ def _auto_encoding(phys: str, values) -> str:
 
 
 def _dict_build(phys: str, values):
-    """PLAIN_DICTIONARY: (dict page bytes, int64 index array, n_dict).
-    Uniques keep first-appearance order — same contract as the engine's
-    DictEncoder (pd.factorize / arrow dictionary_encode order). The
-    caller slices the index array per data page (one shared dictionary
-    per column chunk, parquet's layout)."""
+    """PLAIN_DICTIONARY: (dict page bytes, int64 index array, n_dict,
+    per-unique serialized sizes). Uniques keep first-appearance order —
+    same contract as the engine's DictEncoder (pd.factorize / arrow
+    dictionary_encode order), which also means unique k's serialized
+    bytes are dict_page[cum_sizes[k-1]:cum_sizes[k]] — the property the
+    mid-chunk dict fallback uses to truncate the dictionary to exactly
+    the uniques the dict-encoded page prefix saw. The caller slices the
+    index array per data page (one shared dictionary per column chunk,
+    parquet's layout)."""
     if phys == "byte_array":
         # arrow dictionary_encode over zero-copy buffers — first-appearance
         # order, no per-value Python (r5 review #6; same idiom the engine's
@@ -525,6 +529,7 @@ def _dict_build(phys: str, values):
             u_lens.astype(np.uint32), u_data
         )
         n_dict = len(u_lens)
+        u_sizes = 4 + np.asarray(u_lens, np.int64)  # u32 length prefix
     else:
         import pandas as pd
 
@@ -537,9 +542,10 @@ def _dict_build(phys: str, values):
         idx = codes.astype(np.int64)
         dict_plain = plain.encode(np.asarray(uniques), phys)
         n_dict = len(uniques)
+        u_sizes = np.full(n_dict, len(dict_plain) // max(n_dict, 1), np.int64)
     if n_dict == 0:
         raise ValueError("dictionary encoding of an empty column")
-    return dict_plain, idx, n_dict
+    return dict_plain, idx, n_dict, u_sizes
 
 
 def _page_header(ptype: int, raw_len: int, comp_len: int, inner) -> bytes:
@@ -1027,18 +1033,60 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
         start = len(out)
         encodings = set()
         raw_total = 0  # uncompressed bytes of all pages INCL headers (spec)
+        # page row ranges (hoisted above the dict build: the mid-chunk
+        # fallback needs per-page dense boundaries before the dict page
+        # is emitted)
+        step = page_rows if page_rows and page_rows > 0 else max(n, 1)
+        ranges = [
+            (plo, min(plo + step, hi)) for plo in range(lo, hi, step)
+        ] or [(lo, hi)]
+        single = ranges == [(lo, hi)]
         dict_idx = None
+        dict_cut = None  # dense position where dict-encoded pages stop
         if enc == "PLAIN_DICTIONARY":
-            dict_plain, dict_idx, n_dict = _dict_build(phys, g_values)
+            dict_plain, dict_idx, n_dict, u_sizes = _dict_build(
+                phys, g_values
+            )
             if len(dict_plain) > dict_page_size_limit:
-                # parquet-mr's dict_fallback (the reference mirrors it in
-                # src/column/writer.rs add_data_page/dict_fallback): a
-                # dictionary page past the limit costs more than it saves
-                # — this one-shot writer knows the full dict upfront, so
-                # the whole group falls back to PLAIN before any bytes
-                # are emitted (no mixed-encoding chunk needed)
-                enc = "PLAIN"
-                dict_idx = None
+                # mid-chunk dict_fallback (reference src/column/writer.rs:
+                # 392-420; parquet-mr's FallbackValuesWriter): the pages
+                # already written under the dictionary STAY dict-encoded
+                # and the SAME chunk continues with the fallback encoding.
+                # This one-shot writer knows the full (codes, uniques)
+                # stream upfront, so the spill point is computed instead
+                # of discovered: uniques keep first-appearance order, so
+                # the dictionary after d dense values is codes[:d].max()+1
+                # entries and its serialized size is the cumulative-size
+                # prefix — keep the longest page prefix whose dictionary
+                # fits, truncate the dict page to exactly those uniques,
+                # and encode the remaining pages PLAIN.
+                cut = None
+                if not single and lst is None and grp is None:
+                    dcum = (
+                        np.concatenate(
+                            ([0], np.cumsum(g_validity.astype(np.int64)))
+                        )
+                        if g_validity is not None
+                        else np.arange(n + 1, dtype=np.int64)
+                    )
+                    bounds = [dcum[phi - lo] for _, phi in ranges]
+                    runmax = np.maximum.accumulate(dict_idx)
+                    cum = np.cumsum(u_sizes)
+                    for b in bounds[:-1]:  # full-dict case already failed
+                        if b == 0 or cum[int(runmax[b - 1])] > \
+                                dict_page_size_limit:
+                            break
+                        cut = int(b)
+                if cut is None:
+                    # dictionary overflows inside the first page (or a
+                    # shape the split doesn't cover): the whole group
+                    # falls back before any bytes are emitted
+                    enc = "PLAIN"
+                    dict_idx = None
+                else:
+                    dict_cut = cut
+                    n_dict = int(runmax[cut - 1]) + 1
+                    dict_plain = dict_plain[: int(cum[n_dict - 1])]
         if enc == "PLAIN_DICTIONARY":
             dict_width = max(int(n_dict - 1).bit_length(), 1)
             comp_dict = _compress(dict_plain, codec)
@@ -1069,11 +1117,6 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
 
         # -- per-page pass: slice rows, shred levels, encode, record the
         # page's location + stats (the ColumnIndex/OffsetIndex inputs) --
-        step = page_rows if page_rows and page_rows > 0 else max(n, 1)
-        ranges = [
-            (plo, min(plo + step, hi)) for plo in range(lo, hi, step)
-        ] or [(lo, hi)]
-        single = ranges == [(lo, hi)]
         data_off = None
         pages = []
         dcur = 0  # dense-value cursor into the group's dictionary indices
@@ -1156,13 +1199,21 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                     else rle.encode_len_prefixed(def_lev, def_width)
                 )
             levels = rep_bytes + dl_bytes
-            if dict_idx is not None:
+            if dict_idx is not None and (
+                dict_cut is None or dcur + n_dense <= dict_cut
+            ):
                 idx_slice = dict_idx[dcur : dcur + n_dense]
                 vals_raw = bytes([dict_width]) + rle.encode(
                     idx_slice.astype(np.uint64), dict_width
                 )
+                page_enc = enc
             else:
-                vals_raw = _encode_values(phys, enc, values)
+                # PLAIN continuation page of a mixed chunk (mid-chunk
+                # dict_fallback) — or just a non-dict chunk's page
+                page_enc = "PLAIN" if dict_idx is not None else enc
+                vals_raw = _encode_values(phys, page_enc, values)
+                if dict_idx is not None:
+                    encodings.add("PLAIN")
             dcur += n_dense
             page_off = len(out)
             if data_off is None:
@@ -1177,7 +1228,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                     (1, _CT_I32, n_lev),
                     (2, _CT_I32, n_lev - n_dense),
                     (3, _CT_I32, phi - plo),  # rows (slots where rep == 0)
-                    (4, _CT_I32, _ENC_IDS[enc]),
+                    (4, _CT_I32, _ENC_IDS[page_enc]),
                     (5, _CT_I32, len(dl_bytes)),
                     (6, _CT_I32, len(rep_bytes)),
                     (7, _CT_TRUE, bool(is_comp)),
@@ -1197,7 +1248,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 comp = _compress(data_raw, codec)
                 dph = [
                     (1, _CT_I32, n_lev),
-                    (2, _CT_I32, _ENC_IDS[enc]),
+                    (2, _CT_I32, _ENC_IDS[page_enc]),
                     (3, _CT_I32, _ENC_IDS["RLE"]),  # def level encoding
                     (4, _CT_I32, _ENC_IDS["RLE"]),  # rep level encoding
                 ]

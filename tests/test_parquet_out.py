@@ -674,3 +674,74 @@ def test_dictionary_page_size_fallback(tmp_path):
     md2 = pq.ParquetFile(path2).metadata.row_group(0).column(0)
     assert "PLAIN_DICTIONARY" in str(md2.encodings)
     assert pq.read_table(path2).column("s").to_pylist() == low
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_mid_chunk_dict_fallback(tmp_path, version):
+    """Mid-chunk dict_fallback parity (VERDICT r6 #5; reference
+    src/column/writer.rs:392-420, parquet-mr FallbackValuesWriter): when
+    the dictionary overflows partway through a multi-page chunk, the
+    already-dictionary-encoded page prefix STAYS dict-encoded (dict page
+    truncated to exactly the uniques that prefix saw) and the SAME chunk
+    continues with PLAIN pages — pyarrow/DuckDB read the mixed chunk,
+    the chunk's encodings list carries both, and the file beats the old
+    whole-group-PLAIN rewrite on size."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    n = 10000
+    vals = [
+        f"k{i % 50:03d}" if i < 5000 else f"unique-{i:08d}-{'x' * 40}"
+        for i in range(n)
+    ]
+    path = str(tmp_path / "mixed.parquet")
+    po.write_table(
+        path,
+        [("s", "utf8", "PLAIN_DICTIONARY", po.flat_strings(vals), None)],
+        page_size_rows=1000,
+        dict_page_size_limit=4096,
+        data_page_version=version,
+    )
+    plain_path = str(tmp_path / "plain.parquet")
+    po.write_table(
+        plain_path,
+        [("s", "utf8", "PLAIN", po.flat_strings(vals), None)],
+        page_size_rows=1000,
+        data_page_version=version,
+    )
+    import os
+
+    assert os.path.getsize(path) < os.path.getsize(plain_path)
+    encs = str(pq.ParquetFile(path).metadata.row_group(0).column(0).encodings)
+    assert "DICTIONARY" in encs and "PLAIN" in encs
+    assert pq.read_table(path).column("s").to_pylist() == vals
+    got = duckdb.sql(f"SELECT s FROM read_parquet('{path}')").fetchall()
+    assert [r[0] for r in got] == vals
+    tab = pc.read_table(path)
+    assert [x.decode() for x in tab["s"][0]] == vals
+
+
+def test_mid_chunk_dict_fallback_nullable(tmp_path):
+    """Null slots pass through the mixed dict+PLAIN chunk unchanged."""
+    import pyarrow.parquet as pq
+
+    n = 6000
+    base = [
+        f"k{i % 30}" if i < 3000 else f"u-{i:08d}-{'y' * 30}"
+        for i in range(n)
+    ]
+    valid = np.ones(n, bool)
+    valid[::7] = False
+    dense = po.flat_strings([s for s, v in zip(base, valid) if v])
+    path = str(tmp_path / "nul.parquet")
+    po.write_table(
+        path,
+        [("s", "utf8", "PLAIN_DICTIONARY", dense, valid)],
+        page_size_rows=1000,
+        dict_page_size_limit=2048,
+    )
+    want = [s if v else None for s, v in zip(base, valid)]
+    assert pq.read_table(path).column("s").to_pylist() == want
+    tab = pc.read_table(path)
+    got = [x.decode() if x is not None else None for x in tab["s"][0]]
+    assert got == want
