@@ -85,20 +85,36 @@ class ChunkStore:
         return snap["version"] if snap else 0
 
     def _publish_snapshot(self, chunk_dir: str, lineage_dir: str, run_id: str,
-                          max_retries: int = 5) -> int:
+                          max_retries: int = 5, replace: bool = False,
+                          expected_base: int | None = None) -> int:
         """Atomically publish the next snapshot version including all prior
         data dirs + this commit's. ``os.link`` onto the version path fails
-        with EEXIST if a concurrent writer won — re-read and retry."""
+        with EEXIST if a concurrent writer won — re-read and retry.
+        ``replace=True`` publishes a snapshot containing ONLY this commit's
+        dirs (compaction: the rewritten dataset supersedes every prior dir;
+        prior versions' files stay on disk for time travel / GC). A replace
+        MUST pin ``expected_base`` — if any writer published past that
+        version, blindly retrying would silently drop their commit from
+        the replacing manifest, so the publish aborts with CommitConflict
+        instead (Iceberg's REPLACE validation; the caller re-runs
+        compaction over the newer snapshot)."""
         os.makedirs(self.snapshots_path, exist_ok=True)
         for _ in range(max_retries):
             snap = self._latest_snapshot()
+            if replace and (snap["version"] if snap else 0) != expected_base:
+                raise CommitConflict(
+                    f"snapshot advanced past v{expected_base} during "
+                    "compaction; re-run against the latest snapshot"
+                )
             version = (snap["version"] if snap else 0) + 1
+            prior_c = [] if replace else (snap["chunks_dirs"] if snap else [])
+            prior_l = [] if replace else (snap["lineage_dirs"] if snap else [])
             manifest = {
                 "version": version,
                 "run_id": run_id,
                 "ts": time.time(),
-                "chunks_dirs": (snap["chunks_dirs"] if snap else []) + [chunk_dir],
-                "lineage_dirs": (snap["lineage_dirs"] if snap else []) + [lineage_dir],
+                "chunks_dirs": prior_c + [chunk_dir],
+                "lineage_dirs": prior_l + [lineage_dir],
             }
             tmp = os.path.join(self.snapshots_path, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:

@@ -38,8 +38,11 @@ MAGIC = b"PAR1"
 
 _CT_TRUE = 1
 _CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
 _CT_I32 = 5
 _CT_I64 = 6
+_CT_DOUBLE = 7
 _CT_BINARY = 8
 _CT_LIST = 9
 _CT_STRUCT = 12
@@ -179,8 +182,12 @@ class _Writer:
         self._varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
 
     def _value(self, ctype: int, v) -> None:
-        if ctype in (_CT_I32, _CT_I64):
+        if ctype in (_CT_I16, _CT_I32, _CT_I64):
             self._zigzag(int(v))
+        elif ctype == _CT_BYTE:
+            self.parts.append(bytes([int(v) & 0xFF]))
+        elif ctype == _CT_DOUBLE:
+            self.parts.append(struct.pack("<d", float(v)))
         elif ctype == _CT_BINARY:
             b = v.encode() if isinstance(v, str) else bytes(v)
             self._varint(len(b))
