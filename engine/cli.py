@@ -125,9 +125,17 @@ def cmd_index_parquet(path: str) -> None:
         order = "no ColumnIndex" if ci is None else _BO.get(
             ci["boundary_order"], "?"
         )
-        print(f"rg{col.rg} {col.path} ({col.phys}): {len(locs)} pages, {order}")
-        # decode bounds only for the fixed types PLAIN stats encode 1:1;
-        # byte_array/bool/FLBA/INT96 display raw stat bytes
+        is_dec = col.conv == 5 and col.scale is not None
+        kind = (
+            f"decimal({col.precision},{col.scale})/{col.phys}"
+            if is_dec
+            else col.phys
+        )
+        print(f"rg{col.rg} {col.path} ({kind}): {len(locs)} pages, {order}")
+        # decode bounds for the fixed types PLAIN stats encode 1:1 and for
+        # DECIMAL columns of any backing width (int32/int64/FLBA/
+        # byte_array — typed Decimal bounds, VERDICT r6 #6);
+        # other byte_array/bool/INT96 display raw stat bytes
         typed = col.phys in ("int32", "int64", "float32", "float64")
         for i, loc in enumerate(locs):
             line = (
@@ -140,10 +148,15 @@ def cmd_index_parquet(path: str) -> None:
                         line += "  ALL-NULL"
                     else:
                         mn, mx = bytes(ci["mins"][i]), bytes(ci["maxs"][i])
-                        if typed:
-                            mn = pc._plain_scalar(mn, col.phys)
-                            mx = pc._plain_scalar(mx, col.phys)
-                        line += f"  min={mn!r} max={mx!r}"
+                        if is_dec:
+                            mn = pc.decimal_value(mn, col.phys, col.scale)
+                            mx = pc.decimal_value(mx, col.phys, col.scale)
+                            line += f"  min={mn} max={mx}"
+                        else:
+                            if typed:
+                                mn = pc._plain_scalar(mn, col.phys)
+                                mx = pc._plain_scalar(mx, col.phys)
+                            line += f"  min={mn!r} max={mx!r}"
                     if ci["null_counts"] is not None:
                         line += f" nulls={ci['null_counts'][i]}"
             except (IndexError, ValueError, struct.error) as e:

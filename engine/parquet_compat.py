@@ -201,7 +201,9 @@ class ColumnInfo:
     num_values: int
     start_offset: int
     total_compressed: int
-    conv: int | None = None  # leaf ConvertedType (0 = UTF8)
+    conv: int | None = None  # leaf ConvertedType (0 = UTF8, 5 = DECIMAL)
+    scale: int | None = None  # DECIMAL logical/converted type scale
+    precision: int | None = None  # DECIMAL precision
     rg: int = 0  # row-group ordinal this chunk belongs to
     rg_rows: int = 0  # rows in this chunk's row group (RowGroup.num_rows)
     # chunk-level Statistics bounds as written (PLAIN bytes / raw byte
@@ -312,6 +314,19 @@ def read_file_info(path: str) -> FileInfo:
                 st = cm.get(12) or {}
                 st_max = st.get(5, st.get(1))
                 st_min = st.get(6, st.get(2))
+                # DECIMAL annotation: legacy SchemaElement scale/precision
+                # (fields 7/8 with converted_type 5) or the modern
+                # LogicalType union (field 10, DECIMAL = member 5 with
+                # {1: scale, 2: precision}) — normalize both to conv=5 +
+                # scale/precision so one read surface serves either file
+                conv = el.get(6)
+                scale, precision = el.get(7), el.get(8)
+                ltype = el.get(10)
+                if isinstance(ltype, dict) and 5 in ltype:
+                    dec = ltype[5]
+                    conv = 5 if conv is None else conv
+                    scale = dec.get(1, scale)
+                    precision = dec.get(2, precision)
                 info.columns.append(
                     ColumnInfo(
                         path=col_path,
@@ -324,7 +339,9 @@ def read_file_info(path: str) -> FileInfo:
                         num_values=cm[5],
                         start_offset=start,
                         total_compressed=cm[7],
-                        conv=el.get(6),
+                        conv=conv,
+                        scale=scale,
+                        precision=precision,
                         rg=rg_idx,
                         rg_rows=rg[3],
                         stats_min=(
@@ -684,24 +701,50 @@ def read_page_index(path: str, col: ColumnInfo):
             {"offset": p[1], "comp_size": p[2], "first_row": p[3]}
             for p in oi[1]
         ]
-        ci = None
-        if ci_buf is not None:
-            c = _Reader(ci_buf).struct()
-            ci = {
-                "null_pages": c[1],
-                "mins": c[2],
-                "maxs": c[3],
-                "boundary_order": c.get(4, 0),
-                "null_counts": c.get(5),
-            }
+        ci = None if ci_buf is None else _parse_column_index(ci_buf)
     except (KeyError, IndexError, struct.error) as e:
         raise ValueError(f"{col.path}: malformed PageIndex ({e!r})") from e
     return locs, ci
 
 
+def _parse_column_index(ci_buf: bytes) -> dict:
+    """One ColumnIndex blob -> dict. ``null_counts`` (field 5) is
+    OPTIONAL per parquet.thrift — absent (None) when the writer did not
+    know per-page null counts, which readers must distinguish from
+    all-zero (parquet-mr's ColumnIndexBuilder does the same)."""
+    c = _Reader(ci_buf).struct()
+    return {
+        "null_pages": c[1],
+        "mins": c[2],
+        "maxs": c[3],
+        "boundary_order": c.get(4, 0),
+        "null_counts": c.get(5),
+    }
+
+
 def _plain_scalar(buf: bytes, phys: str):
     """One PLAIN-encoded stat value -> Python scalar (numeric types)."""
     return plain.decode(np.frombuffer(buf, np.uint8), 1, phys)[0]
+
+
+def decimal_value(raw, phys: str, scale: int):
+    """DECIMAL logical-type value -> decimal.Decimal. ``raw`` is either a
+    PLAIN stat buffer / raw value bytes (int32/int64/FLBA/byte_array) or
+    an already-decoded int. FLBA and byte_array carry the unscaled
+    integer big-endian two's complement (parquet LogicalTypes spec)."""
+    import decimal
+
+    if phys in ("int32", "int64"):
+        unscaled = (
+            int(_plain_scalar(bytes(raw), phys))
+            if isinstance(raw, (bytes, bytearray, memoryview))
+            else int(raw)
+        )
+    elif phys in ("flba", "byte_array"):
+        unscaled = int.from_bytes(bytes(raw), "big", signed=True)
+    else:
+        raise ValueError(f"DECIMAL on physical type {phys} is not valid")
+    return decimal.Decimal(unscaled).scaleb(-scale)
 
 
 def _norm_bound(col: ColumnInfo, v):
