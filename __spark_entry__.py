@@ -1774,12 +1774,14 @@ def _media_parquet() -> str:
 def _decodable_media_parquet() -> str:
     """Deterministic REAL-format media parquet (netpbm + PNG + WAV payloads
     with generation-frozen expected features) shared by both gate sides.
-    v6: r5 — PNG, JPEG, MP4-container and MP3-frame rows (all real-parsed); P5-gray + stereo-WAV variety restored."""
+    v6: r5 — PNG, JPEG, MP4-container and MP3-frame rows (all real-parsed);
+    P5-gray + stereo-WAV variety restored. v7: r7 — audio rows alternate
+    WAV and FLAC (real compressed-sample decode, engine/ops/flac.py)."""
     import tempfile
 
     from engine.ops import multimodal
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v6.parquet")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_media_decode48_v7.parquet")
     if not os.path.exists(path):
         multimodal.write_decodable_media_parquet(path, n=48, seed=7, dim=8)
     return path
@@ -1849,7 +1851,7 @@ def _q_media_probe(spark, sf_dir) -> DataFrame:
     )
     kind = (
         F.when(F.col("format").isin("netpbm", "png", "jpeg"), "image")
-        .when(F.col("format").isin("wav", "mp3"), "audio")
+        .when(F.col("format").isin("wav", "flac", "mp3"), "audio")
         .when(F.col("format") == "mp4", "video")
         .otherwise("unknown")
     )

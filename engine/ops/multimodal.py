@@ -1,17 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Decode status (r5): REAL decoders exist for every IMAGE format a
+Decode status (r7): REAL decoders exist for every IMAGE format a
 training corpus carries — netpbm (P5/P6, ``decode_ppm``), PNG (stdlib
 zlib inflate + per-scanline unfilter incl. Paeth, ``engine/ops/png.py``)
 and baseline JPEG (huffman + DCT, pure numpy, ``engine/ops/jpeg.py``) —
-plus RIFF/WAVE PCM audio (``decode_wav``), and REAL structure parsing
-for MP4 (ISO BMFF boxes/tracks/sample tables) and MP3 (MPEG frame-header
-walk) via ``engine/ops/media_meta.py``. ``extract_features`` sniffs
-magic bytes and routes everything through real parsing. The only
-remaining stub is decoding compressed codec PAYLOADS (H.264 frames, MP3
-audio samples — a full DSP stack): unknown/raw payloads fall to
-``_fake_feature``; swap it for ffmpeg on a cluster that has it.
+plus TWO real audio sample decoders: RIFF/WAVE PCM (``decode_wav``) and
+compressed FLAC (Rice + fixed/LPC prediction, CRC-8/16 + MD5 verified,
+``engine/ops/flac.py``), and REAL structure parsing for MP4 (ISO BMFF
+boxes/tracks/sample tables) and MP3 (MPEG frame-header walk) via
+``engine/ops/media_meta.py``. ``extract_features`` sniffs magic bytes
+and routes everything through real parsing. The only remaining stub is
+decoding MP3/H.264 codec PAYLOADS: unlike JPEG/PNG/FLAC, whose entropy
+tables travel in-band or derive from first principles, those codecs fix
+thousands of Huffman/window constants in their specs (ISO 11172-3 Annex
+B) — with no spec text or codec library in this environment to
+transcribe from, a hand-recalled table set would round-trip itself while
+silently violating the standard, so the stub stays declared. Unknown/raw
+payloads fall to ``_fake_feature``; swap it for ffmpeg on a cluster that
+has it.
 
 Scale notes: media bytes never enter a shuffle — feature extraction is a
 ``mapInPandas`` projection; only the (small) extracted features flow
@@ -142,6 +149,8 @@ def sniff_format(buf: bytes) -> str:
         return "mp3"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:4] == b"fLaC":
+        return "flac"
     return "unknown"
 
 
@@ -261,8 +270,17 @@ def _decode_image_bytes(buf: bytes, dim: int) -> np.ndarray:
             1.0 if info["vbr"] else 0.0,
         ]
         return _pad(vals, dim)
-    if fmt == "wav":
-        samples, sr = decode_wav(buf)
+    if fmt in ("wav", "flac"):
+        # REAL sample decode for both PCM containers: stdlib wave for
+        # RIFF, the from-scratch numpy FLAC decoder (engine/ops/flac.py —
+        # Rice/fixed-predictor/LPC, CRC-8/16 + MD5 verified) for fLaC.
+        # Identical statistic lanes so the two formats share oracles.
+        if fmt == "wav":
+            samples, sr = decode_wav(buf)
+        else:
+            from engine.ops import flac as flac_mod
+
+            samples, sr = flac_mod.decode_flac(buf)
         x = samples.astype(np.float64)
         rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
         zc = (
@@ -379,6 +397,24 @@ def _probe_payload(b: bytes):
             # true codec label from the header (the old hardcoded
             # pcm_s16le mislabeled 8/24/32-bit PCM)
             return ("wav", nfr / sr, None, None, sr, nfr, f"pcm_s{width * 8}le")
+        if fmt == "flac":
+            # streaminfo only (first metadata block) — no frame decode
+            from engine.ops import flac as flac_mod
+
+            if len(b) < 4 + 4 + 34 or (b[4] & 0x7F) != 0:
+                raise ValueError("flac: missing streaminfo")
+            r = flac_mod._BitReader(b[8:42])
+            r.read(16)
+            r.read(16)
+            r.read(24)
+            r.read(24)
+            sr = r.read(20)
+            ch = r.read(3) + 1
+            r.read(5)
+            total = r.read(36)
+            if sr <= 0:
+                raise ValueError("flac: zero sample rate")
+            return ("flac", total / sr, None, None, sr, total, "flac")
     except ValueError:
         return ("corrupt", None, None, None, None, None, None)
     return ("unknown", None, None, None, None, None, None)
@@ -547,13 +583,27 @@ def decodable_media_rows(n: int = 48, seed: int = 7, dim: int = 8) -> list:
             content = encode_ppm(img)
             kind, width, height, sr, nf = "image", w, h, None, None
         elif i % 6 == 1:
+            # audio rows alternate RIFF/WAV and FLAC (both REAL decode
+            # paths); channel count cycles independently of the format so
+            # each format sees mono AND stereo. FLAC rows mix a tone with
+            # noise so the fixed predictors actually engage (pure noise
+            # would push every subframe to VERBATIM).
             sr = int(rng.choice([8000, 16000]))
             ns = int(rng.integers(64, 512))
-            ch = 2 if (i // 6) % 2 else 1
+            ch = 2 if (i // 6) % 4 >= 2 else 1
+            tt = np.arange(ns)[:, None]
+            tone = (6000 * np.sin(tt / (3.0 + (i % 7)))).astype(np.int64)
             wave_s = (
-                rng.integers(-(2**14), 2**14, (ns, ch)).astype(np.int16)
-            )
-            content = encode_wav(wave_s, sr)
+                tone + rng.integers(-(2**10), 2**10, (ns, ch))
+            ).astype(np.int16)
+            if (i // 6) % 2:
+                from engine.ops import flac as flac_mod
+
+                content = flac_mod.encode_flac(
+                    wave_s.astype(np.int64), sr
+                )
+            else:
+                content = encode_wav(wave_s, sr)
             kind, width, height, nf = "audio", None, None, None
         elif i % 6 == 2:
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
