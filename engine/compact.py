@@ -42,22 +42,21 @@ import os
 import struct
 import uuid
 
-import numpy as np
-
 from . import parquet_compat as pc
 from . import parquet_out as po
-
-_CT_TRUE = 1
-_CT_FALSE = 2
-_CT_BYTE = 3
-_CT_I16 = 4
-_CT_I32 = 5
-_CT_I64 = 6
-_CT_DOUBLE = 7
-_CT_BINARY = 8
-_CT_LIST = 9
-_CT_SET = 10
-_CT_STRUCT = 12
+from .parquet_compat import (
+    _CT_BINARY,
+    _CT_BYTE,
+    _CT_DOUBLE,
+    _CT_FALSE,
+    _CT_I16,
+    _CT_I32,
+    _CT_I64,
+    _CT_LIST,
+    _CT_SET,
+    _CT_STRUCT,
+    _CT_TRUE,
+)
 
 
 # --- typed thrift compact round-trip -----------------------------------------
@@ -209,8 +208,16 @@ def merge_row_groups(units: list, out_path: str) -> dict:
                     _fset(cm, 9, data_off + delta)
                     if dict_off is not None:
                         _fset(cm, 11, dict_off + delta)
-                    if _fget(cm, 13) is not None:  # index_page_offset
-                        _fset(cm, 13, _fget(cm, 13) + delta)
+                    if _fget(cm, 10) is not None:  # index_page_offset
+                        _fset(cm, 10, _fget(cm, 10) + delta)
+                    # bloom filter bytes (fields 14/15) live OUTSIDE the
+                    # [start, start+total_compressed) range this merge
+                    # copies — a carried-over offset would point a reader
+                    # at unrelated bytes and silently drop matching rows
+                    # ("definitely absent" from a garbage filter), so the
+                    # fields are dropped instead (r7 review #2)
+                    _fdel(cm, 14)
+                    _fdel(cm, 15)
                     if _fget(chunk, 2) is not None:  # ColumnChunk.file_offset
                         _fset(chunk, 2, _fget(chunk, 2) + delta)
                     ci = (
@@ -270,59 +277,23 @@ def merge_row_groups(units: list, out_path: str) -> dict:
     return {"rows": total_rows, "bytes": nbytes, "groups": len(new_groups)}
 
 
-def _pack_units(ledger: list, paths: list, target_bytes: int) -> list:
-    """Bin-pack (path, rg, bytes) rows in file order up to the budget —
-    the same discipline as ``read_parquet_with_engine``'s split planner;
-    row groups are atomic, so one over-budget group still gets a bin."""
-    order = {p: i for i, p in enumerate(paths)}
-    bins: list[list] = []
-    cur: list = []
-    cur_bytes = 0
-    for r in sorted(ledger, key=lambda r: (order[r["path"]], r["rg"])):
-        if cur and cur_bytes + r["bytes"] > target_bytes:
-            bins.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append((r["path"], int(r["rg"])))
-        cur_bytes += r["bytes"]
-    if cur:
-        bins.append(cur)
-    return bins
-
-
 def compact_parquet_files(spark, paths: list, out_dir: str,
                           target_file_bytes: int = 128 * 1024 * 1024) -> list:
     """Distributed small-file compaction for parquet: bin-pack the input
-    files' row groups (footer metadata parsed executor-side, driver holds
-    only the ledger) and write one merged file per bin — one Spark task
-    per output, each a pure byte copy via ``merge_row_groups``. Returns
-    the output paths (a manifest of SUCCESSFUL tasks, same
-    committed-files-only contract as the export gates)."""
+    files' row groups (footer metadata parsed executor-side via the
+    reader's shared ledger plan, driver holds only the ledger) and write
+    one merged file per bin — one Spark task per output, each a pure
+    byte copy via ``merge_row_groups``. Returns the output paths (a
+    manifest of SUCCESSFUL tasks, same committed-files-only contract as
+    the export gates)."""
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
-
-    def plan(batches):
-        for pdf in batches:
-            for p in pdf["path"]:
-                sizes: dict = {}
-                for c in pc.read_file_info(p).columns:
-                    sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
-                yield pd.DataFrame(
-                    {
-                        "path": [p] * len(sizes),
-                        "rg": np.array(sorted(sizes), dtype=np.int32),
-                        "bytes": np.array(
-                            [sizes[k] for k in sorted(sizes)],
-                            dtype=np.int64,
-                        ),
-                    }
-                )
-
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(len(paths))
-    ledger = paths_df.mapInPandas(plan, "path string, rg int, bytes long")
-    bins = _pack_units(ledger.collect(), paths, target_file_bytes)
+    ledger = paths_df.mapInPandas(pc._ledger_plan(), pc.LEDGER_SCHEMA)
+    bins = pc.pack_row_group_bins(ledger.collect(), paths, target_file_bytes)
 
     def write_bin(batches):
         for pdf in batches:

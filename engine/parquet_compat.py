@@ -1149,6 +1149,69 @@ def _rg_may_match(c: ColumnInfo, lo, hi) -> bool:
     return True
 
 
+def _ledger_plan(columns: list | None = None, predicate: tuple | None = None):
+    """mapInPandas footer-parse pass shared by the distributed reader and
+    the compaction utility (r7 review #7): each input path yields one
+    (path, rg, bytes, keep) row per row group — projected compressed
+    bytes of the requested columns, plus the planning-phase row-group
+    pruning verdict when a predicate is given."""
+    import pandas as pd
+
+    def plan(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                sizes: dict = {}
+                keep_rg: dict = {}
+                for c in read_file_info(p).columns:
+                    if columns is None or c.path in columns:
+                        sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
+                    else:
+                        sizes.setdefault(c.rg, 0)  # group exists, col pruned
+                    if predicate is not None and c.path == predicate[0]:
+                        keep_rg[c.rg] = _rg_may_match(
+                            c, predicate[1], predicate[2]
+                        )
+                yield pd.DataFrame(
+                    {
+                        "path": [p] * len(sizes),
+                        "rg": np.array(sorted(sizes), dtype=np.int32),
+                        "bytes": np.array(
+                            [sizes[k] for k in sorted(sizes)], dtype=np.int64
+                        ),
+                        "keep": np.array(
+                            [keep_rg.get(k, True) for k in sorted(sizes)],
+                            dtype=bool,
+                        ),
+                    }
+                )
+
+    return plan
+
+
+LEDGER_SCHEMA = "path string, rg int, bytes long, keep boolean"
+
+
+def pack_row_group_bins(ledger: list, paths: list, target_bytes: int) -> list:
+    """Bin-pack ledger rows (dict-like with path/rg/bytes) in file order
+    up to the byte budget — row groups are atomic, so one over-budget
+    group still gets its own bin. One shared copy (r7 review #7) serving
+    both the distributed reader's split planner and the compaction
+    utility. Returns [[(path, rg), ...], ...]."""
+    order = {p: i for i, p in enumerate(paths)}
+    bins: list[list] = []
+    cur: list = []
+    cur_bytes = 0
+    for r in sorted(ledger, key=lambda r: (order[r["path"]], r["rg"])):
+        if cur and cur_bytes + r["bytes"] > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((r["path"], int(r["rg"])))
+        cur_bytes += r["bytes"]
+    if cur:
+        bins.append(cur)
+    return bins
+
+
 def read_parquet_with_engine(spark, path: str | list, columns: list | None = None,
                              target_split_bytes: int = 128 * 1024 * 1024,
                              predicate: tuple | None = None,
@@ -1186,6 +1249,12 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     it deliberately reuses zero pyarrow parquet machinery."""
     import pandas as pd
 
+    if prune_stats and predicate is None:
+        raise ValueError(
+            "prune_stats=True requires a predicate (the _pages_* columns "
+            "report predicate-driven page skipping)"
+        )
+
     paths = [path] if isinstance(path, str) else list(path)
     info = read_file_info(paths[0])
     cols = [c for c in info.columns if columns is None or c.path in columns]
@@ -1200,33 +1269,7 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     if prune_stats:
         schema += ", `_unit` string, `_pages_read` long, `_pages_total` long"
 
-    def plan(batches):
-        for pdf in batches:
-            for p in pdf["path"]:
-                sizes: dict = {}
-                keep_rg: dict = {}
-                for c in read_file_info(p).columns:
-                    if columns is None or c.path in columns:
-                        sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
-                    else:
-                        sizes.setdefault(c.rg, 0)  # group exists, col pruned
-                    if predicate is not None and c.path == predicate[0]:
-                        keep_rg[c.rg] = _rg_may_match(
-                            c, predicate[1], predicate[2]
-                        )
-                yield pd.DataFrame(
-                    {
-                        "path": [p] * len(sizes),
-                        "rg": np.array(sorted(sizes), dtype=np.int32),
-                        "bytes": np.array(
-                            [sizes[k] for k in sorted(sizes)], dtype=np.int64
-                        ),
-                        "keep": np.array(
-                            [keep_rg.get(k, True) for k in sorted(sizes)],
-                            dtype=bool,
-                        ),
-                    }
-                )
+    plan = _ledger_plan(columns, predicate)
 
     def gen(batches):
         for pdf in batches:
@@ -1261,9 +1304,7 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     # one job parses every footer executor-side; the collected (path, rg,
     # bytes) triples are the split ledger Spark's own scheduler holds for
     # its scans — metadata only, never payload bytes
-    ledger = paths_df.mapInPandas(
-        plan, "path string, rg int, bytes long, keep boolean"
-    ).collect()
+    ledger = paths_df.mapInPandas(plan, LEDGER_SCHEMA).collect()
     if prune_report is not None:
         # driver-side planning report: how many row groups the footer
         # statistics excluded before any task was scheduled (a fully
@@ -1276,20 +1317,8 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     # reads on the same handle) up to the byte budget; parallelize(one
     # slice per split) then places DETERMINISTICALLY one split per task
     # (round-robin repartition can collide streams from different input
-    # partitions). A single over-budget group still gets its own task —
-    # row groups are the atomic unit.
-    splits: list[list] = []
-    cur: list = []
-    cur_bytes = 0
-    order = {p: i for i, p in enumerate(paths)}
-    for r in sorted(ledger, key=lambda r: (order[r["path"]], r["rg"])):
-        if cur and cur_bytes + r["bytes"] > target_split_bytes:
-            splits.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append((r["path"], int(r["rg"])))
-        cur_bytes += r["bytes"]
-    if cur:
-        splits.append(cur)
+    # partitions).
+    splits = pack_row_group_bins(ledger, paths, target_split_bytes)
     # one split per slice, flatMap to its units (narrow — keeps each
     # task's units exactly the bin-packed set, unlike count-based slicing)
     rdd = spark.sparkContext.parallelize(
@@ -1452,10 +1481,20 @@ def read_table_pruned(path: str, predicate: tuple,
             keep = None
         if keep is None:
             # no usable index on the predicate column: whole-group decode
-            # with the residual filter only (pages all count as read)
+            # with the residual filter only — every page counts as READ
+            # (via each chunk's OffsetIndex length when present, else 1 —
+            # a chunk is at least one page; r7 review #6: reporting 0/0
+            # here made mixed indexed/unindexed files under-count)
             mats = {}
             for n in out_names:
                 c = cols_g[n]
+                try:
+                    locs_n, _ = read_page_index(path, c)
+                    n_pages = len(locs_n)
+                except ValueError:
+                    n_pages = 1
+                pages_total += n_pages
+                pages_read += n_pages
                 v, valid = read_column(path, c)
                 mats[n] = (_materialize_flat(c, v, valid), valid)
             pv, pvalid = mats[pcol] if pcol in mats else (None, None)
@@ -1531,8 +1570,10 @@ def read_table_pruned(path: str, predicate: tuple,
                 ]
             ) if any(keep_c) else np.empty(0, np.int64)
             idx = np.searchsorted(covered, sel_rows)
-            if len(covered) == 0 or not np.array_equal(
-                covered[idx], sel_rows
+            if (
+                len(covered) == 0
+                or (idx >= len(covered)).any()  # guard the fancy index
+                or not np.array_equal(covered[idx], sel_rows)
             ):
                 raise ValueError(
                     f"{n}: OffsetIndex row spans do not cover the "

@@ -423,6 +423,11 @@ def _column_stats(phys: str, values, validity, n: int, utf8: bool = False):
                 mn = None
             try:
                 mx = _utf8_trunc_max(hi)
+                if mx is not None:
+                    # the short path returns hi verbatim without decoding
+                    # (r7 review #3): an undecodable SHORT max must drop
+                    # too, or DuckDB rejects the file's string statistics
+                    mx.decode()
             except UnicodeDecodeError:
                 mx = None
             return {"null_count": null_count, "min": mn, "max": mx}

@@ -166,3 +166,63 @@ def test_compact_replace_aborts_on_concurrent_commit(tmp_path, spark):
         store._publish_snapshot(
             "zzz", "zzz", "compactor", replace=True, expected_base=base
         )
+
+
+def test_merge_pyarrow_written_files(tmp_path):
+    """Foreign (pyarrow) files carry ColumnMetaData.encoding_stats (field
+    13) and key-value metadata; the merge must relocate only real offset
+    fields (r7 review #1 — field 13 was mistaken for index_page_offset
+    and crashed on every pyarrow file) and the result must read back
+    exactly in pyarrow AND DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = []
+    allx = []
+    for f in range(4):
+        p = str(tmp_path / f"pa-{f}.parquet")
+        xs = list(range(f * 100, f * 100 + 100))
+        pq.write_table(
+            pa.table({"x": pa.array(xs, pa.int64()),
+                      "s": [f"v{v:04d}" for v in xs]}),
+            p,
+            write_page_index=True,
+        )
+        paths.append(p)
+        allx += xs
+    out = str(tmp_path / "merged.parquet")
+    res = cp.merge_row_groups([(p, 0) for p in paths], out)
+    assert res["rows"] == 400
+    t = pq.read_table(out)
+    assert t.column("x").to_pylist() == allx
+    got = duckdb.sql(
+        f"SELECT x, s FROM read_parquet('{out}') ORDER BY x"
+    ).fetchall()
+    assert [r[0] for r in got] == allx
+    assert got[7][1] == "v0007"
+
+
+def test_merge_drops_bloom_filter_fields(tmp_path):
+    """Bloom filter bytes live outside the copied chunk range, so the
+    merged footer must DROP fields 14/15 rather than carry offsets into
+    unrelated bytes (r7 review #2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "bloom.parquet")
+    try:
+        pq.write_table(
+            pa.table({"x": pa.array(range(100), pa.int64())}),
+            p,
+            write_bloom_filters=True,
+        )
+    except TypeError:
+        pytest.skip("this pyarrow cannot write bloom filters")
+    out = str(tmp_path / "merged.parquet")
+    cp.merge_row_groups([(p, 0)], out)
+    meta = cp._read_footer_typed(out)
+    rg = cp._fget(meta, 4)[1][0]
+    cm = cp._fget(cp._fget(rg, 1)[1][0], 3)
+    assert cp._fget(cm, 14) is None and cp._fget(cm, 15) is None
+    assert pq.read_table(out).column("x").to_pylist() == list(range(100))

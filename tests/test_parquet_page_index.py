@@ -550,3 +550,62 @@ def test_decimal_typed_bounds(tmp_path):
         "1234.56"
     )
     assert pc.decimal_value(-7, "int32", 3) == decimal.Decimal("-0.007")
+
+
+def test_prune_stats_requires_predicate(tmp_path, spark):
+    """prune_stats without a predicate is a driver-side ValueError, not
+    an opaque executor crash (r7 review #5)."""
+    path = _write_table3(tmp_path, n=100, name="ps.parquet")
+    with pytest.raises(ValueError, match="requires a predicate"):
+        pc.read_parquet_with_engine(
+            spark, [path], columns=["id"], prune_stats=True
+        )
+
+
+def test_pruned_fallback_counts_pages_as_read(tmp_path):
+    """A predicate column without a usable ColumnIndex falls back to
+    whole-group decode and must count every page as READ — not 0/0 (r7
+    review #6)."""
+    vals = np.arange(2000, dtype=np.float64)
+    vals[1500] = np.nan  # suppresses the float column's ColumnIndex
+    path = str(tmp_path / "nanc.parquet")
+    po.write_table(
+        path,
+        [
+            ("f", "float64", "PLAIN", vals, None),
+            ("id", "int64", "PLAIN", np.arange(2000, dtype=np.int64), None),
+        ],
+        page_size_rows=500,
+    )
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("f", 100.0, 109.0), columns=["f", "id"]
+    )
+    assert np.array_equal(tab["id"][0], np.arange(100, 110))
+    assert pr == pt == 8  # 4 pages per column, all read
+
+
+def test_short_invalid_utf8_max_dropped(tmp_path):
+    """A SHORT undecodable max on a declared-UTF8 column is dropped from
+    the stats like the long case (r7 review #3), while the valid min is
+    kept independently (r6 ADVICE #1) — readers must never see invalid
+    UTF-8 in string statistics, whatever garbage the data itself carries
+    (the VALUES here are the upstream producer's bug; the stats are
+    ours). The footer stays parseable by pyarrow."""
+    import pyarrow.parquet as pq
+
+    lens = np.array([2, 3], np.int64)
+    data = b"\xff\xfe" + b"abc"  # max sorts as the invalid bytes
+    path = str(tmp_path / "shortbad.parquet")
+    po.write_table(path, [("t", "utf8", "PLAIN", (lens, data), None)])
+    info = pc.read_file_info(path)
+    col = info.columns[0]
+    assert col.stats_max is None  # invalid max omitted
+    assert col.stats_min == b"abc"  # valid min kept (independent bounds)
+    st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+    # pyarrow quirk: it reports has_min_max for one-sided stats, mapping
+    # the absent max to ''. Harmless here — this writer emits one-sided
+    # stats only when the column DATA is already invalid UTF-8 (a file
+    # string readers reject wholesale); the engine's own _rg_may_match
+    # prunes on whichever bound exists and never fabricates the other.
+    assert st.min == "abc"
+    assert st.null_count == 0
