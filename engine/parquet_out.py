@@ -768,7 +768,8 @@ def write_table(path: str, columns: list, codec: str | None = None,
                 row_group_size: int | None = None,
                 data_page_version: int = 1,
                 page_size_rows: int | None = None,
-                dict_page_size_limit: int = 1024 * 1024) -> dict:
+                dict_page_size_limit: int = 1024 * 1024,
+                sorting_columns: list | None = None) -> dict:
     """Write flat columns as a real parquet file.
 
     ``columns``: list of (name, phys, encoding, values, validity) where
@@ -951,7 +952,8 @@ def write_table(path: str, columns: list, codec: str | None = None,
             break
     col_meta0 = rowgroups[0][0]
     return _finish_file(
-        path, out, rowgroups, col_meta0, num_rows, codec, created_by
+        path, out, rowgroups, col_meta0, num_rows, codec, created_by,
+        sorting_columns,
     )
 
 
@@ -1125,6 +1127,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 encodings.add("PLAIN")  # the dict page's declared encoding
         else:
             dict_off = None
+            dict_page_enc = None
             encodings.add(enc)
 
         # -- per-page pass: slice rows, shred levels, encode, record the
@@ -1275,6 +1278,7 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                     "first_row": plo - lo,
                     "n_dense": n_dense,
                     "stats": pstats,
+                    "enc": page_enc,
                 }
             )
         # chunk-level Statistics: the single-page default reuses the
@@ -1306,6 +1310,8 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
                 "start": start,
                 "data_off": data_off,
                 "dict_off": dict_off,
+                "dict_page_enc": dict_page_enc,
+                "page_type": 3 if data_page_version == 2 else 0,
                 "total_comp": total_comp,
                 "total_raw": raw_total,
                 "stats": stats,
@@ -1316,7 +1322,8 @@ def _write_group(out: bytearray, norm: list, lo: int, hi: int,
 
 
 def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
-                 num_rows: int, codec, created_by: str) -> dict:
+                 num_rows: int, codec, created_by: str,
+                 sorting_columns: list | None = None) -> dict:
     """Footer: schema elements (root + one per column, from the first
     group's metadata) then one RowGroup struct per group."""
     # root num_children counts TOP-LEVEL fields: each run of consecutive
@@ -1550,6 +1557,34 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
             if c["dict_off"] is not None:
                 meta.append((11, _CT_I64, c["dict_off"]))
             meta.append((12, _CT_STRUCT, _stats_struct(c["stats"])))
+            # PageEncodingStats (field 13): per-(page type, encoding)
+            # page counts — Spark's vectorized reader consults this to
+            # take the dictionary-only fast path, and it is how readers
+            # see a mixed dict+PLAIN chunk (mid-chunk dict_fallback)
+            # without scanning page headers
+            enc_counts: dict = {}
+            for p in c["pages"]:
+                key = (c["page_type"], p["enc"])
+                enc_counts[key] = enc_counts.get(key, 0) + 1
+            if c["dict_off"] is not None:
+                enc_counts[(2, c["dict_page_enc"])] = 1  # dictionary page
+            meta.append(
+                (
+                    13,
+                    _CT_LIST,
+                    (
+                        _CT_STRUCT,
+                        [
+                            [
+                                (1, _CT_I32, pt),
+                                (2, _CT_I32, _ENC_IDS[e]),
+                                (3, _CT_I32, n),
+                            ]
+                            for (pt, e), n in sorted(enc_counts.items())
+                        ],
+                    ),
+                )
+            )
             chunk = [(2, _CT_I64, c["start"]), (3, _CT_STRUCT, meta)]
             chunk.append((4, _CT_I64, c["oi_off"]))
             chunk.append((5, _CT_I32, c["oi_len"]))
@@ -1557,16 +1592,37 @@ def _finish_file(path, out: bytearray, rowgroups: list, col_meta0: list,
                 chunk.append((6, _CT_I64, c["ci_off"]))
                 chunk.append((7, _CT_I32, c["ci_len"]))
             chunks.append(chunk)
-        rg_structs.append(
-            [
-                (1, _CT_LIST, (_CT_STRUCT, chunks)),
-                # total_byte_size is the UNCOMPRESSED data size by spec
-                # (readers use it for split planning; r5 advice #1) — the
-                # compressed size lives per-chunk in field 7
-                (2, _CT_I64, sum(c["total_raw"] for c in col_meta)),
-                (3, _CT_I64, rg_rows),
-            ]
-        )
+        rg_fields = [
+            (1, _CT_LIST, (_CT_STRUCT, chunks)),
+            # total_byte_size is the UNCOMPRESSED data size by spec
+            # (readers use it for split planning; r5 advice #1) — the
+            # compressed size lives per-chunk in field 7
+            (2, _CT_I64, sum(c["total_raw"] for c in col_meta)),
+            (3, _CT_I64, rg_rows),
+        ]
+        if sorting_columns:
+            # SortingColumn: declared sort of the rows WITHIN each group
+            # (readers use it for merge planning and sort-aware scans) —
+            # the caller asserts the order; this writer does not re-sort
+            name_idx = {c["name"]: i for i, c in enumerate(col_meta)}
+            rg_fields.append(
+                (
+                    4,
+                    _CT_LIST,
+                    (
+                        _CT_STRUCT,
+                        [
+                            [
+                                (1, _CT_I32, name_idx[nm]),
+                                (2, _CT_TRUE, bool(desc)),
+                                (3, _CT_TRUE, bool(nulls_first)),
+                            ]
+                            for nm, desc, nulls_first in sorting_columns
+                        ],
+                    ),
+                )
+            )
+        rg_structs.append(rg_fields)
 
     footer = _tstruct(
         [

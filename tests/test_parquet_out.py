@@ -745,3 +745,59 @@ def test_mid_chunk_dict_fallback_nullable(tmp_path):
     tab = pc.read_table(path)
     got = [x.decode() if x is not None else None for x in tab["s"][0]]
     assert got == want
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_encoding_stats_and_sorting_columns(tmp_path, version):
+    """ColumnMetaData.encoding_stats (field 13 — Spark's vectorized
+    reader consults it for the dictionary-only fast path, and it is how
+    readers see a mixed dict+PLAIN chunk without scanning page headers)
+    and RowGroup.sorting_columns (field 4) are written and parse back
+    through pyarrow; the compaction merge carries field 13 verbatim."""
+    import pyarrow.parquet as pq
+
+    from engine import compact as cp
+
+    n = 10000
+    ids = np.arange(n, dtype=np.int64)
+    strs = po.flat_strings(
+        [
+            f"k{i % 50:03d}" if i < 5000 else f"u-{i:08d}-{'x' * 40}"
+            for i in range(n)
+        ]
+    )
+    path = str(tmp_path / "es.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+            ("s", "utf8", "PLAIN_DICTIONARY", strs, None),
+        ],
+        page_size_rows=1000,
+        dict_page_size_limit=4096,  # forces the mid-chunk fallback on s
+        data_page_version=version,
+        sorting_columns=[("id", False, False)],
+    )
+    rg = pq.ParquetFile(path).metadata.row_group(0)
+    (sc,) = rg.sorting_columns
+    assert (sc.column_index, sc.descending, sc.nulls_first) == (0, False, False)
+    # field 13 via the typed footer parser: the string chunk reports BOTH
+    # a dictionary-encoded page count and PLAIN continuation pages
+    meta = cp._read_footer_typed(path)
+    rg_t = cp._fget(meta, 4)[1][0]
+    s_chunk = cp._fget(rg_t, 1)[1][1]
+    stats13 = cp._fget(cp._fget(s_chunk, 3), 13)
+    assert stats13 is not None
+    entries = {
+        (cp._fget(e, 1), cp._fget(e, 2)): cp._fget(e, 3)
+        for e in stats13[1]
+    }
+    dict_pages = [n for (pt, _), n in entries.items() if pt == 2]
+    data_encs = {enc for (pt, enc), _ in entries.items() if pt != 2}
+    assert dict_pages == [1]
+    assert 0 in data_encs  # PLAIN continuation pages recorded
+    assert sum(n for (pt, _), n in entries.items() if pt != 2) == 10
+    # merge carries the stats and the file still reads everywhere
+    out = str(tmp_path / "merged.parquet")
+    cp.merge_row_groups([(path, 0)], out)
+    assert pq.read_table(out).column("id").to_pylist() == ids.tolist()
