@@ -12,6 +12,10 @@ Usage::
     python -m engine.cli read-parquet   <path> [n]   # plain parquet files
     python -m engine.cli schema-parquet <path>
     python -m engine.cli index-parquet  <path>   # PageIndex: per-page bounds
+    python -m engine.cli compact-parquet <out_dir> <file> [file ...]
+                                                 # bin-pack row groups into
+                                                 # merged files (byte-verbatim)
+    python -m engine.cli compact-store  <store_dir>  # snapshot-store rewrite
 """
 
 from __future__ import annotations
@@ -164,6 +168,28 @@ def cmd_index_parquet(path: str) -> None:
             print(line)
 
 
+def cmd_compact_parquet(out_dir: str, paths: list) -> None:
+    """Distributed byte-verbatim row-group compaction (engine/compact.py)."""
+    from engine import compact
+
+    outs = compact.compact_parquet_files(_spark(), paths, out_dir)
+    print(f"{len(paths)} input files -> {len(outs)} compacted:")
+    for p in outs:
+        print(f"  {p}")
+
+
+def cmd_compact_store(store_dir: str) -> None:
+    """Atomic replacing-snapshot rewrite of a ChunkStore's small files."""
+    from engine import compact, lineage
+
+    store = lineage.ChunkStore(_spark(), store_dir, table_format="snapshot")
+    res = compact.compact_chunk_store(store)
+    print(
+        f"chunks: {res['files_before']} files -> {res['files_after']} "
+        f"(snapshot v{res['version']})"
+    )
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -186,6 +212,13 @@ def main() -> None:
         cmd_schema_parquet(store)
     elif cmd == "index-parquet":
         cmd_index_parquet(store)
+    elif cmd == "compact-parquet":
+        if len(sys.argv) < 4:
+            print(__doc__)
+            raise SystemExit(2)
+        cmd_compact_parquet(store, sys.argv[3:])
+    elif cmd == "compact-store":
+        cmd_compact_store(store)
     else:
         print(__doc__)
         raise SystemExit(2)

@@ -1117,6 +1117,8 @@ def _spark_type(c: ColumnInfo) -> str:
         for _ in range(c.max_rep):
             t = f"array<{t}>"
         return t
+    if c.conv == 13 and c.phys == "int32":
+        return "long"  # UINT_32 widens (see _materialize_flat)
     return _SPARK_TYPES[c.phys]
 
 
@@ -1374,6 +1376,13 @@ def _materialize_flat(col: ColumnInfo, vals, validity: np.ndarray):
         return arr.to_pylist()
     # pages store ONLY def==max_def values; scatter the dense stream to
     # row positions so callers can index by row
+    if col.conv == 13 and vals.dtype == np.int32:
+        # UINT_32 (converted type 13): the stored int32 bit pattern is an
+        # unsigned value — reinterpret and widen so 0xFFFFFFFF surfaces
+        # as 4294967295, not -1. UINT_8/16 already sit non-negative in
+        # int32; UINT_64 stays two's-complement int64 (no wider signed
+        # type — n/a by design, like the write side).
+        vals = vals.view(np.uint32).astype(np.int64)
     full_np = np.zeros(len(validity), vals.dtype)
     full_np[validity] = vals
     return full_np

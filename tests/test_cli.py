@@ -66,3 +66,31 @@ def test_index_parquet_command(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "3 pages, ASCENDING" in out
     assert "min=1000 max=1999" in out and "nulls=0" in out
+
+
+def test_cli_compact_parquet(tmp_path, spark, capsys):
+    """compact-parquet merges small files through the CLI surface."""
+    import numpy as np
+
+    from engine import cli
+    from engine import parquet_out as po
+
+    paths = []
+    for f in range(3):
+        p = str(tmp_path / f"in{f}.parquet")
+        po.write_table(
+            p,
+            [("x", "int64", "PLAIN",
+              np.arange(f * 10, f * 10 + 10, dtype=np.int64), None)],
+        )
+        paths.append(p)
+    out_dir = str(tmp_path / "out")
+    cli.cmd_compact_parquet(out_dir, paths)
+    captured = capsys.readouterr().out
+    assert "3 input files -> 1 compacted" in captured
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*), SUM(x) FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchone()
+    assert n == (30, sum(range(30)))

@@ -440,3 +440,29 @@ def test_bit_packed_v1_levels_decode():
         pc.read_column_with_levels(
             "<synthetic>", col, chunk=bad_hdr + body
         )
+
+
+def test_uint_converted_types_read(tmp_path):
+    """UINT_8/16/32 converted types (the reference carries them for
+    back-compat, src/basic.rs:56-146): UINT_32's stored int32 bit pattern
+    reinterprets as unsigned (0xFFFFFFFF -> 4294967295, not -1); UINT_8/16
+    already sit non-negative in int32; UINT_64 stays two's-complement
+    int64 (n/a by design, like the write side)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "u.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "u32": pa.array([0, 1, 2**31, 2**32 - 1, None], pa.uint32()),
+                "u8": pa.array([0, 255, 7, 1, None], pa.uint8()),
+            }
+        ),
+        path,
+    )
+    tab = pc.read_table(path)
+    u, valid = tab["u32"]
+    assert u[:4].tolist() == [0, 1, 2**31, 2**32 - 1]
+    assert not valid[4]
+    assert tab["u8"][0][1] == 255
