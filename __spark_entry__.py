@@ -2148,6 +2148,9 @@ def _q_page_pruned_read(spark, sf_dir) -> DataFrame:
     paths = _export_partitions(
         spark, li, "sg_pq_pruned", sf_dir, cols_fn,
         return_paths=True, page_size_rows=512,
+        # rows really are sorted (cols_fn sorts) — declare it so readers
+        # see RowGroup.sorting_columns alongside boundary_order=ASC
+        sorting_columns=[("l_orderkey", False, False)],
     )
     rep: dict = {}
     back = pc.read_parquet_with_engine(

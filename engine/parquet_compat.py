@@ -1151,13 +1151,25 @@ def _rg_may_match(c: ColumnInfo, lo, hi) -> bool:
     return True
 
 
-def _ledger_plan(columns: list | None = None, predicate: tuple | None = None):
+def _norm_predicates(predicate) -> list:
+    """Normalize the predicate argument: None -> [], one (col, lo, hi)
+    tuple -> [it], a list of tuples (a conjunction) -> as-is."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple) and isinstance(predicate[0], str):
+        return [predicate]
+    return [tuple(p) for p in predicate]
+
+
+def _ledger_plan(columns: list | None = None, predicate=None):
     """mapInPandas footer-parse pass shared by the distributed reader and
     the compaction utility (r7 review #7): each input path yields one
     (path, rg, bytes, keep) row per row group — projected compressed
     bytes of the requested columns, plus the planning-phase row-group
     pruning verdict when a predicate is given."""
     import pandas as pd
+
+    preds = _norm_predicates(predicate)
 
     def plan(batches):
         for pdf in batches:
@@ -1169,10 +1181,9 @@ def _ledger_plan(columns: list | None = None, predicate: tuple | None = None):
                         sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
                     else:
                         sizes.setdefault(c.rg, 0)  # group exists, col pruned
-                    if predicate is not None and c.path == predicate[0]:
-                        keep_rg[c.rg] = _rg_may_match(
-                            c, predicate[1], predicate[2]
-                        )
+                    for pcol, lo, hi in preds:
+                        if c.path == pcol and not _rg_may_match(c, lo, hi):
+                            keep_rg[c.rg] = False  # any conjunct excludes
                 yield pd.DataFrame(
                     {
                         "path": [p] * len(sizes),
@@ -1216,7 +1227,7 @@ def pack_row_group_bins(ledger: list, paths: list, target_bytes: int) -> list:
 
 def read_parquet_with_engine(spark, path: str | list, columns: list | None = None,
                              target_split_bytes: int = 128 * 1024 * 1024,
-                             predicate: tuple | None = None,
+                             predicate=None,
                              prune_stats: bool = False,
                              prune_report: dict | None = None):
     """Distributed read of FOREIGN parquet through the engine's own codecs,
@@ -1235,8 +1246,8 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     driver never touches payload bytes; the schema comes from the FIRST
     file's parsed footer (INT96 surfaces as epoch-ns longs).
 
-    ``predicate = (column, lo, hi)`` pushes a range filter all the way
-    down: row groups whose footer Statistics provably miss the range are
+    ``predicate`` — one ``(column, lo, hi)`` range or a list of them
+    (a conjunction) — pushes the filter all the way down: row groups whose footer Statistics provably miss the range are
     dropped from the ledger AT PLAN TIME (never scheduled — the analog of
     Spark's partition/row-group pruning), and each surviving task decodes
     through ``read_table_pruned``, skipping non-matching pages via the
@@ -1442,28 +1453,32 @@ def _take_rows(mat, idx: np.ndarray):
     return mat[idx]
 
 
-def read_table_pruned(path: str, predicate: tuple,
+def read_table_pruned(path: str, predicate,
                       columns: list | None = None,
                       row_group: int | None = None):
-    """PageIndex-pruned flat-table read: ``predicate = (column, lo, hi)``
-    selects rows with lo <= value <= hi; only the data pages that can
-    hold such rows are decompressed and decoded — the full reader half of
-    the page-stats feature the reference left as TODO
+    """PageIndex-pruned flat-table read. ``predicate`` is one
+    ``(column, lo, hi)`` range or a LIST of them (a conjunction — every
+    range must hold); only the data pages that can hold qualifying rows
+    are decompressed and decoded — the full reader half of the
+    page-stats feature the reference left as TODO
     (``src/column/writer.rs:356,480-481``), generalized from the single
     column of ``read_column_pruned_pages`` to a whole row-aligned table.
 
     Row alignment across columns with different page boundaries comes
     from each chunk's OffsetIndex ``first_row_index``: the predicate
-    column's surviving pages define candidate row ranges, every other
-    column decodes only its pages intersecting those ranges, and all
-    columns slice down to the exact rows that pass the residual predicate
-    (applied here, vectorized — callers get the WHERE rows directly, like
-    a Spark scan + Filter). Chunks without a usable PageIndex fall back
-    to whole-chunk decode + residual filter, counting every page as read.
+    columns' surviving pages INTERSECT into candidate row ranges, each
+    predicate column decodes only its pages covering those rows and
+    applies its residual filter (vectorized — callers get the exact
+    WHERE rows, like a Spark scan + Filter), and every other requested
+    column decodes only the pages covering the final surviving rows.
+    Chunks without a usable PageIndex fall back to whole-chunk decode,
+    counting every page as read.
 
     Returns ({column: (values, validity)}, pages_read, pages_total) with
     the same value shapes as ``read_table``."""
-    pcol, lo, hi = predicate
+    preds = _norm_predicates(predicate)
+    if not preds:
+        raise ValueError("read_table_pruned needs at least one predicate")
     info = read_file_info(path)
     by_group: dict[int, dict] = {}
     for c in info.columns:
@@ -1475,123 +1490,103 @@ def read_table_pruned(path: str, predicate: tuple,
     pages_total = 0
     for g in sorted(by_group):
         cols_g = by_group[g]
-        pred = cols_g.get(pcol)
-        if pred is None:
-            raise ValueError(f"{pcol}: predicate column not in {path}")
-        if pred.max_rep:
-            raise ValueError(
-                f"{pcol}: pruned read requires a flat predicate column"
-            )
-        plo, phi = _norm_bound(pred, lo), _norm_bound(pred, hi)
         out_names = [n for n in (names or list(cols_g)) if n in cols_g]
-        try:
-            keep, locs = _page_prune_mask(path, pred, plo, phi)
-        except ValueError:
-            keep = None
-        if keep is None:
-            # no usable index on the predicate column: whole-group decode
-            # with the residual filter only — every page counts as READ
-            # (via each chunk's OffsetIndex length when present, else 1 —
-            # a chunk is at least one page; r7 review #6: reporting 0/0
-            # here made mixed indexed/unindexed files under-count)
-            mats = {}
-            for n in out_names:
-                c = cols_g[n]
-                try:
-                    locs_n, _ = read_page_index(path, c)
-                    n_pages = len(locs_n)
-                except ValueError:
-                    n_pages = 1
-                pages_total += n_pages
-                pages_read += n_pages
-                v, valid = read_column(path, c)
-                mats[n] = (_materialize_flat(c, v, valid), valid)
-            pv, pvalid = mats[pcol] if pcol in mats else (None, None)
-            if pv is None:
-                v, valid = read_column(path, pred)
-                pv, pvalid = _materialize_flat(pred, v, valid), valid
-            sel = _residual_mask(pv, pvalid, plo, phi)
-            idx = np.flatnonzero(sel)
-            for n in out_names:
-                mat, valid = mats[n]
-                parts.setdefault(n, []).append(
-                    (_take_rows(mat, idx), valid[idx])
+        pred_cols = []
+        for pcol, lo, hi in preds:
+            pred = cols_g.get(pcol)
+            if pred is None:
+                raise ValueError(f"{pcol}: predicate column not in {path}")
+            if pred.max_rep:
+                raise ValueError(
+                    f"{pcol}: pruned read requires flat predicate columns"
                 )
-            continue
-        n_rows = pred.rg_rows
-        firsts = [p["first_row"] for p in locs] + [n_rows]
-        pages_total += len(locs)
-        pages_read += sum(keep)
-        spans = [
-            (firsts[i], firsts[i + 1]) for i, k in enumerate(keep) if k
-        ]
-        if not spans:
-            # whole group pruned on the predicate column: the other
-            # columns' pages are all skipped — count them via their
-            # OffsetIndex lengths (metadata-only reads)
+            pred_cols.append(
+                (pred, _norm_bound(pred, lo), _norm_bound(pred, hi))
+            )
+        n_rows = pred_cols[0][0].rg_rows
+
+        def _page_spans(locs):
+            firsts = [p["first_row"] for p in locs] + [n_rows]
+            return firsts
+
+        def _count_all_pages(skip: set):
+            """Count the remaining requested columns' pages as total-only
+            (group fully pruned before their decode)."""
+            nonlocal pages_total
             for n in out_names:
-                if n != pcol and cols_g[n].oi_off is not None:
-                    locs_c, _ = read_page_index(path, cols_g[n])
-                    pages_total += len(locs_c)
+                if n in skip or cols_g[n].oi_off is None:
+                    continue
+                locs_c, _ = read_page_index(path, cols_g[n])
+                pages_total += len(locs_c)
+
+        # -- stage 1: intersect the predicate columns' surviving page
+        # spans into a candidate row mask (index-only, nothing decodes) --
+        cand_mask = np.ones(n_rows, bool)
+        pred_index: list = []  # (col, plo, phi, keep|None, locs|None)
+        for pred, plo, phi in pred_cols:
+            try:
+                keep, locs = _page_prune_mask(path, pred, plo, phi)
+            except ValueError:
+                keep, locs = None, None  # no usable index: residual-only
+            if keep is not None:
+                firsts = _page_spans(locs)
+                mask = np.zeros(n_rows, bool)
+                for i, k in enumerate(keep):
+                    if k:
+                        mask[firsts[i] : firsts[i + 1]] = True
+                cand_mask &= mask
+            pred_index.append((pred, plo, phi, keep, locs))
+        cand = np.flatnonzero(cand_mask).astype(np.int64)
+        counted: set = set()
+        if len(cand) == 0:
+            for pred, _, _, keep, locs in pred_index:
+                if locs is not None and pred.path not in counted:
+                    pages_total += len(locs)
+                    counted.add(pred.path)
+            _count_all_pages(counted)
             continue
-        cand = np.concatenate(
-            [np.arange(a, b, dtype=np.int64) for a, b in spans]
-        )
-        vals, defs = _read_pages_subset(path, pred, keep, locs)
-        pvalid = defs == pred.max_def
-        pv = _materialize_flat(pred, vals, pvalid)
-        sel = _residual_mask(pv, pvalid, plo, phi)
-        sel_local = np.flatnonzero(sel)
+
+        # -- stage 2: decode each predicate column over the candidate
+        # rows, AND the residual filters --
+        residual = np.ones(len(cand), bool)
+        decoded: dict = {}  # col -> (values-over-cand, validity-over-cand)
+        for pred, plo, phi, keep, locs in pred_index:
+            if pred.path in decoded:
+                pv, pvalid = decoded[pred.path]
+            else:
+                pv, pvalid, nr, nt = _decode_rows(path, pred, cand, n_rows)
+                if pred.path not in counted:
+                    pages_read += nr
+                    pages_total += nt
+                    counted.add(pred.path)
+                decoded[pred.path] = (pv, pvalid)
+            residual &= _residual_mask(pv, pvalid, plo, phi)
+        sel_local = np.flatnonzero(residual)
         sel_rows = cand[sel_local]
+        if len(sel_rows) == 0:
+            _count_all_pages(counted)
+            continue
+
+        # -- stage 3: every requested column slices to the exact rows;
+        # predicate columns reuse their stage-2 decode --
         for n in out_names:
             c = cols_g[n]
             if c.max_rep:
                 raise ValueError(
                     f"{n}: pruned read covers flat columns only"
                 )
-            if n == pcol:
+            if n in decoded:
+                pv, pvalid = decoded[n]
                 parts.setdefault(n, []).append(
                     (_take_rows(pv, sel_local), pvalid[sel_local])
                 )
                 continue
-            if c.oi_off is None:
-                v, valid = read_column(path, c)
-                mat = _materialize_flat(c, v, valid)
-                parts.setdefault(n, []).append(
-                    (_take_rows(mat, sel_rows), valid[sel_rows])
-                )
-                continue
-            locs_c, _ = read_page_index(path, c)
-            firsts_c = [p["first_row"] for p in locs_c] + [n_rows]
-            keep_c = [
-                _spans_intersect(sel_rows, firsts_c[j], firsts_c[j + 1])
-                for j in range(len(locs_c))
-            ]
-            pages_total += len(locs_c)
-            pages_read += sum(keep_c)
-            v, defs_c = _read_pages_subset(path, c, keep_c, locs_c)
-            valid_c = defs_c == c.max_def
-            covered = np.concatenate(
-                [
-                    np.arange(firsts_c[j], firsts_c[j + 1], dtype=np.int64)
-                    for j in range(len(locs_c))
-                    if keep_c[j]
-                ]
-            ) if any(keep_c) else np.empty(0, np.int64)
-            idx = np.searchsorted(covered, sel_rows)
-            if (
-                len(covered) == 0
-                or (idx >= len(covered)).any()  # guard the fancy index
-                or not np.array_equal(covered[idx], sel_rows)
-            ):
-                raise ValueError(
-                    f"{n}: OffsetIndex row spans do not cover the "
-                    "predicate's surviving rows"
-                )
-            mat = _materialize_flat(c, v, valid_c)
-            parts.setdefault(n, []).append(
-                (_take_rows(mat, idx), valid_c[idx])
-            )
+            mat, valid, nr, nt = _decode_rows(path, c, sel_rows, n_rows)
+            if n not in counted:
+                pages_read += nr
+                pages_total += nt
+                counted.add(n)
+            parts.setdefault(n, []).append((mat, valid))
     out: dict = {}
     for name, pieces in parts.items():
         if len(pieces) == 1:
@@ -1607,6 +1602,48 @@ def read_table_pruned(path: str, predicate: tuple,
         for n in (names or []):
             out[n] = (np.empty(0, np.int64), np.empty(0, bool))
     return out, pages_read, pages_total
+
+
+def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int):
+    """Decode exactly the pages of one FLAT chunk that cover the sorted
+    row indices ``rows`` -> (values sliced to rows, validity sliced,
+    pages_read, pages_total). Chunks without an OffsetIndex decode whole
+    (every page counts as read; at least one page per chunk)."""
+    if c.oi_off is None:
+        v, valid = read_column(path, c)
+        mat = _materialize_flat(c, v, valid)
+        return _take_rows(mat, rows), valid[rows], 1, 1
+    locs_c, _ = read_page_index(path, c)
+    firsts_c = [p["first_row"] for p in locs_c] + [n_rows]
+    keep_c = [
+        _spans_intersect(rows, firsts_c[j], firsts_c[j + 1])
+        for j in range(len(locs_c))
+    ]
+    v, defs_c = _read_pages_subset(path, c, keep_c, locs_c)
+    valid_c = defs_c == c.max_def
+    covered = (
+        np.concatenate(
+            [
+                np.arange(firsts_c[j], firsts_c[j + 1], dtype=np.int64)
+                for j in range(len(locs_c))
+                if keep_c[j]
+            ]
+        )
+        if any(keep_c)
+        else np.empty(0, np.int64)
+    )
+    idx = np.searchsorted(covered, rows)
+    if (
+        len(covered) == 0
+        or (idx >= len(covered)).any()  # guard the fancy index
+        or not np.array_equal(covered[idx], rows)
+    ):
+        raise ValueError(
+            f"{c.path}: OffsetIndex row spans do not cover the "
+            "requested rows"
+        )
+    mat = _materialize_flat(c, v, valid_c)
+    return _take_rows(mat, idx), valid_c[idx], sum(keep_c), len(locs_c)
 
 
 def _residual_mask(pv, pvalid: np.ndarray, lo, hi) -> np.ndarray:

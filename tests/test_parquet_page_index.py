@@ -563,9 +563,10 @@ def test_prune_stats_requires_predicate(tmp_path, spark):
 
 
 def test_pruned_fallback_counts_pages_as_read(tmp_path):
-    """A predicate column without a usable ColumnIndex falls back to
-    whole-group decode and must count every page as READ — not 0/0 (r7
-    review #6)."""
+    """A predicate column without a usable ColumnIndex decodes all of its
+    own pages (counted as READ, not 0/0 — r7 review #6), but the OTHER
+    requested columns still page-prune: the residual filter runs before
+    their decode, so they fetch only the pages covering surviving rows."""
     vals = np.arange(2000, dtype=np.float64)
     vals[1500] = np.nan  # suppresses the float column's ColumnIndex
     path = str(tmp_path / "nanc.parquet")
@@ -581,7 +582,9 @@ def test_pruned_fallback_counts_pages_as_read(tmp_path):
         path, ("f", 100.0, 109.0), columns=["f", "id"]
     )
     assert np.array_equal(tab["id"][0], np.arange(100, 110))
-    assert pr == pt == 8  # 4 pages per column, all read
+    assert np.array_equal(tab["f"][0], np.arange(100.0, 110.0))
+    # f: 4/4 read (no index); id: 1/4 (rows 100..109 live in one page)
+    assert (pr, pt) == (5, 8)
 
 
 def test_short_invalid_utf8_max_dropped(tmp_path):
@@ -609,3 +612,65 @@ def test_short_invalid_utf8_max_dropped(tmp_path):
     # prunes on whichever bound exists and never fabricates the other.
     assert st.min == "abc"
     assert st.null_count == 0
+
+
+def test_read_table_pruned_conjunction(tmp_path):
+    """Multiple predicates AND together (r7): each predicate column's
+    surviving pages intersect BEFORE any decode, residuals AND, and the
+    result matches the exact WHERE — with fewer pages decoded than
+    either predicate alone when the ranges cross-narrow."""
+    n = 10000
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids % 100).astype(np.int64)
+    path = str(tmp_path / "conj.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+            ("v", "int64", "PLAIN", vals, None),
+            ("w", "int64", "PLAIN", ids * 3, None),
+        ],
+        page_size_rows=500,
+    )
+    tab, pr, pt = pc.read_table_pruned(
+        path,
+        [("id", 2000, 2999), ("v", 10, 19)],
+        columns=["id", "v", "w"],
+    )
+    want = [i for i in range(2000, 3000) if 10 <= i % 100 <= 19]
+    assert tab["id"][0].tolist() == want
+    assert tab["v"][0].tolist() == [i % 100 for i in want]
+    assert tab["w"][0].tolist() == [i * 3 for i in want]
+    assert pr < pt
+    # duplicate-column conjunction (two ranges on one column) intersects
+    tab2, _, _ = pc.read_table_pruned(
+        path, [("id", 2000, 5000), ("id", 4800, 9000)], columns=["id"]
+    )
+    assert tab2["id"][0].tolist() == list(range(4800, 5001))
+    # contradictory ranges -> empty, no crash
+    tab3, pr3, pt3 = pc.read_table_pruned(
+        path, [("id", 100, 200), ("id", 5000, 6000)], columns=["id", "w"]
+    )
+    assert len(tab3["id"][0]) == 0 and pr3 == 0 and pt3 > 0
+
+
+def test_distributed_pruned_read_conjunction(tmp_path, spark):
+    """The distributed read accepts the list predicate form: plan-phase
+    row-group pruning applies when ANY conjunct's footer stats exclude a
+    group, and tasks return the exact conjunctive WHERE rows."""
+    paths = [
+        _write_table3(tmp_path, n=5000, base=f * 5000,
+                      name=f"cpart{f}.parquet")
+        for f in range(4)
+    ]
+    rep: dict = {}
+    df = pc.read_parquet_with_engine(
+        spark, paths, columns=["id", "v"],
+        predicate=[("id", 6000, 7999), ("v", 100, 199)],
+        prune_stats=True, prune_report=rep,
+    )
+    pdf = df.toPandas().sort_values("id")
+    assert rep == {"rg_total": 4, "rg_planned": 1}
+    want = [i for i in range(6000, 8000) if 100 <= i * 7 % 1000 <= 199]
+    assert pdf["id"].tolist() == want
+    assert (pdf["_pages_read"] < pdf["_pages_total"]).all()
