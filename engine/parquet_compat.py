@@ -314,19 +314,30 @@ def read_file_info(path: str) -> FileInfo:
                 st = cm.get(12) or {}
                 st_max = st.get(5, st.get(1))
                 st_min = st.get(6, st.get(2))
-                # DECIMAL annotation: legacy SchemaElement scale/precision
-                # (fields 7/8 with converted_type 5) or the modern
-                # LogicalType union (field 10, DECIMAL = member 5 with
-                # {1: scale, 2: precision}) — normalize both to conv=5 +
-                # scale/precision so one read surface serves either file
+                # Logical-type normalization: legacy ConvertedType (field
+                # 6) and the modern LogicalType union (field 10) both
+                # map onto conv so one read surface serves either file.
+                # DECIMAL = member 5 {1: scale, 2: precision}; INTEGER =
+                # member 10 {1: bitWidth, 2: isSigned} -> UINT_8..64 /
+                # INT_8..64 converted ids; STRING = member 1 -> UTF8.
                 conv = el.get(6)
                 scale, precision = el.get(7), el.get(8)
                 ltype = el.get(10)
-                if isinstance(ltype, dict) and 5 in ltype:
-                    dec = ltype[5]
-                    conv = 5 if conv is None else conv
-                    scale = dec.get(1, scale)
-                    precision = dec.get(2, precision)
+                if isinstance(ltype, dict):
+                    if 5 in ltype:
+                        dec = ltype[5]
+                        conv = 5 if conv is None else conv
+                        scale = dec.get(1, scale)
+                        precision = dec.get(2, precision)
+                    elif 10 in ltype and conv is None:
+                        it = ltype[10]
+                        bw, signed = it.get(1, 32), it.get(2, True)
+                        base = 15 if signed else 11  # INT_8 / UINT_8
+                        conv = base + {8: 0, 16: 1, 32: 2, 64: 3}.get(
+                            bw, 2
+                        )
+                    elif 1 in ltype and conv is None:
+                        conv = 0  # STRING -> UTF8
                 info.columns.append(
                     ColumnInfo(
                         path=col_path,
@@ -727,6 +738,19 @@ def _plain_scalar(buf: bytes, phys: str):
     return plain.decode(np.frombuffer(buf, np.uint8), 1, phys)[0]
 
 
+def _stat_scalar(c: ColumnInfo, buf: bytes):
+    """One PLAIN stat value in the column's COMPARISON domain (r7 review
+    #2.1): UINT_32 stats reinterpret the stored int32 bits as unsigned
+    before any pruning comparison — the file's sort order IS unsigned,
+    and the signed decode silently mis-pruned row groups and pages
+    holding values above 2^31. UINT_64 stays out (its materialized
+    values remain two's-complement int64, documented n/a)."""
+    v = _plain_scalar(buf, c.phys)
+    if c.conv == 13 and c.phys == "int32":
+        return int(np.uint32(np.int32(v)))
+    return v
+
+
 def decimal_value(raw, phys: str, scale: int):
     """DECIMAL logical-type value -> decimal.Decimal. ``raw`` is either a
     PLAIN stat buffer / raw value bytes (int32/int64/FLBA/byte_array) or
@@ -779,11 +803,11 @@ def _page_prune_mask(path: str, col: ColumnInfo, lo, hi):
 
     def page_min(i):
         mn = bytes(ci["mins"][i])
-        return mn if col.phys == "byte_array" else _plain_scalar(mn, col.phys)
+        return mn if col.phys == "byte_array" else _stat_scalar(col, mn)
 
     def page_max(i):
         mx = bytes(ci["maxs"][i])
-        return mx if col.phys == "byte_array" else _plain_scalar(mx, col.phys)
+        return mx if col.phys == "byte_array" else _stat_scalar(col, mx)
 
     nulls = ci["null_pages"]
     nn = [i for i in range(len(nulls)) if not nulls[i]]
@@ -1135,12 +1159,12 @@ def _rg_may_match(c: ColumnInfo, lo, hi) -> bool:
         mn, mx = c.stats_min, c.stats_max
     else:
         mn = (
-            _plain_scalar(c.stats_min, c.phys)
+            _stat_scalar(c, c.stats_min)
             if c.stats_min is not None
             else None
         )
         mx = (
-            _plain_scalar(c.stats_max, c.phys)
+            _stat_scalar(c, c.stats_max)
             if c.stats_max is not None
             else None
         )
@@ -1153,12 +1177,27 @@ def _rg_may_match(c: ColumnInfo, lo, hi) -> bool:
 
 def _norm_predicates(predicate) -> list:
     """Normalize the predicate argument: None -> [], one (col, lo, hi)
-    tuple -> [it], a list of tuples (a conjunction) -> as-is."""
+    tuple -> [it], a list of tuples (a conjunction) -> as-is. Near-miss
+    shapes fail HERE with a clear message, not deep in the read (r7
+    review #2.5)."""
     if predicate is None:
         return []
-    if isinstance(predicate, tuple) and isinstance(predicate[0], str):
-        return [predicate]
-    return [tuple(p) for p in predicate]
+    if isinstance(predicate, tuple):
+        preds = [predicate]
+    else:
+        try:
+            preds = [tuple(p) for p in predicate]
+        except TypeError:
+            raise TypeError(
+                "predicate must be one (column, lo, hi) tuple or a list "
+                f"of them, got {predicate!r}"
+            ) from None
+    for p in preds:
+        if len(p) != 3 or not isinstance(p[0], str):
+            raise TypeError(
+                f"bad predicate {p!r}: expected (column, lo, hi)"
+            )
+    return preds
 
 
 def _ledger_plan(columns: list | None = None, predicate=None):
@@ -1554,7 +1593,9 @@ def read_table_pruned(path: str, predicate,
             if pred.path in decoded:
                 pv, pvalid = decoded[pred.path]
             else:
-                pv, pvalid, nr, nt = _decode_rows(path, pred, cand, n_rows)
+                pv, pvalid, nr, nt = _decode_rows(
+                    path, pred, cand, n_rows, locs=locs
+                )
                 if pred.path not in counted:
                     pages_read += nr
                     pages_total += nt
@@ -1604,16 +1645,20 @@ def read_table_pruned(path: str, predicate,
     return out, pages_read, pages_total
 
 
-def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int):
+def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
+                 locs: list | None = None):
     """Decode exactly the pages of one FLAT chunk that cover the sorted
     row indices ``rows`` -> (values sliced to rows, validity sliced,
     pages_read, pages_total). Chunks without an OffsetIndex decode whole
-    (every page counts as read; at least one page per chunk)."""
+    (every page counts as read; at least one page per chunk). ``locs``
+    reuses an already-parsed OffsetIndex (r7 review #2.4 — stage 1
+    parses it for predicate columns; re-reading per stage doubled the
+    index IO)."""
     if c.oi_off is None:
         v, valid = read_column(path, c)
         mat = _materialize_flat(c, v, valid)
         return _take_rows(mat, rows), valid[rows], 1, 1
-    locs_c, _ = read_page_index(path, c)
+    locs_c = locs if locs is not None else read_page_index(path, c)[0]
     firsts_c = [p["first_row"] for p in locs_c] + [n_rows]
     keep_c = [
         _spans_intersect(rows, firsts_c[j], firsts_c[j + 1])

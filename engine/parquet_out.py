@@ -833,6 +833,14 @@ def write_table(path: str, columns: list, codec: str | None = None,
     already had per-page selection, and this exports it to the
     interchange format. Returns {'rows': n, 'bytes': file size}.
     """
+    if sorting_columns:
+        declared = {c[0] for c in columns}
+        for nm, _, _ in sorting_columns:
+            if nm not in declared:
+                raise ValueError(
+                    f"sorting_columns names unknown column {nm!r}; "
+                    f"columns are {sorted(declared)}"
+                )
     # -- normalize once: 9-tuples of (name, phys, conv, enc, dense values,
     # validity, aux prefix-sums, list-shape, struct-group) --
     norm = []

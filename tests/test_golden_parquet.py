@@ -466,3 +466,31 @@ def test_uint_converted_types_read(tmp_path):
     assert u[:4].tolist() == [0, 1, 2**31, 2**32 - 1]
     assert not valid[4]
     assert tab["u8"][0][1] == 255
+
+
+def test_uint32_pruning_uses_unsigned_domain(tmp_path):
+    """UINT_32 pruning comparisons happen in the UNSIGNED domain (r7
+    review: signed stat decode silently pruned groups/pages holding
+    values above 2^31 — reproduced returning 0 of 100 matching rows);
+    covers both the legacy converted-type and the LogicalType-only
+    annotation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "u32.parquet")
+    vals = list(range(2_500_000_000, 2_500_002_000))
+    pq.write_table(
+        pa.table({"u32": pa.array(vals, pa.uint32())}),
+        path,
+        write_page_index=True,
+        data_page_size=2048,
+    )
+    col = pc.read_file_info(path).columns[0]
+    assert col.conv in (13,)  # normalized whichever annotation was written
+    tab, pr, pt = pc.read_table_pruned(
+        path,
+        ("u32", 2_500_000_100, 2_500_000_199),
+        columns=["u32"],
+    )
+    assert tab["u32"][0].tolist() == vals[100:200]
+    assert pr < pt  # and it still PRUNES, in the unsigned order
