@@ -738,6 +738,50 @@ def _plain_scalar(buf: bytes, phys: str):
     return plain.decode(np.frombuffer(buf, np.uint8), 1, phys)[0]
 
 
+def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi) -> bool:
+    """Dictionary filtering (parquet-mr's PARQUET-384, the reader-side
+    counterpart of ``configure_dictionary``): for a dictionary-encoded
+    chunk, decode ONLY the dictionary page and test whether ANY dict
+    value falls in [lo, hi] — if none does, no data page can match and
+    the whole chunk skips without touching its data bytes. Sharper than
+    min/max when stats are truncated or the range sits in a value gap.
+    True (may match) when the chunk has no dict page or carries any
+    non-dict data page (those values bypass the dictionary)."""
+    if not locs or col.start_offset >= locs[0]["offset"]:
+        return True  # no dictionary page
+    if any(e in col.encodings for e in ("PLAIN", "DELTA_BINARY_PACKED",
+                                        "DELTA_LENGTH_BYTE_ARRAY",
+                                        "DELTA_BYTE_ARRAY",
+                                        "BYTE_STREAM_SPLIT")):
+        # mixed chunk (e.g. mid-chunk dict fallback): non-dict pages can
+        # hold values outside the dictionary
+        return True
+    with open(path, "rb") as f:
+        f.seek(col.start_offset)
+        blob = f.read(locs[0]["offset"] - col.start_offset)
+    rd = _Reader(blob)
+    header = rd.struct()
+    if header[1] != _PAGE_DICT:
+        return True
+    payload = np.frombuffer(
+        _decompress(
+            blob[rd.pos : rd.pos + header[3]], col.codec, header[2]
+        ),
+        np.uint8,
+    )
+    vals = _decode_dict_page(payload, header[7][1], col)
+    if isinstance(vals, tuple):
+        lens, data = vals
+        offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
+        buf = bytes(data)
+        return any(
+            lo <= buf[offs[i] : offs[i + 1]] <= hi for i in range(len(lens))
+        )
+    if col.conv == 13 and vals.dtype == np.int32:
+        vals = vals.view(np.uint32).astype(np.int64)
+    return bool(((vals >= lo) & (vals <= hi)).any())
+
+
 def _stat_scalar(c: ColumnInfo, buf: bytes):
     """One PLAIN stat value in the column's COMPARISON domain (r7 review
     #2.1): UINT_32 stats reinterpret the stored int32 bits as unsigned
@@ -1566,7 +1610,15 @@ def read_table_pruned(path: str, predicate,
             try:
                 keep, locs = _page_prune_mask(path, pred, plo, phi)
             except ValueError:
-                keep, locs = None, None  # no usable index: residual-only
+                keep = None
+                try:  # OffsetIndex may exist without a ColumnIndex
+                    locs = (
+                        read_page_index(path, pred)[0]
+                        if pred.oi_off is not None
+                        else None
+                    )
+                except ValueError:
+                    locs = None
             if keep is not None:
                 firsts = _page_spans(locs)
                 mask = np.zeros(n_rows, bool)
@@ -1574,6 +1626,15 @@ def read_table_pruned(path: str, predicate,
                     if k:
                         mask[firsts[i] : firsts[i + 1]] = True
                 cand_mask &= mask
+            # dictionary filtering (PARQUET-384): a pure-dict chunk whose
+            # dictionary holds NO value in range prunes the whole group
+            # for the price of one dict-page read
+            if (
+                locs
+                and cand_mask.any()
+                and not _dict_may_match(path, pred, locs, plo, phi)
+            ):
+                cand_mask[:] = False
             pred_index.append((pred, plo, phi, keep, locs))
         cand = np.flatnonzero(cand_mask).astype(np.int64)
         counted: set = set()

@@ -674,3 +674,51 @@ def test_distributed_pruned_read_conjunction(tmp_path, spark):
     want = [i for i in range(6000, 8000) if 100 <= i * 7 % 1000 <= 199]
     assert pdf["id"].tolist() == want
     assert (pdf["_pages_read"] < pdf["_pages_total"]).all()
+
+
+def test_dictionary_filtering_prunes_value_gaps(tmp_path):
+    """Dictionary filtering (PARQUET-384): a pure-dict chunk whose
+    dictionary holds no value in the predicate range skips entirely —
+    even when min/max stats ADMIT the range (the gap case stats cannot
+    see) — for the price of one dictionary-page read."""
+    n = 4000
+    # values cluster at 0-99 and 900-999: stats say [0, 999] but the
+    # range [400, 499] has NO dictionary value
+    vals = np.where(np.arange(n) % 2 == 0,
+                    np.arange(n) % 100,
+                    900 + np.arange(n) % 100).astype(np.int64)
+    path = str(tmp_path / "gap.parquet")
+    po.write_table(
+        path,
+        [
+            ("v", "int64", "PLAIN_DICTIONARY", vals, None),
+            ("id", "int64", "PLAIN", np.arange(n, dtype=np.int64), None),
+        ],
+        page_size_rows=1000,
+    )
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("v", 400, 499), columns=["v", "id"]
+    )
+    assert len(tab["v"][0]) == 0
+    assert pr == 0  # not one data page decoded
+    # a range the dictionary CAN satisfy still reads normally
+    tab2, pr2, _ = pc.read_table_pruned(
+        path, ("v", 50, 60), columns=["v", "id"]
+    )
+    # even row indices carry i % 100 (so only even values land in range)
+    assert sorted(set(tab2["v"][0].tolist())) == [50, 52, 54, 56, 58, 60]
+    assert pr2 > 0
+    # string dictionaries take the same path
+    strs = po.flat_strings(
+        ["aa", "ab", "zz", "zy"] * 1000
+    )
+    path2 = str(tmp_path / "gaps.parquet")
+    po.write_table(
+        path2,
+        [("s", "utf8", "PLAIN_DICTIONARY", strs, None)],
+        page_size_rows=1000,
+    )
+    tab3, pr3, _ = pc.read_table_pruned(
+        path2, ("s", "mm", "nn"), columns=["s"]
+    )
+    assert len(tab3["s"][0]) == 0 and pr3 == 0
