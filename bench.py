@@ -142,6 +142,47 @@ def main() -> None:
         passes[name] = [round(t, 3) for t in q_times]
         timings[name] = round(min(q_times), 3)
 
+    if bench_queries:
+        # -- extras-only microbench (NOT in the headline wall, which stays
+        # comparable across rounds): predicate pushdown over an
+        # engine-written parquet file — how much IO/decode a mid-range
+        # point query skips via the PageIndex --
+        import tempfile
+
+        import numpy as np
+
+        from engine import parquet_compat as pcompat
+        from engine import parquet_out as pout
+
+        npr = 2_000_000
+        ids = np.arange(npr, dtype=np.int64)
+        payload = (ids * 2654435761 % 1_000_003).astype(np.int64)
+        ppath = os.path.join(
+            tempfile.gettempdir(), "sg_bench_pruned.parquet"
+        )
+        pout.write_table(
+            ppath,
+            [
+                ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+                ("v", "int64", "PLAIN", payload, None),
+            ],
+            page_size_rows=16384,
+            sorting_columns=[("id", False, False)],
+        )
+        t0 = time.time()
+        full = pcompat.read_table(ppath)
+        t_full = time.time() - t0
+        lo, hi = npr // 2, npr // 2 + npr // 100  # a 1% mid-range slice
+        t0 = time.time()
+        tab, p_read, p_total = pcompat.read_table_pruned(
+            ppath, ("id", lo, hi), columns=["id", "v"]
+        )
+        t_pruned = time.time() - t0
+        assert len(tab["id"][0]) == hi - lo + 1
+        assert len(full["id"][0]) == npr
+        extras["pruned_read_pages_frac"] = round(p_read / p_total, 4)
+        extras["pruned_read_speedup"] = round(t_full / t_pruned, 2)
+
     total = round(sum(timings.values()), 3)
     # window-noise summary: max/min spread per item, medianed — >1.5 means
     # the recorded window was contended even after the adaptive extra reps
