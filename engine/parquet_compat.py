@@ -738,7 +738,8 @@ def _plain_scalar(buf: bytes, phys: str):
     return plain.decode(np.frombuffer(buf, np.uint8), 1, phys)[0]
 
 
-def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi) -> bool:
+def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi,
+                    values: list | None = None) -> bool:
     """Dictionary filtering (parquet-mr's PARQUET-384, the reader-side
     counterpart of ``configure_dictionary``): for a dictionary-encoded
     chunk, decode ONLY the dictionary page and test whether ANY dict
@@ -770,15 +771,23 @@ def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi) -> bool:
         np.uint8,
     )
     vals = _decode_dict_page(payload, header[7][1], col)
+    member = None if values is None else set(values)
     if isinstance(vals, tuple):
         lens, data = vals
         offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
         buf = bytes(data)
+        if member is not None:
+            return any(
+                buf[offs[i] : offs[i + 1]] in member
+                for i in range(len(lens))
+            )
         return any(
             lo <= buf[offs[i] : offs[i + 1]] <= hi for i in range(len(lens))
         )
     if col.conv == 13 and vals.dtype == np.int32:
         vals = vals.view(np.uint32).astype(np.int64)
+    if values is not None:
+        return bool(np.isin(vals, np.asarray(values)).any())
     return bool(((vals >= lo) & (vals <= hi)).any())
 
 
@@ -837,10 +846,13 @@ def _norm_bound(col: ColumnInfo, v):
     return v
 
 
-def _page_prune_mask(path: str, col: ColumnInfo, lo, hi):
+def _page_prune_mask(path: str, col: ColumnInfo, lo, hi,
+                     values: list | None = None):
     """One chunk's ColumnIndex -> (keep mask over pages, OffsetIndex
-    locations). A page survives iff its [min, max] intersects [lo, hi];
-    all-null pages never survive (their rows fail any range predicate)."""
+    locations). A page survives iff its [min, max] intersects [lo, hi] —
+    and, for IN-lists (sorted ``values`` with [lo, hi] their envelope),
+    iff some member falls inside the page bounds; all-null pages never
+    survive (their rows fail any range or IN predicate)."""
     locs, ci = read_page_index(path, col)
     if ci is None:
         raise ValueError(f"{col.path}: no ColumnIndex to prune with")
@@ -870,10 +882,20 @@ def _page_prune_mask(path: str, col: ColumnInfo, lo, hi):
         first = bisect_left(idxs, True, key=lambda i: page_max(i) >= lo)
         last = bisect_left(idxs, True, key=lambda i: page_min(i) > hi)
         for i in idxs[first:last]:
-            keep[i] = True
+            keep[i] = (
+                True
+                if values is None
+                else _set_intersects(values, page_min(i), page_max(i))
+            )
     else:
         for i in nn:
-            keep[i] = not (page_max(i) < lo or page_min(i) > hi)
+            if page_max(i) < lo or page_min(i) > hi:
+                continue
+            keep[i] = (
+                True
+                if values is None
+                else _set_intersects(values, page_min(i), page_max(i))
+            )
     return keep, locs
 
 
@@ -1190,7 +1212,15 @@ def _spark_type(c: ColumnInfo) -> str:
     return _SPARK_TYPES[c.phys]
 
 
-def _rg_may_match(c: ColumnInfo, lo, hi) -> bool:
+def _set_intersects(values: list, lo, hi) -> bool:
+    """Any member of the sorted ``values`` inside [lo, hi]?"""
+    from bisect import bisect_left
+
+    i = bisect_left(values, lo)
+    return i < len(values) and values[i] <= hi
+
+
+def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
     """Planning-phase row-group pruning from the chunk's footer
     Statistics: False only when [min, max] provably misses [lo, hi].
     Truncated byte-array bounds stay conservative by construction (the
@@ -1220,8 +1250,10 @@ def _rg_may_match(c: ColumnInfo, lo, hi) -> bool:
 
 
 def _norm_predicates(predicate) -> list:
-    """Normalize the predicate argument: None -> [], one (col, lo, hi)
-    tuple -> [it], a list of tuples (a conjunction) -> as-is. Near-miss
+    """Normalize the predicate argument: None -> [], one predicate tuple
+    -> [it], a list of tuples (a conjunction) -> as-is. Two forms per
+    predicate: a range ``(column, lo, hi)`` or an IN-list
+    ``(column, "in", [v1, v2, ...])`` (the point-lookup form). Near-miss
     shapes fail HERE with a clear message, not deep in the read (r7
     review #2.5)."""
     if predicate is None:
@@ -1233,15 +1265,34 @@ def _norm_predicates(predicate) -> list:
             preds = [tuple(p) for p in predicate]
         except TypeError:
             raise TypeError(
-                "predicate must be one (column, lo, hi) tuple or a list "
-                f"of them, got {predicate!r}"
+                "predicate must be one (column, lo, hi) /"
+                " (column, 'in', values) tuple or a list of them, "
+                f"got {predicate!r}"
             ) from None
     for p in preds:
-        if len(p) != 3 or not isinstance(p[0], str):
+        ok = len(p) == 3 and isinstance(p[0], str)
+        if ok and p[1] == "in":
+            ok = isinstance(p[2], (list, tuple, set, frozenset, np.ndarray))
+            if ok and len(p[2]) == 0:
+                raise ValueError(f"empty IN-list for column {p[0]!r}")
+        if not ok:
             raise TypeError(
-                f"bad predicate {p!r}: expected (column, lo, hi)"
+                f"bad predicate {p!r}: expected (column, lo, hi) or "
+                "(column, 'in', values)"
             )
     return preds
+
+
+def _norm_one_pred(col: ColumnInfo, p: tuple):
+    """One public predicate -> (lo, hi, values|None) in the column's
+    comparison domain: ranges keep values=None; IN-lists normalize each
+    member and carry (envelope lo/hi, sorted members) — the envelope
+    drives the ordered-index binary search and row-group stats, the
+    member set drives exact page/dict/residual checks."""
+    if p[1] == "in":
+        vals = sorted(_norm_bound(col, v) for v in p[2])
+        return vals[0], vals[-1], vals
+    return _norm_bound(col, p[1]), _norm_bound(col, p[2]), None
 
 
 def _ledger_plan(columns: list | None = None, predicate=None):
@@ -1264,8 +1315,11 @@ def _ledger_plan(columns: list | None = None, predicate=None):
                         sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
                     else:
                         sizes.setdefault(c.rg, 0)  # group exists, col pruned
-                    for pcol, lo, hi in preds:
-                        if c.path == pcol and not _rg_may_match(c, lo, hi):
+                    for prd in preds:  # NOT `p` — that's the path above
+                        if c.path != prd[0]:
+                            continue
+                        lo, hi, vals = _norm_one_pred(c, prd)
+                        if not _rg_may_match(c, lo, hi, vals):
                             keep_rg[c.rg] = False  # any conjunct excludes
                 yield pd.DataFrame(
                     {
@@ -1575,17 +1629,16 @@ def read_table_pruned(path: str, predicate,
         cols_g = by_group[g]
         out_names = [n for n in (names or list(cols_g)) if n in cols_g]
         pred_cols = []
-        for pcol, lo, hi in preds:
-            pred = cols_g.get(pcol)
+        for p in preds:
+            pred = cols_g.get(p[0])
             if pred is None:
-                raise ValueError(f"{pcol}: predicate column not in {path}")
+                raise ValueError(f"{p[0]}: predicate column not in {path}")
             if pred.max_rep:
                 raise ValueError(
-                    f"{pcol}: pruned read requires flat predicate columns"
+                    f"{p[0]}: pruned read requires flat predicate columns"
                 )
-            pred_cols.append(
-                (pred, _norm_bound(pred, lo), _norm_bound(pred, hi))
-            )
+            lo, hi, vals = _norm_one_pred(pred, p)
+            pred_cols.append((pred, lo, hi, vals))
         n_rows = pred_cols[0][0].rg_rows
 
         def _page_spans(locs):
@@ -1606,9 +1659,11 @@ def read_table_pruned(path: str, predicate,
         # spans into a candidate row mask (index-only, nothing decodes) --
         cand_mask = np.ones(n_rows, bool)
         pred_index: list = []  # (col, plo, phi, keep|None, locs|None)
-        for pred, plo, phi in pred_cols:
+        for pred, plo, phi, pvals in pred_cols:
             try:
-                keep, locs = _page_prune_mask(path, pred, plo, phi)
+                keep, locs = _page_prune_mask(
+                    path, pred, plo, phi, values=pvals
+                )
             except ValueError:
                 keep = None
                 try:  # OffsetIndex may exist without a ColumnIndex
@@ -1632,14 +1687,16 @@ def read_table_pruned(path: str, predicate,
             if (
                 locs
                 and cand_mask.any()
-                and not _dict_may_match(path, pred, locs, plo, phi)
+                and not _dict_may_match(
+                    path, pred, locs, plo, phi, values=pvals
+                )
             ):
                 cand_mask[:] = False
-            pred_index.append((pred, plo, phi, keep, locs))
+            pred_index.append((pred, plo, phi, pvals, keep, locs))
         cand = np.flatnonzero(cand_mask).astype(np.int64)
         counted: set = set()
         if len(cand) == 0:
-            for pred, _, _, keep, locs in pred_index:
+            for pred, _, _, _, keep, locs in pred_index:
                 if locs is not None and pred.path not in counted:
                     pages_total += len(locs)
                     counted.add(pred.path)
@@ -1650,7 +1707,7 @@ def read_table_pruned(path: str, predicate,
         # rows, AND the residual filters --
         residual = np.ones(len(cand), bool)
         decoded: dict = {}  # col -> (values-over-cand, validity-over-cand)
-        for pred, plo, phi, keep, locs in pred_index:
+        for pred, plo, phi, pvals, keep, locs in pred_index:
             if pred.path in decoded:
                 pv, pvalid = decoded[pred.path]
             else:
@@ -1662,7 +1719,7 @@ def read_table_pruned(path: str, predicate,
                     pages_total += nt
                     counted.add(pred.path)
                 decoded[pred.path] = (pv, pvalid)
-            residual &= _residual_mask(pv, pvalid, plo, phi)
+            residual &= _residual_mask(pv, pvalid, plo, phi, values=pvals)
         sel_local = np.flatnonzero(residual)
         sel_rows = cand[sel_local]
         if len(sel_rows) == 0:
@@ -1752,13 +1809,23 @@ def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
     return _take_rows(mat, idx), valid_c[idx], sum(keep_c), len(locs_c)
 
 
-def _residual_mask(pv, pvalid: np.ndarray, lo, hi) -> np.ndarray:
-    """Exact lo <= v <= hi over materialized predicate values (nulls
-    fail, as in SQL range predicates)."""
+def _residual_mask(pv, pvalid: np.ndarray, lo, hi,
+                   values: list | None = None) -> np.ndarray:
+    """Exact lo <= v <= hi — or set membership for IN-lists — over
+    materialized predicate values (nulls fail, as in SQL)."""
     if isinstance(pv, list):
+        if values is not None:
+            member = set(values)
+            return np.fromiter(
+                ((x is not None) and x in member for x in pv),
+                bool,
+                len(pv),
+            )
         return np.fromiter(
             ((x is not None) and lo <= x <= hi for x in pv),
             bool,
             len(pv),
         )
+    if values is not None:
+        return pvalid & np.isin(pv, np.asarray(values))
     return pvalid & (pv >= lo) & (pv <= hi)

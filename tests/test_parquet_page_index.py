@@ -722,3 +722,58 @@ def test_dictionary_filtering_prunes_value_gaps(tmp_path):
         path2, ("s", "mm", "nn"), columns=["s"]
     )
     assert len(tab3["s"][0]) == 0 and pr3 == 0
+
+
+def test_in_list_predicate(tmp_path):
+    """IN-list predicates ('col', 'in', values): point lookups prune via
+    the member set at every layer — row-group stats, per-page refinement
+    (a page whose [min,max] brackets a member GAP skips), dictionary
+    filtering, and exact residual membership — and compose with ranges."""
+    n = 10000
+    ids = np.arange(n, dtype=np.int64)
+    strs = po.flat_strings([f"s{i:06d}" for i in range(n)])
+    path = str(tmp_path / "in.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+            ("s", "utf8", "AUTO", strs, None),
+        ],
+        page_size_rows=500,
+    )
+    want = [17, 3051, 3055, 9977]
+    tab, pr, pt = pc.read_table_pruned(
+        path, ("id", "in", want), columns=["id", "s"]
+    )
+    assert tab["id"][0].tolist() == want
+    assert [x.decode() for x in tab["s"][0]] == [f"s{i:06d}" for i in want]
+    # 3 pages hold the 4 ids (3051/3055 share one); pages between the
+    # envelope ends must NOT decode (the per-page member refinement)
+    assert pr == 2 * 3  # 3 pages per column
+    # string IN-list through the same path
+    tab2, pr2, _ = pc.read_table_pruned(
+        path, ("s", "in", ["s000017", "s009977"]), columns=["id"]
+    )
+    assert tab2["id"][0].tolist() == [17, 9977]
+    # IN composed with a range conjunct
+    tab3, _, _ = pc.read_table_pruned(
+        path,
+        [("id", "in", want), ("id", 3000, 9000)],
+        columns=["id"],
+    )
+    assert tab3["id"][0].tolist() == [3051, 3055]
+    # members entirely in a value gap prune everything
+    path2 = str(tmp_path / "ingap.parquet")
+    gap = np.where(np.arange(n) % 2 == 0, np.arange(n) % 100,
+                   900 + np.arange(n) % 100).astype(np.int64)
+    po.write_table(
+        path2,
+        [("v", "int64", "PLAIN_DICTIONARY", gap, None)],
+        page_size_rows=1000,
+    )
+    tab4, pr4, _ = pc.read_table_pruned(
+        path2, ("v", "in", [400, 500]), columns=["v"]
+    )
+    assert len(tab4["v"][0]) == 0 and pr4 == 0  # dictionary filtering
+    with pytest.raises(ValueError, match="empty IN-list"):
+        pc.read_table_pruned(path, ("id", "in", []), columns=["id"])
