@@ -157,9 +157,8 @@ def main() -> None:
         npr = 2_000_000
         ids = np.arange(npr, dtype=np.int64)
         payload = (ids * 2654435761 % 1_000_003).astype(np.int64)
-        ppath = os.path.join(
-            tempfile.gettempdir(), "sg_bench_pruned.parquet"
-        )
+        pdir = tempfile.mkdtemp(prefix="sg_bench_pruned_")
+        ppath = os.path.join(pdir, "pruned.parquet")
         pout.write_table(
             ppath,
             [
@@ -182,6 +181,9 @@ def main() -> None:
         assert len(full["id"][0]) == npr
         extras["pruned_read_pages_frac"] = round(p_read / p_total, 4)
         extras["pruned_read_speedup"] = round(t_full / t_pruned, 2)
+        import shutil
+
+        shutil.rmtree(pdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     # window-noise summary: max/min spread per item, medianed — >1.5 means

@@ -210,6 +210,8 @@ class ColumnInfo:
     # array), for planning-phase row-group pruning; None when absent
     stats_min: bytes | None = None
     stats_max: bytes | None = None
+    # PageEncodingStats (field 13): [(page_type, encoding_id, count)]
+    enc_stats: list = field(default_factory=list)
     nodes: list = field(default_factory=list)  # root->leaf schema path
     # PageIndex locations (ColumnChunk fields 4-7; None when absent)
     oi_off: int | None = None
@@ -314,6 +316,11 @@ def read_file_info(path: str) -> FileInfo:
                 st = cm.get(12) or {}
                 st_max = st.get(5, st.get(1))
                 st_min = st.get(6, st.get(2))
+                enc_stats = [
+                    (e.get(1), e.get(2), e.get(3))
+                    for e in (cm.get(13) or [])
+                    if isinstance(e, dict)
+                ]
                 # Logical-type normalization: legacy ConvertedType (field
                 # 6) and the modern LogicalType union (field 10) both
                 # map onto conv so one read surface serves either file.
@@ -361,6 +368,7 @@ def read_file_info(path: str) -> FileInfo:
                         stats_max=(
                             bytes(st_max) if st_max is not None else None
                         ),
+                        enc_stats=enc_stats,
                         nodes=nodes,
                         oi_off=chunk.get(4),
                         oi_len=chunk.get(5),
@@ -750,27 +758,46 @@ def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi,
     non-dict data page (those values bypass the dictionary)."""
     if not locs or col.start_offset >= locs[0]["offset"]:
         return True  # no dictionary page
-    if any(e in col.encodings for e in ("PLAIN", "DELTA_BINARY_PACKED",
-                                        "DELTA_LENGTH_BYTE_ARRAY",
-                                        "DELTA_BYTE_ARRAY",
-                                        "BYTE_STREAM_SPLIT")):
-        # mixed chunk (e.g. mid-chunk dict fallback): non-dict pages can
-        # hold values outside the dictionary
+    if col.phys in ("int96", "flba"):
+        # dict values decode as raw byte tuples while the predicate is
+        # numeric (epoch-ns / typed) — no sound comparison; never filter
+        return True
+    if col.enc_stats:
+        # PageEncodingStats (field 13) names each page TYPE's encodings —
+        # the precise mixed-chunk signal (the dict page itself legally
+        # declares PLAIN, which the coarse encodings-list check below
+        # cannot distinguish; r7 review pass 3 #3)
+        if any(
+            pt != 2 and enc not in (2, 8)  # data page, not *_DICTIONARY
+            for pt, enc, _ in col.enc_stats
+        ):
+            return True
+    elif any(e in col.encodings for e in ("DELTA_BINARY_PACKED",
+                                          "DELTA_LENGTH_BYTE_ARRAY",
+                                          "DELTA_BYTE_ARRAY",
+                                          "BYTE_STREAM_SPLIT", "PLAIN")):
+        # no encoding_stats: the encodings list cannot tell a PLAIN dict
+        # page from a PLAIN data page — stay conservative
         return True
     with open(path, "rb") as f:
         f.seek(col.start_offset)
         blob = f.read(locs[0]["offset"] - col.start_offset)
-    rd = _Reader(blob)
-    header = rd.struct()
-    if header[1] != _PAGE_DICT:
-        return True
-    payload = np.frombuffer(
-        _decompress(
-            blob[rd.pos : rd.pos + header[3]], col.codec, header[2]
-        ),
-        np.uint8,
-    )
-    vals = _decode_dict_page(payload, header[7][1], col)
+    try:
+        rd = _Reader(blob)
+        header = rd.struct()
+        if header[1] != _PAGE_DICT:
+            return True
+        payload = np.frombuffer(
+            _decompress(
+                blob[rd.pos : rd.pos + header[3]], col.codec, header[2]
+            ),
+            np.uint8,
+        )
+        vals = _decode_dict_page(payload, header[7][1], col)
+    except (KeyError, IndexError, struct.error) as e:
+        raise ValueError(
+            f"{col.path}: malformed dictionary page ({e!r})"
+        ) from e
     member = None if values is None else set(values)
     if isinstance(vals, tuple):
         lens, data = vals
@@ -1246,6 +1273,10 @@ def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
         return False
     if mn is not None and mn > hi:
         return False
+    if values is not None and mn is not None and mx is not None:
+        # IN-list: a group whose [min, max] brackets only a member GAP
+        # prunes even though the envelope overlaps
+        return _set_intersects(values, mn, mx)
     return True
 
 
@@ -1271,10 +1302,14 @@ def _norm_predicates(predicate) -> list:
             ) from None
     for p in preds:
         ok = len(p) == 3 and isinstance(p[0], str)
-        if ok and p[1] == "in":
-            ok = isinstance(p[2], (list, tuple, set, frozenset, np.ndarray))
-            if ok and len(p[2]) == 0:
+        if ok and _is_in_list(p):
+            if len(p[2]) == 0:
                 raise ValueError(f"empty IN-list for column {p[0]!r}")
+            if any(v is None for v in p[2]):
+                raise ValueError(
+                    f"IN-list for column {p[0]!r} contains None — SQL "
+                    "NULL never matches IN; drop it from the list"
+                )
         if not ok:
             raise TypeError(
                 f"bad predicate {p!r}: expected (column, lo, hi) or "
@@ -1283,14 +1318,33 @@ def _norm_predicates(predicate) -> list:
     return preds
 
 
+def _is_in_list(p: tuple) -> bool:
+    """IN form iff slot 2 is 'in' AND slot 3 is a real collection — so
+    the string range ('word', 'in', 'io') stays expressible (str is not
+    a member collection)."""
+    return p[1] == "in" and isinstance(
+        p[2], (list, tuple, set, frozenset, np.ndarray)
+    )
+
+
 def _norm_one_pred(col: ColumnInfo, p: tuple):
     """One public predicate -> (lo, hi, values|None) in the column's
-    comparison domain: ranges keep values=None; IN-lists normalize each
-    member and carry (envelope lo/hi, sorted members) — the envelope
-    drives the ordered-index binary search and row-group stats, the
-    member set drives exact page/dict/residual checks."""
-    if p[1] == "in":
-        vals = sorted(_norm_bound(col, v) for v in p[2])
+    comparison domain, or None when the predicate can match NOTHING:
+    ranges keep values=None; IN-lists normalize each member and carry
+    (envelope lo/hi, sorted members) — the envelope drives the
+    ordered-index binary search and row-group stats, the member set
+    drives exact page/dict/residual checks. NaN members are dropped
+    (NaN = NaN is false, so they match nothing — same SQL semantics as
+    the residual); an IN-list left empty returns the nothing-matches
+    None."""
+    if _is_in_list(p):
+        vals = sorted(
+            b
+            for b in (_norm_bound(col, v) for v in p[2])
+            if not (isinstance(b, float) and b != b)
+        )
+        if not vals:
+            return None
         return vals[0], vals[-1], vals
     return _norm_bound(col, p[1]), _norm_bound(col, p[2]), None
 
@@ -1318,8 +1372,8 @@ def _ledger_plan(columns: list | None = None, predicate=None):
                     for prd in preds:  # NOT `p` — that's the path above
                         if c.path != prd[0]:
                             continue
-                        lo, hi, vals = _norm_one_pred(c, prd)
-                        if not _rg_may_match(c, lo, hi, vals):
+                        npd = _norm_one_pred(c, prd)
+                        if npd is None or not _rg_may_match(c, *npd):
                             keep_rg[c.rg] = False  # any conjunct excludes
                 yield pd.DataFrame(
                     {
@@ -1625,20 +1679,34 @@ def read_table_pruned(path: str, predicate,
     parts: dict[str, list] = {}
     pages_read = 0
     pages_total = 0
+    # normalize each predicate ONCE against the schema (identical across
+    # row groups; r7 review pass 3 #6 — per-group re-sorting of a large
+    # IN-list was O(groups * k log k) wasted work). None = can match
+    # nothing (e.g. an IN-list whose members were all NaN).
+    norm_by_idx: list = []
+    schema_cols = {c.path: c for c in info.columns}
+    impossible = False
+    for p in preds:
+        sc = schema_cols.get(p[0])
+        if sc is None:
+            raise ValueError(f"{p[0]}: predicate column not in {path}")
+        if sc.max_rep:
+            raise ValueError(
+                f"{p[0]}: pruned read requires flat predicate columns"
+            )
+        np_ = _norm_one_pred(sc, p)
+        if np_ is None:
+            impossible = True
+        norm_by_idx.append(np_)
     for g in sorted(by_group):
+        if impossible:
+            break
         cols_g = by_group[g]
         out_names = [n for n in (names or list(cols_g)) if n in cols_g]
-        pred_cols = []
-        for p in preds:
-            pred = cols_g.get(p[0])
-            if pred is None:
-                raise ValueError(f"{p[0]}: predicate column not in {path}")
-            if pred.max_rep:
-                raise ValueError(
-                    f"{p[0]}: pruned read requires flat predicate columns"
-                )
-            lo, hi, vals = _norm_one_pred(pred, p)
-            pred_cols.append((pred, lo, hi, vals))
+        pred_cols = [
+            (cols_g[p[0]], lo, hi, vals)
+            for p, (lo, hi, vals) in zip(preds, norm_by_idx)
+        ]
         n_rows = pred_cols[0][0].rg_rows
 
         def _page_spans(locs):
@@ -1683,9 +1751,15 @@ def read_table_pruned(path: str, predicate,
                 cand_mask &= mask
             # dictionary filtering (PARQUET-384): a pure-dict chunk whose
             # dictionary holds NO value in range prunes the whole group
-            # for the price of one dict-page read
+            # for the price of one dict-page read. Gated to chunks the
+            # ColumnIndex could NOT narrow (no index, or every non-null
+            # page survived — the value-gap case stats cannot see):
+            # when pages were already pruned, the dict page would decode
+            # twice for little gain (r7 review pass 3 #5).
+            unnarrowed = keep is None or all(keep) or not any(keep)
             if (
                 locs
+                and unnarrowed
                 and cand_mask.any()
                 and not _dict_may_match(
                     path, pred, locs, plo, phi, values=pvals

@@ -777,3 +777,88 @@ def test_in_list_predicate(tmp_path):
     assert len(tab4["v"][0]) == 0 and pr4 == 0  # dictionary filtering
     with pytest.raises(ValueError, match="empty IN-list"):
         pc.read_table_pruned(path, ("id", "in", []), columns=["id"])
+
+
+def test_dictionary_filtering_v2_via_encoding_stats(tmp_path):
+    """v2 files list PLAIN in chunk encodings for the DICT page itself;
+    PageEncodingStats (field 13) disambiguates, so dictionary filtering
+    engages on v2 pure-dict chunks too (r7 review pass 3 #3) — and a
+    genuinely mixed chunk (mid-chunk fallback) correctly bypasses it."""
+    n = 4000
+    gap = np.where(np.arange(n) % 2 == 0, np.arange(n) % 100,
+                   900 + np.arange(n) % 100).astype(np.int64)
+    path = str(tmp_path / "gap2.parquet")
+    po.write_table(
+        path,
+        [("v", "int64", "PLAIN_DICTIONARY", gap, None)],
+        page_size_rows=1000,
+        data_page_version=2,
+    )
+    tab, pr, _ = pc.read_table_pruned(path, ("v", 400, 499), columns=["v"])
+    assert len(tab["v"][0]) == 0 and pr == 0
+    # mixed dict+PLAIN chunk: dict filtering must NOT engage (PLAIN pages
+    # can hold values outside the dictionary)
+    strs = [f"k{i % 30}" if i < 3000 else f"u-{i:08d}-{'x' * 40}"
+            for i in range(6000)]
+    path2 = str(tmp_path / "mixed2.parquet")
+    po.write_table(
+        path2,
+        [("s", "utf8", "PLAIN_DICTIONARY", po.flat_strings(strs), None)],
+        page_size_rows=1000,
+        dict_page_size_limit=2048,
+    )
+    tab2, _, _ = pc.read_table_pruned(
+        path2, ("s", "u-00004000", "u-00004999"), columns=["s"]
+    )
+    # PLAIN-page values survive ("u-00004999-x..." sorts past the upper
+    # bound, so 4000..4998 match)
+    assert len(tab2["s"][0]) == 999
+
+
+def test_in_list_edge_cases(tmp_path):
+    """Range with lo == 'in' stays expressible (str is not a member
+    collection); NaN members drop (SQL: NaN = NaN is false); all-NaN
+    IN-lists match nothing without crashing; None members fail clean."""
+    strs = po.flat_strings(["im", "in", "inn", "io", "ip"])
+    path = str(tmp_path / "inrange.parquet")
+    po.write_table(path, [("w", "utf8", "PLAIN", strs, None)])
+    tab, _, _ = pc.read_table_pruned(path, ("w", "in", "io"), columns=["w"])
+    assert [x.decode() for x in tab["w"][0]] == ["in", "inn", "io"]
+    fpath = str(tmp_path / "floats.parquet")
+    po.write_table(
+        fpath,
+        [("f", "float64", "PLAIN",
+          np.array([1.0, 2.0, 3.0], np.float64), None)],
+    )
+    tab2, _, _ = pc.read_table_pruned(
+        fpath, ("f", "in", [float("nan"), 2.0]), columns=["f"]
+    )
+    assert tab2["f"][0].tolist() == [2.0]
+    tab3, pr3, _ = pc.read_table_pruned(
+        fpath, ("f", "in", [float("nan")]), columns=["f"]
+    )
+    assert len(tab3["f"][0]) == 0 and pr3 == 0
+    with pytest.raises(ValueError, match="contains None"):
+        pc.read_table_pruned(fpath, ("f", "in", [None, 2.0]), columns=["f"])
+
+
+def test_in_list_row_group_pruning(tmp_path, spark):
+    """IN members entirely inside a row group's stats GAP prune the
+    group at PLAN time (the member-set check in _rg_may_match)."""
+    paths = []
+    for f in range(3):
+        p = str(tmp_path / f"g{f}.parquet")
+        ids = np.arange(f * 1000, f * 1000 + 1000, dtype=np.int64)
+        po.write_table(
+            p, [("id", "int64", "PLAIN", ids, None)], page_size_rows=250
+        )
+        paths.append(p)
+    rep: dict = {}
+    df = pc.read_parquet_with_engine(
+        spark, paths, columns=["id"],
+        predicate=("id", "in", [1500, 1777]),
+        prune_stats=True, prune_report=rep,
+    )
+    pdf = df.toPandas()
+    assert rep == {"rg_total": 3, "rg_planned": 1}
+    assert sorted(pdf["id"].tolist()) == [1500, 1777]
