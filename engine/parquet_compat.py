@@ -1281,41 +1281,49 @@ def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
 
 
 def _norm_predicates(predicate) -> list:
-    """Normalize the predicate argument: None -> [], one predicate tuple
-    -> [it], a list of tuples (a conjunction) -> as-is. Two forms per
-    predicate: a range ``(column, lo, hi)`` or an IN-list
-    ``(column, "in", [v1, v2, ...])`` (the point-lookup form). Near-miss
-    shapes fail HERE with a clear message, not deep in the read (r7
-    review #2.5)."""
+    """Normalize the predicate argument into CNF: a list of OR-GROUPS,
+    each a list of leaf tuples. Accepted shapes: None -> []; one leaf
+    tuple -> [[it]]; a list whose elements are leaf tuples (ANDed) or
+    nested LISTS of leaf tuples (each inner list is a disjunction — any
+    branch may hold). Leaf forms: a range ``(column, lo, hi)`` or an
+    IN-list ``(column, "in", [v1, v2, ...])``. Near-miss shapes fail
+    HERE with a clear message, not deep in the read (r7 review #2.5)."""
     if predicate is None:
         return []
     if isinstance(predicate, tuple):
-        preds = [predicate]
+        groups = [[predicate]]
     else:
         try:
-            preds = [tuple(p) for p in predicate]
+            groups = [
+                [tuple(q) for q in p] if isinstance(p, list) else [tuple(p)]
+                for p in predicate
+            ]
         except TypeError:
             raise TypeError(
                 "predicate must be one (column, lo, hi) /"
-                " (column, 'in', values) tuple or a list of them, "
-                f"got {predicate!r}"
+                " (column, 'in', values) tuple, a list of them (AND), or "
+                "a list mixing tuples and inner lists of tuples (each "
+                f"inner list ORs its branches), got {predicate!r}"
             ) from None
-    for p in preds:
-        ok = len(p) == 3 and isinstance(p[0], str)
-        if ok and _is_in_list(p):
-            if len(p[2]) == 0:
-                raise ValueError(f"empty IN-list for column {p[0]!r}")
-            if any(v is None for v in p[2]):
-                raise ValueError(
-                    f"IN-list for column {p[0]!r} contains None — SQL "
-                    "NULL never matches IN; drop it from the list"
+    for grp in groups:
+        if not grp:
+            raise ValueError("empty OR-group in predicate")
+        for p in grp:
+            ok = len(p) == 3 and isinstance(p[0], str)
+            if ok and _is_in_list(p):
+                if len(p[2]) == 0:
+                    raise ValueError(f"empty IN-list for column {p[0]!r}")
+                if any(v is None for v in p[2]):
+                    raise ValueError(
+                        f"IN-list for column {p[0]!r} contains None — SQL "
+                        "NULL never matches IN; drop it from the list"
+                    )
+            if not ok:
+                raise TypeError(
+                    f"bad predicate {p!r}: expected (column, lo, hi) or "
+                    "(column, 'in', values)"
                 )
-        if not ok:
-            raise TypeError(
-                f"bad predicate {p!r}: expected (column, lo, hi) or "
-                "(column, 'in', values)"
-            )
-    return preds
+    return groups
 
 
 def _is_in_list(p: tuple) -> bool:
@@ -1360,21 +1368,33 @@ def _ledger_plan(columns: list | None = None, predicate=None):
     preds = _norm_predicates(predicate)
 
     def plan(batches):
+        pred_names = {q[0] for grp in preds for q in grp}
         for pdf in batches:
             for p in pdf["path"]:
                 sizes: dict = {}
-                keep_rg: dict = {}
+                pred_chunks: dict = {}  # (rg, colname) -> ColumnInfo
                 for c in read_file_info(p).columns:
                     if columns is None or c.path in columns:
                         sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
                     else:
                         sizes.setdefault(c.rg, 0)  # group exists, col pruned
-                    for prd in preds:  # NOT `p` — that's the path above
-                        if c.path != prd[0]:
-                            continue
-                        npd = _norm_one_pred(c, prd)
-                        if npd is None or not _rg_may_match(c, *npd):
-                            keep_rg[c.rg] = False  # any conjunct excludes
+                    if c.path in pred_names:
+                        pred_chunks[(c.rg, c.path)] = c
+
+                def _branch_may(rg, q):
+                    c = pred_chunks.get((rg, q[0]))
+                    if c is None:
+                        return True  # unknown column here: cannot exclude
+                    npd = _norm_one_pred(c, q)
+                    return npd is not None and _rg_may_match(c, *npd)
+
+                keep_rg = {
+                    rg: all(
+                        any(_branch_may(rg, q) for q in grp)
+                        for grp in preds
+                    )
+                    for rg in sizes
+                }
                 yield pd.DataFrame(
                     {
                         "path": [p] * len(sizes),
@@ -1437,8 +1457,9 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     driver never touches payload bytes; the schema comes from the FIRST
     file's parsed footer (INT96 surfaces as epoch-ns longs).
 
-    ``predicate`` — one ``(column, lo, hi)`` range or a list of them
-    (a conjunction) — pushes the filter all the way down: row groups whose footer Statistics provably miss the range are
+    ``predicate`` — a leaf ``(column, lo, hi)`` / ``(column, "in",
+    values)``, a list of leaves (AND), or CNF with inner OR-lists —
+    pushes the filter all the way down: row groups whose footer Statistics provably miss the range are
     dropped from the ledger AT PLAN TIME (never scheduled — the analog of
     Spark's partition/row-group pruning), and each surviving task decodes
     through ``read_table_pruned``, skipping non-matching pages via the
@@ -1647,9 +1668,11 @@ def _take_rows(mat, idx: np.ndarray):
 def read_table_pruned(path: str, predicate,
                       columns: list | None = None,
                       row_group: int | None = None):
-    """PageIndex-pruned flat-table read. ``predicate`` is one
-    ``(column, lo, hi)`` range or a LIST of them (a conjunction — every
-    range must hold); only the data pages that can hold qualifying rows
+    """PageIndex-pruned flat-table read. ``predicate`` is one leaf —
+    a ``(column, lo, hi)`` range or ``(column, "in", values)`` — or a
+    LIST whose elements AND together, where each element is a leaf or an
+    inner list of leaves that OR together (CNF; branches may reference
+    different columns); only the data pages that can hold qualifying rows
     are decompressed and decoded — the full reader half of the
     page-stats feature the reference left as TODO
     (``src/column/writer.rs:356,480-481``), generalized from the single
@@ -1679,35 +1702,35 @@ def read_table_pruned(path: str, predicate,
     parts: dict[str, list] = {}
     pages_read = 0
     pages_total = 0
-    # normalize each predicate ONCE against the schema (identical across
-    # row groups; r7 review pass 3 #6 — per-group re-sorting of a large
-    # IN-list was O(groups * k log k) wasted work). None = can match
-    # nothing (e.g. an IN-list whose members were all NaN).
-    norm_by_idx: list = []
+    # normalize each leaf ONCE against the schema (identical across row
+    # groups; r7 review pass 3 #6). A leaf normalizing to None (it can
+    # match nothing, e.g. an all-NaN IN-list) DROPS from its OR-group;
+    # an OR-group left empty makes the whole conjunction impossible.
     schema_cols = {c.path: c for c in info.columns}
+    norm_groups: list = []
     impossible = False
-    for p in preds:
-        sc = schema_cols.get(p[0])
-        if sc is None:
-            raise ValueError(f"{p[0]}: predicate column not in {path}")
-        if sc.max_rep:
-            raise ValueError(
-                f"{p[0]}: pruned read requires flat predicate columns"
-            )
-        np_ = _norm_one_pred(sc, p)
-        if np_ is None:
+    for grp in preds:
+        leaves = []
+        for p in grp:
+            sc = schema_cols.get(p[0])
+            if sc is None:
+                raise ValueError(f"{p[0]}: predicate column not in {path}")
+            if sc.max_rep:
+                raise ValueError(
+                    f"{p[0]}: pruned read requires flat predicate columns"
+                )
+            np_ = _norm_one_pred(sc, p)
+            if np_ is not None:
+                leaves.append((p[0],) + np_)
+        if not leaves:
             impossible = True
-        norm_by_idx.append(np_)
+        norm_groups.append(leaves)
     for g in sorted(by_group):
         if impossible:
             break
         cols_g = by_group[g]
         out_names = [n for n in (names or list(cols_g)) if n in cols_g]
-        pred_cols = [
-            (cols_g[p[0]], lo, hi, vals)
-            for p, (lo, hi, vals) in zip(preds, norm_by_idx)
-        ]
-        n_rows = pred_cols[0][0].rg_rows
+        n_rows = next(iter(cols_g.values())).rg_rows
 
         def _page_spans(locs):
             firsts = [p["first_row"] for p in locs] + [n_rows]
@@ -1723,68 +1746,77 @@ def read_table_pruned(path: str, predicate,
                 locs_c, _ = read_page_index(path, cols_g[n])
                 pages_total += len(locs_c)
 
-        # -- stage 1: intersect the predicate columns' surviving page
-        # spans into a candidate row mask (index-only, nothing decodes) --
+        # -- stage 1: per OR-group, UNION the branches' surviving page
+        # spans; intersect the groups into a candidate row mask
+        # (index-only, nothing decodes) --
         cand_mask = np.ones(n_rows, bool)
-        pred_index: list = []  # (col, plo, phi, keep|None, locs|None)
-        for pred, plo, phi, pvals in pred_cols:
-            try:
-                keep, locs = _page_prune_mask(
-                    path, pred, plo, phi, values=pvals
-                )
-            except ValueError:
-                keep = None
-                try:  # OffsetIndex may exist without a ColumnIndex
-                    locs = (
-                        read_page_index(path, pred)[0]
-                        if pred.oi_off is not None
-                        else None
+        group_infos: list = []  # per group: [(col, lo, hi, vals, keep, locs)]
+        for leaves in norm_groups:
+            gmask = np.zeros(n_rows, bool)
+            ginfo = []
+            for cname, plo, phi, pvals in leaves:
+                pred = cols_g[cname]
+                try:
+                    keep, locs = _page_prune_mask(
+                        path, pred, plo, phi, values=pvals
                     )
                 except ValueError:
-                    locs = None
-            if keep is not None:
-                firsts = _page_spans(locs)
-                mask = np.zeros(n_rows, bool)
-                for i, k in enumerate(keep):
-                    if k:
-                        mask[firsts[i] : firsts[i + 1]] = True
-                cand_mask &= mask
-            # dictionary filtering (PARQUET-384): a pure-dict chunk whose
-            # dictionary holds NO value in range prunes the whole group
-            # for the price of one dict-page read. Gated to chunks the
-            # ColumnIndex could NOT narrow (no index, or every non-null
-            # page survived — the value-gap case stats cannot see):
-            # when pages were already pruned, the dict page would decode
-            # twice for little gain (r7 review pass 3 #5).
-            unnarrowed = keep is None or all(keep) or not any(keep)
-            if (
-                locs
-                and unnarrowed
-                and cand_mask.any()
-                and not _dict_may_match(
-                    path, pred, locs, plo, phi, values=pvals
-                )
-            ):
-                cand_mask[:] = False
-            pred_index.append((pred, plo, phi, pvals, keep, locs))
+                    keep = None
+                    try:  # OffsetIndex may exist without a ColumnIndex
+                        locs = (
+                            read_page_index(path, pred)[0]
+                            if pred.oi_off is not None
+                            else None
+                        )
+                    except ValueError:
+                        locs = None
+                if keep is not None:
+                    firsts = _page_spans(locs)
+                    lmask = np.zeros(n_rows, bool)
+                    for i, k in enumerate(keep):
+                        if k:
+                            lmask[firsts[i] : firsts[i + 1]] = True
+                else:
+                    lmask = np.ones(n_rows, bool)
+                # dictionary filtering (PARQUET-384): a pure-dict chunk
+                # whose dictionary holds NO branch value proves THIS
+                # branch empty (in a pure AND that kills the group; in an
+                # OR it just contributes nothing to the union). Gated to
+                # chunks the ColumnIndex could not narrow (r7 review
+                # pass 3 #5 — no double dict decode otherwise).
+                unnarrowed = keep is None or all(keep) or not any(keep)
+                if (
+                    locs
+                    and unnarrowed
+                    and lmask.any()
+                    and not _dict_may_match(
+                        path, pred, locs, plo, phi, values=pvals
+                    )
+                ):
+                    lmask[:] = False
+                gmask |= lmask
+                ginfo.append((pred, plo, phi, pvals, keep, locs))
+            cand_mask &= gmask
+            group_infos.append(ginfo)
         cand = np.flatnonzero(cand_mask).astype(np.int64)
         counted: set = set()
         if len(cand) == 0:
-            for pred, _, _, _, keep, locs in pred_index:
-                if locs is not None and pred.path not in counted:
-                    pages_total += len(locs)
-                    counted.add(pred.path)
+            for ginfo in group_infos:
+                for pred, _, _, _, keep, locs in ginfo:
+                    if locs is not None and pred.path not in counted:
+                        pages_total += len(locs)
+                        counted.add(pred.path)
             _count_all_pages(counted)
             continue
 
         # -- stage 2: decode each predicate column over the candidate
-        # rows, AND the residual filters --
+        # rows; OR the residuals within a group, AND across groups --
         residual = np.ones(len(cand), bool)
         decoded: dict = {}  # col -> (values-over-cand, validity-over-cand)
-        for pred, plo, phi, pvals, keep, locs in pred_index:
-            if pred.path in decoded:
-                pv, pvalid = decoded[pred.path]
-            else:
+
+        def _col_over_cand(pred, locs):
+            nonlocal pages_read, pages_total
+            if pred.path not in decoded:
                 pv, pvalid, nr, nt = _decode_rows(
                     path, pred, cand, n_rows, locs=locs
                 )
@@ -1793,7 +1825,14 @@ def read_table_pruned(path: str, predicate,
                     pages_total += nt
                     counted.add(pred.path)
                 decoded[pred.path] = (pv, pvalid)
-            residual &= _residual_mask(pv, pvalid, plo, phi, values=pvals)
+            return decoded[pred.path]
+
+        for ginfo in group_infos:
+            gres = np.zeros(len(cand), bool)
+            for pred, plo, phi, pvals, keep, locs in ginfo:
+                pv, pvalid = _col_over_cand(pred, locs)
+                gres |= _residual_mask(pv, pvalid, plo, phi, values=pvals)
+            residual &= gres
         sel_local = np.flatnonzero(residual)
         sel_rows = cand[sel_local]
         if len(sel_rows) == 0:

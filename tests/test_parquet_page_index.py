@@ -862,3 +862,57 @@ def test_in_list_row_group_pruning(tmp_path, spark):
     pdf = df.toPandas()
     assert rep == {"rg_total": 3, "rg_planned": 1}
     assert sorted(pdf["id"].tolist()) == [1500, 1777]
+
+
+def test_or_group_predicates(tmp_path, spark):
+    """CNF pushdown: inner lists OR their branches (possibly across
+    DIFFERENT columns), outer list ANDs the groups — page spans union
+    within a group, residuals OR, and plan-phase row-group pruning only
+    drops a group when EVERY branch excludes it."""
+    n = 10000
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids % 100).astype(np.int64)
+    path = str(tmp_path / "cnf.parquet")
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+            ("v", "int64", "PLAIN", vals, None),
+        ],
+        page_size_rows=500,
+    )
+    # (id in [100,199] OR id in [9000,9099]) AND v in [10,19]
+    tab, pr, pt = pc.read_table_pruned(
+        path,
+        [[("id", 100, 199), ("id", 9000, 9099)], ("v", 10, 19)],
+        columns=["id", "v"],
+    )
+    want = [i for i in list(range(100, 200)) + list(range(9000, 9100))
+            if 10 <= i % 100 <= 19]
+    assert tab["id"][0].tolist() == want
+    assert pr < pt  # both disjoint id spans decode, the middle skips
+    # cross-column OR: id < 50 OR v == 7
+    tab2, _, _ = pc.read_table_pruned(
+        path,
+        [[("id", 0, 49), ("v", 7, 7)]],
+        columns=["id"],
+    )
+    want2 = sorted(set(range(50)) | {i for i in range(n) if i % 100 == 7})
+    assert tab2["id"][0].tolist() == want2
+    # distributed: a file survives planning if ANY branch admits it
+    paths = [
+        _write_table3(tmp_path, n=2000, base=f * 2000,
+                      name=f"or{f}.parquet")
+        for f in range(4)
+    ]
+    rep: dict = {}
+    df = pc.read_parquet_with_engine(
+        spark, paths, columns=["id"],
+        predicate=[[("id", 500, 599), ("id", 6500, 6599)]],
+        prune_stats=True, prune_report=rep,
+    )
+    pdf = df.toPandas()
+    assert rep == {"rg_total": 4, "rg_planned": 2}
+    assert sorted(pdf["id"].tolist()) == (
+        list(range(500, 600)) + list(range(6500, 6600))
+    )

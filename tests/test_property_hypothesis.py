@@ -458,3 +458,48 @@ def test_pruned_read_matches_full_read_plus_filter(tmp_path_factory, case):
     assert got["o"][0].tolist() == full["o"][0][mask].tolist()
     assert got["v"][1].all()  # matching rows are non-null by construction
     assert 0 <= pr <= pt
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 1200),
+    seed=st.integers(0, 2**16),
+    page_rows=st.sampled_from([None, 97, 400]),
+    b1=st.tuples(st.integers(-50, 150), st.integers(-50, 150)),
+    b2=st.tuples(st.integers(-50, 150), st.integers(-50, 150)),
+    b3=st.tuples(st.integers(-50, 150), st.integers(-50, 150)),
+)
+def test_cnf_pruned_read_matches_oracle(
+    tmp_path_factory, n, seed, page_rows, b1, b2, b3
+):
+    """(A OR B) AND C with branches on two different columns must equal
+    the full-decode oracle exactly, whatever the page layout."""
+    from engine import parquet_compat as pc
+    from engine import parquet_out as po
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-40, 140, n).astype(np.int64)
+    b = rng.integers(-40, 140, n).astype(np.int64)
+    tmp = tmp_path_factory.mktemp("cnf")
+    path = str(tmp / "t.parquet")
+    kwargs = {"page_size_rows": page_rows} if page_rows else {}
+    po.write_table(
+        path,
+        [
+            ("a", "int64", "PLAIN", a, None),
+            ("b", "int64", "PLAIN_DICTIONARY", b, None),
+        ],
+        **kwargs,
+    )
+    (l1, h1), (l2, h2), (l3, h3) = (sorted(b1), sorted(b2), sorted(b3))
+    got, pr, pt = pc.read_table_pruned(
+        path,
+        [[("a", l1, h1), ("b", l2, h2)], ("a", l3, h3)],
+        columns=["a", "b"],
+    )
+    mask = (((a >= l1) & (a <= h1)) | ((b >= l2) & (b <= h2))) & (
+        (a >= l3) & (a <= h3)
+    )
+    assert got["a"][0].tolist() == a[mask].tolist()
+    assert got["b"][0].tolist() == b[mask].tolist()
+    assert 0 <= pr <= pt
