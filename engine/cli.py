@@ -9,7 +9,9 @@ Usage::
     python -m engine.cli schema <store_dir>
     python -m engine.cli chunks <store_dir>      # per-chunk lineage/metrics
     python -m engine.cli lookup <store_dir> <doc_id> [doc_id ...]  # point lookup
-    python -m engine.cli read-parquet   <path> [n]   # plain parquet files
+    python -m engine.cli read-parquet   <path> [n] [col:lo:hi | col:in:v1,v2]
+                                                 # optional predicate runs the
+                                                 # PageIndex-pruned engine read
     python -m engine.cli schema-parquet <path>
     python -m engine.cli index-parquet  <path>   # PageIndex: per-page bounds
     python -m engine.cli compact-parquet <out_dir> <file> [file ...]
@@ -97,10 +99,52 @@ def cmd_lookup(store_dir: str, doc_ids: list[str]) -> None:
     lookup_docs(store, doc_ids).show(len(doc_ids) + 1, truncate=80)
 
 
-def cmd_read_parquet(path: str, n: int = 10) -> None:
+def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
     """Print records of a plain parquet file/dataset — the literal
     ``parquet-read`` UX (``src/bin/parquet-read.rs:30-94``) for users coming
-    from the reference with existing parquet data."""
+    from the reference with existing parquet data. ``where`` pushes a
+    filter through the ENGINE's PageIndex-pruned reader (no Spark
+    session needed): ``col:lo:hi`` for a range or ``col:in:v1,v2,...``
+    for membership; numeric bounds auto-detect, anything else compares
+    as a string. Prints how many pages the predicate skipped."""
+    if where is not None:
+        from engine import parquet_compat as pc
+
+        parts = where.split(":", 2)
+        if len(parts) != 3:
+            raise SystemExit(f"--where wants col:lo:hi or col:in:v1,v2 "
+                             f"(got {where!r})")
+        col, a, b = parts
+
+        def _typed(x: str):
+            try:
+                return int(x)
+            except ValueError:
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+
+        pred = (
+            (col, "in", [_typed(v) for v in b.split(",")])
+            if a == "in"
+            else (col, _typed(a), _typed(b))
+        )
+        tab, pr, pt = pc.read_table_pruned(path, pred)
+        names = list(tab)
+        print(" | ".join(names))
+        n_rows = len(tab[names[0]][1]) if names else 0
+        for i in range(min(n, n_rows)):
+            cells = []
+            for nm in names:
+                vals, valid = tab[nm]
+                v = vals[i] if valid[i] else None
+                if isinstance(v, bytes):
+                    v = v.decode(errors="replace")
+                cells.append(str(v))
+            print(" | ".join(cells))
+        print(f"({n_rows} matching rows; decoded {pr} of {pt} pages)")
+        return
     spark = _spark()
     spark.read.parquet(path).show(n, truncate=80)
 
@@ -207,7 +251,10 @@ def main() -> None:
             raise SystemExit(2)
         cmd_lookup(store, sys.argv[3:])
     elif cmd == "read-parquet":
-        cmd_read_parquet(store, int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+        nrec = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        cmd_read_parquet(
+            store, nrec, sys.argv[4] if len(sys.argv) > 4 else None
+        )
     elif cmd == "schema-parquet":
         cmd_schema_parquet(store)
     elif cmd == "index-parquet":

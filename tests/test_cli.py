@@ -94,3 +94,34 @@ def test_cli_compact_parquet(tmp_path, spark, capsys):
         f"SELECT COUNT(*), SUM(x) FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()
     assert n == (30, sum(range(30)))
+
+
+def test_cli_read_parquet_where(tmp_path, capsys):
+    """read-parquet with a predicate runs the PageIndex-pruned engine
+    read (no Spark session) and reports the pages skipped."""
+    import numpy as np
+
+    from engine import cli
+    from engine import parquet_out as po
+
+    path = str(tmp_path / "t.parquet")
+    ids = np.arange(10000, dtype=np.int64)
+    po.write_table(
+        path,
+        [
+            ("id", "int64", "DELTA_BINARY_PACKED", ids, None),
+            ("s", "utf8", "AUTO",
+             po.flat_strings([f"s{i:06d}" for i in ids]), None),
+        ],
+        page_size_rows=500,
+    )
+    cli.cmd_read_parquet(path, 3, "id:2000:2999")
+    out = capsys.readouterr().out
+    assert "1000 matching rows; decoded 4 of 40 pages" in out
+    assert "2000 | s002000" in out
+    cli.cmd_read_parquet(path, 5, "id:in:17,9977")
+    out2 = capsys.readouterr().out
+    assert "2 matching rows" in out2 and "9977 | s009977" in out2
+    cli.cmd_read_parquet(path, 5, "s:s000100:s000105")
+    out3 = capsys.readouterr().out
+    assert "6 matching rows" in out3
