@@ -99,6 +99,17 @@ def cmd_lookup(store_dir: str, doc_ids: list[str]) -> None:
     lookup_docs(store, doc_ids).show(len(doc_ids) + 1, truncate=80)
 
 
+def _flat_columns(pc, path: str) -> list:
+    """Flat leaf paths of one file — the pruned read's column universe
+    (list leaves would raise; a predicate on a flat column must still
+    work on files that ALSO carry list columns)."""
+    seen = []
+    for c in pc.read_file_info(path).columns:
+        if c.max_rep == 0 and c.path not in seen:
+            seen.append(c.path)
+    return seen
+
+
 def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
     """Print records of a plain parquet file/dataset — the literal
     ``parquet-read`` UX (``src/bin/parquet-read.rs:30-94``) for users coming
@@ -108,13 +119,25 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
     for membership; numeric bounds auto-detect, anything else compares
     as a string. Prints how many pages the predicate skipped."""
     if where is not None:
+        import os as _os
+
         from engine import parquet_compat as pc
 
-        parts = where.split(":", 2)
-        if len(parts) != 3:
-            raise SystemExit(f"--where wants col:lo:hi or col:in:v1,v2 "
-                             f"(got {where!r})")
-        col, a, b = parts
+        if _os.path.isdir(path):
+            raise SystemExit(
+                "the predicate form reads ONE parquet file (engine "
+                "reader); point it at a file, or drop the predicate to "
+                "read the dataset through Spark"
+            )
+        parts = where.split(":")
+        if len(parts) != 3 and not (len(parts) > 3 and parts[1] == "in"):
+            raise SystemExit(
+                f"predicate wants col:lo:hi or col:in:v1,v2 (got "
+                f"{where!r}); values containing ':' are not expressible "
+                "in this shorthand — use read_table_pruned directly"
+            )
+        col, a = parts[0], parts[1]
+        b = ":".join(parts[2:]) if a == "in" else parts[2]
 
         def _typed(x: str):
             try:
@@ -125,12 +148,22 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
                 except ValueError:
                     return x
 
-        pred = (
-            (col, "in", [_typed(v) for v in b.split(",")])
-            if a == "in"
-            else (col, _typed(a), _typed(b))
-        )
-        tab, pr, pt = pc.read_table_pruned(path, pred)
+        def _mk(cast):
+            return (
+                (col, "in", [cast(v) for v in b.split(",")])
+                if a == "in"
+                else (col, cast(a), cast(b))
+            )
+
+        try:
+            tab, pr, pt = pc.read_table_pruned(
+                path, _mk(_typed), columns=_flat_columns(pc, path)
+            )
+        except TypeError:
+            # numeric-LOOKING bounds on a string column: retry untyped
+            tab, pr, pt = pc.read_table_pruned(
+                path, _mk(str), columns=_flat_columns(pc, path)
+            )
         names = list(tab)
         print(" | ".join(names))
         n_rows = len(tab[names[0]][1]) if names else 0
@@ -251,10 +284,15 @@ def main() -> None:
             raise SystemExit(2)
         cmd_lookup(store, sys.argv[3:])
     elif cmd == "read-parquet":
-        nrec = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-        cmd_read_parquet(
-            store, nrec, sys.argv[4] if len(sys.argv) > 4 else None
-        )
+        # both [n] and the predicate are optional: a non-numeric third
+        # argument IS the predicate
+        args = sys.argv[3:]
+        nrec, where = 10, None
+        if args and args[0].isdigit():
+            nrec, args = int(args[0]), args[1:]
+        if args:
+            where = args[0]
+        cmd_read_parquet(store, nrec, where)
     elif cmd == "schema-parquet":
         cmd_schema_parquet(store)
     elif cmd == "index-parquet":

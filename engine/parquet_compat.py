@@ -1381,11 +1381,19 @@ def _ledger_plan(columns: list | None = None, predicate=None):
                     if c.path in pred_names:
                         pred_chunks[(c.rg, c.path)] = c
 
+                norm_cache: dict = {}  # id(q) -> normalized leaf
+
                 def _branch_may(rg, q):
                     c = pred_chunks.get((rg, q[0]))
                     if c is None:
                         return True  # unknown column here: cannot exclude
-                    npd = _norm_one_pred(c, q)
+                    # normalization depends only on the column TYPE,
+                    # constant across a file's row groups — cache it
+                    # (r7 review pass 4 #8: a big IN-list re-sorted per rg)
+                    key = id(q)
+                    if key not in norm_cache:
+                        norm_cache[key] = _norm_one_pred(c, q)
+                    npd = norm_cache[key]
                     return npd is not None and _rg_may_match(c, *npd)
 
                 keep_rg = {
@@ -1750,8 +1758,14 @@ def read_table_pruned(path: str, predicate,
         # spans; intersect the groups into a candidate row mask
         # (index-only, nothing decodes) --
         cand_mask = np.ones(n_rows, bool)
-        group_infos: list = []  # per group: [(col, lo, hi, vals, keep, locs)]
+        group_infos: list = []  # per group: [(col, lo, hi, vals, empty, locs)]
         for leaves in norm_groups:
+            if not cand_mask.any():
+                # an earlier group already emptied the candidates: no
+                # point paying further index/dict-page IO (r7 review
+                # pass 4 #5); their pages simply go unconsulted
+                group_infos.append([])
+                continue
             gmask = np.zeros(n_rows, bool)
             ginfo = []
             for cname, plo, phi, pvals in leaves:
@@ -1795,14 +1809,20 @@ def read_table_pruned(path: str, predicate,
                 ):
                     lmask[:] = False
                 gmask |= lmask
-                ginfo.append((pred, plo, phi, pvals, keep, locs))
+                # a branch stage 1 proved EMPTY (index or dictionary)
+                # contributes all-False to the OR — mark it so stage 2
+                # never decodes its column just to confirm (r7 review
+                # pass 4 #4)
+                ginfo.append(
+                    (pred, plo, phi, pvals, not lmask.any(), locs)
+                )
             cand_mask &= gmask
             group_infos.append(ginfo)
         cand = np.flatnonzero(cand_mask).astype(np.int64)
         counted: set = set()
         if len(cand) == 0:
             for ginfo in group_infos:
-                for pred, _, _, _, keep, locs in ginfo:
+                for pred, _, _, _, _, locs in ginfo:
                     if locs is not None and pred.path not in counted:
                         pages_total += len(locs)
                         counted.add(pred.path)
@@ -1829,7 +1849,9 @@ def read_table_pruned(path: str, predicate,
 
         for ginfo in group_infos:
             gres = np.zeros(len(cand), bool)
-            for pred, plo, phi, pvals, keep, locs in ginfo:
+            for pred, plo, phi, pvals, empty, locs in ginfo:
+                if empty:
+                    continue  # stage 1 proved this branch matches nothing
                 pv, pvalid = _col_over_cand(pred, locs)
                 gres |= _residual_mask(pv, pvalid, plo, phi, values=pvals)
             residual &= gres

@@ -125,3 +125,45 @@ def test_cli_read_parquet_where(tmp_path, capsys):
     cli.cmd_read_parquet(path, 5, "s:s000100:s000105")
     out3 = capsys.readouterr().out
     assert "6 matching rows" in out3
+
+
+def test_cli_where_robustness(tmp_path, capsys):
+    """r7 review pass 4: numeric-looking bounds on a STRING column retry
+    untyped; list columns in the file don't break flat predicates;
+    predicate-without-n dispatch; colon-containing ranges fail with a
+    clear message instead of silently corrupting."""
+    import numpy as np
+
+    from engine import cli
+    from engine import parquet_out as po
+
+    path = str(tmp_path / "mix.parquet")
+    counts = np.full(100, 2, np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    po.write_table(
+        path,
+        [
+            ("name", "utf8", "PLAIN",
+             po.flat_strings([f"{i}" for i in range(100, 200)]), None),
+            ("id", "int64", "PLAIN", np.arange(100, dtype=np.int64), None),
+            ("toks", "list<int64>", "PLAIN",
+             (offsets, np.arange(200, dtype=np.int64), None), None),
+        ],
+        page_size_rows=25,
+    )
+    # numeric-looking bounds on a string column: auto-retry as str
+    cli.cmd_read_parquet(path, 3, "name:120:130")
+    out = capsys.readouterr().out
+    assert "matching rows" in out and "120" in out
+    # flat predicate works although the file carries a list column
+    cli.cmd_read_parquet(path, 2, "id:10:12")
+    out2 = capsys.readouterr().out
+    assert "3 matching rows" in out2
+    # colons inside range values: clear error, not silent corruption
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="not expressible"):
+        cli.cmd_read_parquet(path, 2, "ts:2020-01-01T00:00:2020-02-01")
+    # directory: clear error
+    with _pytest.raises(SystemExit, match="ONE parquet file"):
+        cli.cmd_read_parquet(str(tmp_path), 2, "id:0:5")
