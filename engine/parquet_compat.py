@@ -927,10 +927,13 @@ def _page_prune_mask(path: str, col: ColumnInfo, lo, hi,
 
 
 def _read_pages_subset(path: str, col: ColumnInfo, keep, locs):
-    """Decode exactly the kept pages of one chunk -> (values, def_levels).
-    The dictionary page (when present) is always read, selected page bytes
-    are fetched by direct seek from the OffsetIndex, and skipped pages'
-    bytes never leave storage."""
+    """Decode exactly the kept pages of one chunk -> (values, def_levels,
+    rep_levels). The dictionary page (when present) is always read,
+    selected page bytes are fetched by direct seek from the OffsetIndex,
+    and skipped pages' bytes never leave storage. rep_levels is all-zero
+    for flat columns; repeated columns get the raw Dremel leaf streams of
+    the selected pages (pages indexed by an OffsetIndex begin at record
+    boundaries per the parquet spec, so the subset re-assembles)."""
     with open(path, "rb") as f:
         parts = []
         if locs and col.start_offset < locs[0]["offset"]:
@@ -954,10 +957,9 @@ def _read_pages_subset(path: str, col: ColumnInfo, keep, locs):
         elif h[1] == _PAGE_DATA_V2:
             n_lev += h[8][1]
         pos = rd.pos + h[3]
-    vals, defs, _ = read_column_with_levels(
+    return read_column_with_levels(
         path, col, chunk=synthetic, num_values=n_lev
     )
-    return vals, defs
 
 
 def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
@@ -969,7 +971,7 @@ def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
     pages_read, pages_total)."""
     lo, hi = _norm_bound(col, lo), _norm_bound(col, hi)
     keep, locs = _page_prune_mask(path, col, lo, hi)
-    vals, defs = _read_pages_subset(path, col, keep, locs)
+    vals, defs, _ = _read_pages_subset(path, col, keep, locs)
     return vals, defs, sum(keep), len(locs)
 
 
@@ -1676,7 +1678,7 @@ def _take_rows(mat, idx: np.ndarray):
 def read_table_pruned(path: str, predicate,
                       columns: list | None = None,
                       row_group: int | None = None):
-    """PageIndex-pruned flat-table read. ``predicate`` is one leaf —
+    """PageIndex-pruned table read. ``predicate`` is one leaf —
     a ``(column, lo, hi)`` range or ``(column, "in", values)`` — or a
     LIST whose elements AND together, where each element is a leaf or an
     inner list of leaves that OR together (CNF; branches may reference
@@ -1685,6 +1687,9 @@ def read_table_pruned(path: str, predicate,
     page-stats feature the reference left as TODO
     (``src/column/writer.rs:356,480-481``), generalized from the single
     column of ``read_column_pruned_pages`` to a whole row-aligned table.
+    Predicate columns must be flat (leaf comparisons are row-scalar);
+    PROJECTED columns may be repeated — their records re-assemble from
+    exactly the pages covering the surviving rows.
 
     Row alignment across columns with different page boundaries comes
     from each chunk's OffsetIndex ``first_row_index``: the predicate
@@ -1865,10 +1870,6 @@ def read_table_pruned(path: str, predicate,
         # predicate columns reuse their stage-2 decode --
         for n in out_names:
             c = cols_g[n]
-            if c.max_rep:
-                raise ValueError(
-                    f"{n}: pruned read covers flat columns only"
-                )
             if n in decoded:
                 pv, pvalid = decoded[n]
                 parts.setdefault(n, []).append(
@@ -1900,16 +1901,24 @@ def read_table_pruned(path: str, predicate,
 
 def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
                  locs: list | None = None):
-    """Decode exactly the pages of one FLAT chunk that cover the sorted
-    row indices ``rows`` -> (values sliced to rows, validity sliced,
-    pages_read, pages_total). Chunks without an OffsetIndex decode whole
-    (every page counts as read; at least one page per chunk). ``locs``
-    reuses an already-parsed OffsetIndex (r7 review #2.4 — stage 1
-    parses it for predicate columns; re-reading per stage doubled the
-    index IO)."""
+    """Decode exactly the pages of one chunk that cover the sorted row
+    indices ``rows`` -> (values sliced to rows, validity sliced,
+    pages_read, pages_total). Repeated columns assemble their records
+    from the selected pages' Dremel streams (spec: indexed pages begin
+    at record boundaries), so a list column can be PROJECTED through a
+    pruned read even though predicates stay on flat columns. Chunks
+    without an OffsetIndex decode whole (every page counts as read; at
+    least one page per chunk). ``locs`` reuses an already-parsed
+    OffsetIndex (r7 review #2.4 — stage 1 parses it for predicate
+    columns; re-reading per stage doubled the index IO)."""
     if c.oi_off is None:
-        v, valid = read_column(path, c)
-        mat = _materialize_flat(c, v, valid)
+        if c.max_rep:
+            v, defs, reps = read_column_with_levels(path, c)
+            mat = assemble_repeated(c, v, defs, reps)
+            valid = np.array([rec is not None for rec in mat], bool)
+        else:
+            v, valid = read_column(path, c)
+            mat = _materialize_flat(c, v, valid)
         return _take_rows(mat, rows), valid[rows], 1, 1
     locs_c = locs if locs is not None else read_page_index(path, c)[0]
     firsts_c = [p["first_row"] for p in locs_c] + [n_rows]
@@ -1917,8 +1926,13 @@ def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
         _spans_intersect(rows, firsts_c[j], firsts_c[j + 1])
         for j in range(len(locs_c))
     ]
-    v, defs_c = _read_pages_subset(path, c, keep_c, locs_c)
-    valid_c = defs_c == c.max_def
+    v, defs_c, reps_c = _read_pages_subset(path, c, keep_c, locs_c)
+    if c.max_rep:
+        mat = assemble_repeated(c, v, defs_c, reps_c)
+        valid_c = np.array([rec is not None for rec in mat], bool)
+    else:
+        valid_c = defs_c == c.max_def
+        mat = _materialize_flat(c, v, valid_c)
     covered = (
         np.concatenate(
             [
@@ -1932,7 +1946,8 @@ def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
     )
     idx = np.searchsorted(covered, rows)
     if (
-        len(covered) == 0
+        len(covered) != len(valid_c)  # page not record-aligned (repeated)
+        or len(covered) == 0
         or (idx >= len(covered)).any()  # guard the fancy index
         or not np.array_equal(covered[idx], rows)
     ):
@@ -1940,7 +1955,6 @@ def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
             f"{c.path}: OffsetIndex row spans do not cover the "
             "requested rows"
         )
-    mat = _materialize_flat(c, v, valid_c)
     return _take_rows(mat, idx), valid_c[idx], sum(keep_c), len(locs_c)
 
 
