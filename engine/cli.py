@@ -9,7 +9,7 @@ Usage::
     python -m engine.cli schema <store_dir>
     python -m engine.cli chunks <store_dir>      # per-chunk lineage/metrics
     python -m engine.cli lookup <store_dir> <doc_id> [doc_id ...]  # point lookup
-    python -m engine.cli read-parquet   <path> [n] [col:lo:hi | col:in:v1,v2]
+    python -m engine.cli read-parquet   <path> [n] [col:lo:hi | col:in:v1,v2 | col:isnull|notnull]
                                                  # optional predicate runs the
                                                  # PageIndex-pruned engine read
     python -m engine.cli schema-parquet <path>
@@ -99,13 +99,13 @@ def cmd_lookup(store_dir: str, doc_ids: list[str]) -> None:
     lookup_docs(store, doc_ids).show(len(doc_ids) + 1, truncate=80)
 
 
-def _flat_columns(pc, path: str) -> list:
-    """Flat leaf paths of one file — the pruned read's column universe
-    (list leaves would raise; a predicate on a flat column must still
-    work on files that ALSO carry list columns)."""
+def _leaf_columns(pc, path: str) -> list:
+    """Leaf paths of one file — the pruned read's projection universe
+    (list leaves re-assemble from the selected pages; predicates stay on
+    flat columns)."""
     seen = []
     for c in pc.read_file_info(path).columns:
-        if c.max_rep == 0 and c.path not in seen:
+        if c.path not in seen:
             seen.append(c.path)
     return seen
 
@@ -115,9 +115,10 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
     ``parquet-read`` UX (``src/bin/parquet-read.rs:30-94``) for users coming
     from the reference with existing parquet data. ``where`` pushes a
     filter through the ENGINE's PageIndex-pruned reader (no Spark
-    session needed): ``col:lo:hi`` for a range or ``col:in:v1,v2,...``
-    for membership; numeric bounds auto-detect, anything else compares
-    as a string. Prints how many pages the predicate skipped."""
+    session needed): ``col:lo:hi`` for a range, ``col:in:v1,v2,...``
+    for membership, or ``col:isnull`` / ``col:notnull``; numeric bounds
+    auto-detect, anything else compares as a string. Prints how many
+    pages the predicate skipped."""
     if where is not None:
         import os as _os
 
@@ -130,14 +131,20 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
                 "read the dataset through Spark"
             )
         parts = where.split(":")
-        if len(parts) != 3 and not (len(parts) > 3 and parts[1] == "in"):
+        null_form = len(parts) == 2 and parts[1] in ("isnull", "notnull")
+        if not null_form and len(parts) != 3 and not (
+            len(parts) > 3 and parts[1] == "in"
+        ):
             raise SystemExit(
-                f"predicate wants col:lo:hi or col:in:v1,v2 (got "
-                f"{where!r}); values containing ':' are not expressible "
-                "in this shorthand — use read_table_pruned directly"
+                f"predicate wants col:lo:hi, col:in:v1,v2 or "
+                f"col:isnull|notnull (got {where!r}); values containing "
+                "':' are not expressible in this shorthand — use "
+                "read_table_pruned directly"
             )
         col, a = parts[0], parts[1]
-        b = ":".join(parts[2:]) if a == "in" else parts[2]
+        b = None if null_form else (
+            ":".join(parts[2:]) if a == "in" else parts[2]
+        )
 
         def _typed(x: str):
             try:
@@ -149,6 +156,8 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
                     return x
 
         def _mk(cast):
+            if null_form:
+                return (col, a, None)
             return (
                 (col, "in", [cast(v) for v in b.split(",")])
                 if a == "in"
@@ -157,12 +166,12 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
 
         try:
             tab, pr, pt = pc.read_table_pruned(
-                path, _mk(_typed), columns=_flat_columns(pc, path)
+                path, _mk(_typed), columns=_leaf_columns(pc, path)
             )
         except TypeError:
             # numeric-LOOKING bounds on a string column: retry untyped
             tab, pr, pt = pc.read_table_pruned(
-                path, _mk(str), columns=_flat_columns(pc, path)
+                path, _mk(str), columns=_leaf_columns(pc, path)
             )
         names = list(tab)
         print(" | ".join(names))

@@ -210,6 +210,7 @@ class ColumnInfo:
     # array), for planning-phase row-group pruning; None when absent
     stats_min: bytes | None = None
     stats_max: bytes | None = None
+    stats_nulls: int | None = None  # Statistics.null_count (field 3)
     # PageEncodingStats (field 13): [(page_type, encoding_id, count)]
     enc_stats: list = field(default_factory=list)
     nodes: list = field(default_factory=list)  # root->leaf schema path
@@ -368,6 +369,7 @@ def read_file_info(path: str) -> FileInfo:
                         stats_max=(
                             bytes(st_max) if st_max is not None else None
                         ),
+                        stats_nulls=st.get(3),
                         enc_stats=enc_stats,
                         nodes=nodes,
                         oi_off=chunk.get(4),
@@ -756,6 +758,8 @@ def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi,
     min/max when stats are truncated or the range sits in a value gap.
     True (may match) when the chunk has no dict page or carries any
     non-dict data page (those values bypass the dictionary)."""
+    if isinstance(values, _NullTest):
+        return True  # dictionaries store values, never null slots
     if not locs or col.start_offset >= locs[0]["offset"]:
         return True  # no dictionary page
     if col.phys in ("int96", "flba"):
@@ -883,6 +887,20 @@ def _page_prune_mask(path: str, col: ColumnInfo, lo, hi,
     locs, ci = read_page_index(path, col)
     if ci is None:
         raise ValueError(f"{col.path}: no ColumnIndex to prune with")
+    if isinstance(values, _NullTest):
+        # null placement is independent of boundary_order: IS NULL keeps
+        # pages whose null_count proves (or cannot disprove) a null;
+        # IS NOT NULL drops only all-null pages
+        nulls = ci["null_pages"]
+        ncs = ci.get("null_counts")
+        if values.want_null:
+            keep = [
+                bool(nulls[i]) or ncs is None or ncs[i] > 0
+                for i in range(len(nulls))
+            ]
+        else:
+            keep = [not n for n in nulls]
+        return keep, locs
 
     def page_min(i):
         mn = bytes(ci["mins"][i])
@@ -1249,12 +1267,34 @@ def _set_intersects(values: list, lo, hi) -> bool:
     return i < len(values) and values[i] <= hi
 
 
+class _NullTest:
+    """Normalized IS [NOT] NULL leaf — carried in the ``values`` slot of
+    a normalized predicate so every pruning layer can branch on it."""
+
+    __slots__ = ("want_null",)
+
+    def __init__(self, want_null: bool):
+        self.want_null = want_null
+
+
+def _is_null_test(p: tuple) -> bool:
+    """Leaf form ``(column, 'isnull'|'notnull', None)`` — slot 3 must be
+    None so a string range like ('word', 'isnull', 'z') stays a range."""
+    return p[1] in ("isnull", "notnull") and p[2] is None
+
+
 def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
     """Planning-phase row-group pruning from the chunk's footer
-    Statistics: False only when [min, max] provably misses [lo, hi].
-    Truncated byte-array bounds stay conservative by construction (the
-    written min lower-bounds, the incremented-prefix max upper-bounds).
-    Bool/unstatted chunks always match."""
+    Statistics: False only when [min, max] provably misses [lo, hi] —
+    or, for null tests, when the footer null_count proves the group
+    holds no (non-)null rows. Truncated byte-array bounds stay
+    conservative by construction (the written min lower-bounds, the
+    incremented-prefix max upper-bounds). Bool/unstatted chunks always
+    match."""
+    if isinstance(values, _NullTest):
+        if values.want_null:
+            return c.stats_nulls != 0  # None = unknown -> keep
+        return c.stats_nulls is None or c.stats_nulls < c.rg_rows
     if c.phys == "bool" or (c.stats_min is None and c.stats_max is None):
         return True
     lo, hi = _norm_bound(c, lo), _norm_bound(c, hi)
@@ -1287,9 +1327,12 @@ def _norm_predicates(predicate) -> list:
     each a list of leaf tuples. Accepted shapes: None -> []; one leaf
     tuple -> [[it]]; a list whose elements are leaf tuples (ANDed) or
     nested LISTS of leaf tuples (each inner list is a disjunction — any
-    branch may hold). Leaf forms: a range ``(column, lo, hi)`` or an
-    IN-list ``(column, "in", [v1, v2, ...])``. Near-miss shapes fail
-    HERE with a clear message, not deep in the read (r7 review #2.5)."""
+    branch may hold). Leaf forms: a range ``(column, lo, hi)``, an
+    IN-list ``(column, "in", [v1, v2, ...])``, or a null test
+    ``(column, "isnull"|"notnull", None)`` — the same leaf set Spark
+    pushes to its own parquet scans (ranges cover EqualTo/Lt/Gt).
+    Near-miss shapes fail HERE with a clear message, not deep in the
+    read (r7 review #2.5)."""
     if predicate is None:
         return []
     if isinstance(predicate, tuple):
@@ -1320,10 +1363,16 @@ def _norm_predicates(predicate) -> list:
                         f"IN-list for column {p[0]!r} contains None — SQL "
                         "NULL never matches IN; drop it from the list"
                     )
+            if ok and p[2] is None and not _is_null_test(p):
+                raise TypeError(
+                    f"bad predicate {p!r}: a None bound is only valid in "
+                    "(column, 'isnull'|'notnull', None)"
+                )
             if not ok:
                 raise TypeError(
-                    f"bad predicate {p!r}: expected (column, lo, hi) or "
-                    "(column, 'in', values)"
+                    f"bad predicate {p!r}: expected (column, lo, hi), "
+                    "(column, 'in', values) or "
+                    "(column, 'isnull'|'notnull', None)"
                 )
     return groups
 
@@ -1346,7 +1395,13 @@ def _norm_one_pred(col: ColumnInfo, p: tuple):
     drives exact page/dict/residual checks. NaN members are dropped
     (NaN = NaN is false, so they match nothing — same SQL semantics as
     the residual); an IN-list left empty returns the nothing-matches
-    None."""
+    None. Null tests normalize to (None, None, _NullTest) — IS NULL on
+    a REQUIRED leaf is the nothing-matches None."""
+    if _is_null_test(p):
+        want = p[1] == "isnull"
+        if want and col.max_def == 0:
+            return None  # required leaf can never be null
+        return None, None, _NullTest(want)
     if _is_in_list(p):
         vals = sorted(
             b
@@ -1960,8 +2015,11 @@ def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
 
 def _residual_mask(pv, pvalid: np.ndarray, lo, hi,
                    values: list | None = None) -> np.ndarray:
-    """Exact lo <= v <= hi — or set membership for IN-lists — over
-    materialized predicate values (nulls fail, as in SQL)."""
+    """Exact lo <= v <= hi — or set membership for IN-lists, or the
+    null test itself — over materialized predicate values (nulls fail
+    any range/IN, as in SQL)."""
+    if isinstance(values, _NullTest):
+        return ~pvalid if values.want_null else pvalid
     if isinstance(pv, list):
         if values is not None:
             member = set(values)

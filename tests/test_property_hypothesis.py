@@ -402,11 +402,11 @@ def _pruned_case(draw):
     rg_size = draw(st.sampled_from([None, 400]))
     lo = draw(st.integers(-50, 150))
     hi = draw(st.integers(-50, 150))
-    use_in = draw(st.booleans())
+    op = draw(st.sampled_from(["range", "in", "isnull", "notnull"]))
     members = draw(st.lists(st.integers(-50, 150), min_size=1, max_size=6))
     seed = draw(st.integers(0, 2**16))
     return (n, sortit, nullable, enc, version, page_rows, rg_size,
-            min(lo, hi), max(lo, hi), use_in, members, seed)
+            min(lo, hi), max(lo, hi), op, members, seed)
 
 
 @settings(max_examples=60, deadline=None)
@@ -416,12 +416,12 @@ def test_pruned_read_matches_full_read_plus_filter(tmp_path_factory, case):
     boundary_order binary search, dictionary filtering, residual) must
     agree EXACTLY with the trivial oracle: full decode + numpy filter —
     across encodings, page/row-group splits, v1/v2, nulls, sortedness,
-    ranges and IN-lists."""
+    ranges, IN-lists and null tests."""
     from engine import parquet_compat as pc
     from engine import parquet_out as po
 
     (n, sortit, nullable, enc, version, page_rows, rg_size,
-     lo, hi, use_in, members, seed) = case
+     lo, hi, op, members, seed) = case
     rng = np.random.default_rng(seed)
     vals = rng.integers(-40, 140, n).astype(np.int64)
     if sortit:
@@ -446,17 +446,29 @@ def test_pruned_read_matches_full_read_plus_filter(tmp_path_factory, case):
         data_page_version=version,
         **kwargs,
     )
-    pred = ("v", "in", members) if use_in else ("v", lo, hi)
+    pred = {
+        "range": ("v", lo, hi),
+        "in": ("v", "in", members),
+        "isnull": ("v", "isnull", None),
+        "notnull": ("v", "notnull", None),
+    }[op]
     got, pr, pt = pc.read_table_pruned(path, pred, columns=["v", "o"])
     full = pc.read_table(path, columns=["v", "o"])
     fv, fvalid = full["v"]
-    if use_in:
+    if op == "in":
         mask = fvalid & np.isin(fv, np.asarray(members))
+    elif op == "isnull":
+        mask = ~fvalid
+    elif op == "notnull":
+        mask = fvalid
     else:
         mask = fvalid & (fv >= lo) & (fv <= hi)
     assert got["v"][0].tolist() == fv[mask].tolist()
     assert got["o"][0].tolist() == full["o"][0][mask].tolist()
-    assert got["v"][1].all()  # matching rows are non-null by construction
+    if op == "isnull":
+        assert not got["v"][1].any()  # every surviving row IS null
+    else:
+        assert got["v"][1].all()  # matching rows are non-null
     assert 0 <= pr <= pt
 
 
