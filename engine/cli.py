@@ -115,7 +115,8 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
     ``parquet-read`` UX (``src/bin/parquet-read.rs:30-94``) for users coming
     from the reference with existing parquet data. ``where`` pushes a
     filter through the ENGINE's PageIndex-pruned reader (no Spark
-    session needed): ``col:lo:hi`` for a range, ``col:in:v1,v2,...``
+    session needed): ``col:lo:hi`` for a range, ``col:>=:v`` (or
+    ``> <= < ==``) for a one-sided comparison, ``col:in:v1,v2,...``
     for membership, or ``col:isnull`` / ``col:notnull``; numeric bounds
     auto-detect, anything else compares as a string. Prints how many
     pages the predicate skipped."""
@@ -132,6 +133,8 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
             )
         parts = where.split(":")
         null_form = len(parts) == 2 and parts[1] in ("isnull", "notnull")
+        cmp_form = len(parts) == 3 and parts[1] in (">=", ">", "<=", "<",
+                                                    "==")
         if not null_form and len(parts) != 3 and not (
             len(parts) > 3 and parts[1] == "in"
         ):
@@ -158,6 +161,8 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
         def _mk(cast):
             if null_form:
                 return (col, a, None)
+            if cmp_form:
+                return (col, a, cast(b))
             return (
                 (col, "in", [cast(v) for v in b.split(",")])
                 if a == "in"

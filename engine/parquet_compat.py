@@ -802,7 +802,8 @@ def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi,
         raise ValueError(
             f"{col.path}: malformed dictionary page ({e!r})"
         ) from e
-    member = None if values is None else set(values)
+    member = set(values) if isinstance(values, list) else None
+    strict = values if isinstance(values, _Cmp) else None
     if isinstance(vals, tuple):
         lens, data = vals
         offs = np.concatenate(([0], np.cumsum(np.asarray(lens, np.int64))))
@@ -812,14 +813,28 @@ def _dict_may_match(path: str, col: ColumnInfo, locs: list, lo, hi,
                 buf[offs[i] : offs[i + 1]] in member
                 for i in range(len(lens))
             )
+        if strict is not None:
+            return any(
+                _strict_cmp(strict, buf[offs[i] : offs[i + 1]])
+                for i in range(len(lens))
+            )
         return any(
-            lo <= buf[offs[i] : offs[i + 1]] <= hi for i in range(len(lens))
+            (lo is None or lo <= buf[offs[i] : offs[i + 1]])
+            and (hi is None or buf[offs[i] : offs[i + 1]] <= hi)
+            for i in range(len(lens))
         )
     if col.conv == 13 and vals.dtype == np.int32:
         vals = vals.view(np.uint32).astype(np.int64)
-    if values is not None:
+    if member is not None:
         return bool(np.isin(vals, np.asarray(values)).any())
-    return bool(((vals >= lo) & (vals <= hi)).any())
+    if strict is not None:
+        return bool(_strict_cmp(strict, vals).any())
+    m = np.ones(len(vals), bool)
+    if lo is not None:
+        m &= vals >= lo
+    if hi is not None:
+        m &= vals <= hi
+    return bool(m.any())
 
 
 def _stat_scalar(c: ColumnInfo, buf: bytes):
@@ -924,22 +939,32 @@ def _page_prune_mask(path: str, col: ColumnInfo, lo, hi,
         from bisect import bisect_left
 
         idxs = nn if ci["boundary_order"] == 1 else nn[::-1]
-        first = bisect_left(idxs, True, key=lambda i: page_max(i) >= lo)
-        last = bisect_left(idxs, True, key=lambda i: page_min(i) > hi)
+        first = (
+            0
+            if lo is None
+            else bisect_left(idxs, True, key=lambda i: page_max(i) >= lo)
+        )
+        last = (
+            len(idxs)
+            if hi is None
+            else bisect_left(idxs, True, key=lambda i: page_min(i) > hi)
+        )
         for i in idxs[first:last]:
             keep[i] = (
-                True
-                if values is None
-                else _set_intersects(values, page_min(i), page_max(i))
+                _set_intersects(values, page_min(i), page_max(i))
+                if isinstance(values, list)
+                else True  # plain range / strict-cmp envelope
             )
     else:
         for i in nn:
-            if page_max(i) < lo or page_min(i) > hi:
+            if lo is not None and page_max(i) < lo:
+                continue
+            if hi is not None and page_min(i) > hi:
                 continue
             keep[i] = (
-                True
-                if values is None
-                else _set_intersects(values, page_min(i), page_max(i))
+                _set_intersects(values, page_min(i), page_max(i))
+                if isinstance(values, list)
+                else True
             )
     return keep, locs
 
@@ -987,7 +1012,8 @@ def read_column_pruned_pages(path: str, col: ColumnInfo, lo, hi):
     page-stats feature the reference left as TODO
     (src/column/writer.rs:356,480-481). Returns (values, def_levels,
     pages_read, pages_total)."""
-    lo, hi = _norm_bound(col, lo), _norm_bound(col, hi)
+    lo = _norm_bound(col, lo) if lo is not None else None
+    hi = _norm_bound(col, hi) if hi is not None else None
     keep, locs = _page_prune_mask(path, col, lo, hi)
     vals, defs, _ = _read_pages_subset(path, col, keep, locs)
     return vals, defs, sum(keep), len(locs)
@@ -1283,6 +1309,35 @@ def _is_null_test(p: tuple) -> bool:
     return p[1] in ("isnull", "notnull") and p[2] is None
 
 
+_CMP_OPS = (">=", ">", "<=", "<", "==")
+
+
+class _Cmp:
+    """Normalized STRICT comparison ('>' / '<') — pruning layers use the
+    inclusive envelope (sound: keeps at most the boundary page), the
+    residual applies the exact operator."""
+
+    __slots__ = ("op", "v")
+
+    def __init__(self, op: str, v):
+        self.op = op
+        self.v = v
+
+
+def _strict_cmp(c: _Cmp, x):
+    """Apply a strict comparison to one value or a numpy array."""
+    return x > c.v if c.op == ">" else x < c.v
+
+
+def _is_cmp(p: tuple) -> bool:
+    """Leaf form ``(column, op, value)`` with op one of >= > <= < == —
+    one-sided ranges and equality, mapping Spark's GreaterThan[OrEqual] /
+    LessThan[OrEqual] / EqualTo pushdown leaves. A string range whose lo
+    is literally an op token is expressible as two one-sided leaves:
+    ``[(col, '>=', '>'), (col, '<=', hi)]``."""
+    return p[1] in _CMP_OPS
+
+
 def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
     """Planning-phase row-group pruning from the chunk's footer
     Statistics: False only when [min, max] provably misses [lo, hi] —
@@ -1297,7 +1352,10 @@ def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
         return c.stats_nulls is None or c.stats_nulls < c.rg_rows
     if c.phys == "bool" or (c.stats_min is None and c.stats_max is None):
         return True
-    lo, hi = _norm_bound(c, lo), _norm_bound(c, hi)
+    if lo is not None:
+        lo = _norm_bound(c, lo)
+    if hi is not None:
+        hi = _norm_bound(c, hi)
     if c.phys == "byte_array":
         mn, mx = c.stats_min, c.stats_max
     else:
@@ -1311,10 +1369,12 @@ def _rg_may_match(c: ColumnInfo, lo, hi, values: list | None = None) -> bool:
             if c.stats_max is not None
             else None
         )
-    if mx is not None and mx < lo:
+    if lo is not None and mx is not None and mx < lo:
         return False
-    if mn is not None and mn > hi:
+    if hi is not None and mn is not None and mn > hi:
         return False
+    if isinstance(values, _Cmp):
+        return True  # envelope already applied; residual is exact
     if values is not None and mn is not None and mx is not None:
         # IN-list: a group whose [min, max] brackets only a member GAP
         # prunes even though the envelope overlaps
@@ -1327,10 +1387,11 @@ def _norm_predicates(predicate) -> list:
     each a list of leaf tuples. Accepted shapes: None -> []; one leaf
     tuple -> [[it]]; a list whose elements are leaf tuples (ANDed) or
     nested LISTS of leaf tuples (each inner list is a disjunction — any
-    branch may hold). Leaf forms: a range ``(column, lo, hi)``, an
+    branch may hold). Leaf forms: a range ``(column, lo, hi)``, a
+    comparison ``(column, ">="|">"|"<="|"<"|"==", value)``, an
     IN-list ``(column, "in", [v1, v2, ...])``, or a null test
     ``(column, "isnull"|"notnull", None)`` — the same leaf set Spark
-    pushes to its own parquet scans (ranges cover EqualTo/Lt/Gt).
+    pushes to its own parquet scans.
     Near-miss shapes fail HERE with a clear message, not deep in the
     read (r7 review #2.5)."""
     if predicate is None:
@@ -1363,15 +1424,24 @@ def _norm_predicates(predicate) -> list:
                         f"IN-list for column {p[0]!r} contains None — SQL "
                         "NULL never matches IN; drop it from the list"
                     )
+            if ok and p[1] is None:
+                raise TypeError(
+                    f"bad predicate {p!r}: a None lower bound is not a "
+                    "range — one-sided ranges use (column, '<='|'<', "
+                    "value)"
+                )
             if ok and p[2] is None and not _is_null_test(p):
                 raise TypeError(
                     f"bad predicate {p!r}: a None bound is only valid in "
-                    "(column, 'isnull'|'notnull', None)"
+                    "(column, 'isnull'|'notnull', None) — SQL comparisons "
+                    "with NULL match nothing; one-sided ranges use "
+                    "(column, '>='|'>'|'<='|'<', value)"
                 )
             if not ok:
                 raise TypeError(
                     f"bad predicate {p!r}: expected (column, lo, hi), "
-                    "(column, 'in', values) or "
+                    "(column, op, value) with op in "
+                    ">= > <= < ==, (column, 'in', values) or "
                     "(column, 'isnull'|'notnull', None)"
                 )
     return groups
@@ -1396,12 +1466,26 @@ def _norm_one_pred(col: ColumnInfo, p: tuple):
     (NaN = NaN is false, so they match nothing — same SQL semantics as
     the residual); an IN-list left empty returns the nothing-matches
     None. Null tests normalize to (None, None, _NullTest) — IS NULL on
-    a REQUIRED leaf is the nothing-matches None."""
+    a REQUIRED leaf is the nothing-matches None. Comparisons normalize
+    to one-sided envelopes (a None bound = unbounded): >= / <= / == are
+    pure ranges; strict > / < carry a _Cmp for the exact residual."""
     if _is_null_test(p):
         want = p[1] == "isnull"
         if want and col.max_def == 0:
             return None  # required leaf can never be null
         return None, None, _NullTest(want)
+    if _is_cmp(p):
+        v = _norm_bound(col, p[2])
+        if isinstance(v, float) and v != v:
+            return None  # NaN compares false under every operator
+        op = p[1]
+        if op == "==":
+            return v, v, None
+        if op == ">=":
+            return v, None, None
+        if op == "<=":
+            return None, v, None
+        return (v, None, _Cmp(op, v)) if op == ">" else (None, v, _Cmp(op, v))
     if _is_in_list(p):
         vals = sorted(
             b
@@ -1522,8 +1606,10 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
     driver never touches payload bytes; the schema comes from the FIRST
     file's parsed footer (INT96 surfaces as epoch-ns longs).
 
-    ``predicate`` — a leaf ``(column, lo, hi)`` / ``(column, "in",
-    values)``, a list of leaves (AND), or CNF with inner OR-lists —
+    ``predicate`` — a leaf ``(column, lo, hi)`` / ``(column, op, value)``
+    with op in ``>= > <= < ==`` / ``(column, "in", values)`` /
+    ``(column, "isnull"|"notnull", None)``, a list of leaves (AND), or
+    CNF with inner OR-lists —
     pushes the filter all the way down: row groups whose footer Statistics provably miss the range are
     dropped from the ledger AT PLAN TIME (never scheduled — the analog of
     Spark's partition/row-group pruning), and each surviving task decodes
@@ -2015,24 +2101,43 @@ def _decode_rows(path: str, c: ColumnInfo, rows: np.ndarray, n_rows: int,
 
 def _residual_mask(pv, pvalid: np.ndarray, lo, hi,
                    values: list | None = None) -> np.ndarray:
-    """Exact lo <= v <= hi — or set membership for IN-lists, or the
-    null test itself — over materialized predicate values (nulls fail
-    any range/IN, as in SQL)."""
+    """Exact lo <= v <= hi (a None bound is unbounded) — or set
+    membership for IN-lists, a strict comparison, or the null test
+    itself — over materialized predicate values (nulls fail any
+    range/IN/comparison, as in SQL)."""
     if isinstance(values, _NullTest):
         return ~pvalid if values.want_null else pvalid
     if isinstance(pv, list):
-        if values is not None:
+        if isinstance(values, list):
             member = set(values)
             return np.fromiter(
                 ((x is not None) and x in member for x in pv),
                 bool,
                 len(pv),
             )
+        if isinstance(values, _Cmp):
+            return np.fromiter(
+                ((x is not None) and _strict_cmp(values, x) for x in pv),
+                bool,
+                len(pv),
+            )
         return np.fromiter(
-            ((x is not None) and lo <= x <= hi for x in pv),
+            (
+                (x is not None)
+                and (lo is None or lo <= x)
+                and (hi is None or x <= hi)
+                for x in pv
+            ),
             bool,
             len(pv),
         )
-    if values is not None:
+    if isinstance(values, list):
         return pvalid & np.isin(pv, np.asarray(values))
-    return pvalid & (pv >= lo) & (pv <= hi)
+    if isinstance(values, _Cmp):
+        return pvalid & _strict_cmp(values, pv)
+    m = pvalid.copy()
+    if lo is not None:
+        m &= pv >= lo
+    if hi is not None:
+        m &= pv <= hi
+    return m

@@ -402,7 +402,8 @@ def _pruned_case(draw):
     rg_size = draw(st.sampled_from([None, 400]))
     lo = draw(st.integers(-50, 150))
     hi = draw(st.integers(-50, 150))
-    op = draw(st.sampled_from(["range", "in", "isnull", "notnull"]))
+    op = draw(st.sampled_from(["range", "in", "isnull", "notnull",
+                               ">=", ">", "<=", "<", "=="]))
     members = draw(st.lists(st.integers(-50, 150), min_size=1, max_size=6))
     seed = draw(st.integers(0, 2**16))
     return (n, sortit, nullable, enc, version, page_rows, rg_size,
@@ -451,7 +452,7 @@ def test_pruned_read_matches_full_read_plus_filter(tmp_path_factory, case):
         "in": ("v", "in", members),
         "isnull": ("v", "isnull", None),
         "notnull": ("v", "notnull", None),
-    }[op]
+    }.get(op, ("v", op, lo))
     got, pr, pt = pc.read_table_pruned(path, pred, columns=["v", "o"])
     full = pc.read_table(path, columns=["v", "o"])
     fv, fvalid = full["v"]
@@ -461,8 +462,14 @@ def test_pruned_read_matches_full_read_plus_filter(tmp_path_factory, case):
         mask = ~fvalid
     elif op == "notnull":
         mask = fvalid
-    else:
+    elif op == "range":
         mask = fvalid & (fv >= lo) & (fv <= hi)
+    else:
+        import operator
+
+        cmpf = {">=": operator.ge, ">": operator.gt, "<=": operator.le,
+                "<": operator.lt, "==": operator.eq}[op]
+        mask = fvalid & cmpf(fv, lo)
     assert got["v"][0].tolist() == fv[mask].tolist()
     assert got["o"][0].tolist() == full["o"][0][mask].tolist()
     if op == "isnull":
