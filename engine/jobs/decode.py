@@ -584,3 +584,142 @@ def decode_table_pruned(
         columns,
         select=select,
     )
+
+
+def _leaf_stat_keep(q: tuple):
+    """Keep-expression for ONE predicate leaf over a stats row whose
+    ``column`` already matches the leaf's: the chunk-store analog of the
+    parquet path's row-group pruning, sharing the leaf grammar
+    (``parquet_compat._norm_predicates``). Null tests read the always-
+    recorded null_count; ranges/comparisons/IN-envelopes read the typed
+    stat family with the same NULL-stat split as
+    :func:`_pruned_chunk_ids` (all-null drops, never-written keeps).
+    Strict > / < sharpen the boundary (vmax == v proves `> v` empty)."""
+    from ..parquet_compat import _is_cmp, _is_in_list, _is_null_test
+
+    if _is_null_test(q):
+        if q[1] == "isnull":
+            return F.col("null_count") > 0
+        return F.col("null_count") < F.col("n_docs")
+    strict_lo = strict_hi = False
+    if _is_cmp(q):
+        op, v = q[1], q[2]
+        lo = v if op in (">=", ">", "==") else None
+        hi = v if op in ("<=", "<", "==") else None
+        strict_lo, strict_hi = op == ">", op == "<"
+    elif _is_in_list(q):
+        vals = [v for v in q[2] if not (isinstance(v, float) and v != v)]
+        if not vals:
+            return F.lit(False)  # all-NaN IN-list matches nothing
+        lo, hi = min(vals), max(vals)
+    else:
+        lo, hi = q[1], q[2]
+    if isinstance(lo if lo is not None else hi, str):
+        vmin_c, vmax_c = F.col("vmin_s"), F.col("vmax_s")
+    else:
+        vmin_c = F.coalesce(F.col("vmin_d"), F.col("vmin").cast("double"))
+        vmax_c = F.coalesce(F.col("vmax_d"), F.col("vmax").cast("double"))
+    stats_absent = vmin_c.isNull() | vmax_c.isNull()
+    all_null = F.col("null_count") >= F.col("n_docs")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & ((vmax_c > lo) if strict_lo else (vmax_c >= lo))
+    if hi is not None:
+        cond = cond & ((vmin_c < hi) if strict_hi else (vmin_c <= hi))
+    return F.when(stats_absent, ~all_null).otherwise(cond)
+
+
+def _pruned_chunk_ids_cnf(chunks_df: DataFrame, preds: list) -> DataFrame:
+    """chunk_ids surviving a normalized CNF: within an OR-group a chunk
+    survives when ANY branch's stats row passes (branches may reference
+    different columns), across groups the surviving sets INTERSECT —
+    the same union/intersect shape as the parquet path's page spans."""
+    from functools import reduce
+
+    keep = None
+    for grp in preds:
+        branch = reduce(
+            lambda x, y: x | y,
+            [(F.col("column") == q[0]) & _leaf_stat_keep(q) for q in grp],
+        )
+        ids = chunks_df.where(branch).select("chunk_id").distinct()
+        keep = ids if keep is None else keep.join(ids, "chunk_id")
+    return keep
+
+
+def row_filter_expr(predicate):
+    """The CNF as an exact row-level Spark Column — the residual the
+    filtered scan applies after chunk pruning (SQL semantics: NULL fails
+    every range/comparison/IN)."""
+    import operator
+    from functools import reduce
+
+    from ..parquet_compat import (
+        _is_cmp,
+        _is_in_list,
+        _is_null_test,
+        _norm_predicates,
+    )
+
+    ops = {">=": operator.ge, ">": operator.gt, "<=": operator.le,
+           "<": operator.lt, "==": operator.eq}
+
+    def leaf(q):
+        c = F.col(q[0])
+        if _is_null_test(q):
+            return c.isNull() if q[1] == "isnull" else c.isNotNull()
+        if _is_in_list(q):
+            return c.isin(list(q[2]))
+        if _is_cmp(q):
+            return ops[q[1]](c, q[2])
+        return (c >= q[1]) & (c <= q[2])
+
+    groups = [
+        reduce(lambda x, y: x | y, [leaf(q) for q in grp])
+        for grp in _norm_predicates(predicate)
+    ]
+    return reduce(lambda x, y: x & y, groups)
+
+
+def decode_table_filtered(
+    chunks_df: DataFrame, columns: dict, predicate,
+    select: list[str] | None = None,
+) -> DataFrame:
+    """Filtered scan over the chunk store with the SAME predicate algebra
+    as the parquet reader (``read_table_pruned``): ranges, one-sided
+    comparisons, IN-lists, null tests, CNF with OR-groups. Chunks whose
+    typed statistics provably cannot hold a qualifying row never
+    deserialize (broadcast semi-join on the surviving chunk_ids), and —
+    unlike :func:`decode_table_pruned`, whose caller must re-filter —
+    the exact row residual is applied here, so callers get precisely the
+    WHERE rows. Predicate columns are decoded as needed for the residual
+    but dropped from the output unless selected."""
+    preds = _norm_predicates_shared(predicate)
+    if not preds:
+        raise ValueError("decode_table_filtered needs at least one leaf")
+    pred_cols = {q[0] for grp in preds for q in grp}
+    unknown = sorted(pred_cols - set(columns))
+    if unknown:
+        raise ValueError(f"predicate columns not in the table: {unknown}")
+    want = select
+    need = select
+    if select is not None:
+        need = [*select, *sorted(pred_cols - set(select))]
+    keep = _pruned_chunk_ids_cnf(chunks_df, preds)
+    out = decode_table(
+        chunks_df.join(F.broadcast(keep), "chunk_id", "left_semi"),
+        columns,
+        select=need,
+    )
+    out = out.where(row_filter_expr(predicate))
+    if want is not None and need != want:
+        out = out.select(*want)
+    return out
+
+
+def _norm_predicates_shared(predicate) -> list:
+    """One leaf grammar for both container formats — delegate to the
+    parquet module's validator/normalizer."""
+    from ..parquet_compat import _norm_predicates
+
+    return _norm_predicates(predicate)
