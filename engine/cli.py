@@ -133,6 +133,13 @@ def cmd_read_parquet(path: str, n: int = 10, where: str | None = None) -> None:
             )
         parts = where.split(":")
         null_form = len(parts) == 2 and parts[1] in ("isnull", "notnull")
+        if len(parts) > 2 and parts[1] in ("isnull", "notnull"):
+            # would otherwise silently parse as the string range
+            # lo='isnull' and print a convincing 0-row answer
+            raise SystemExit(
+                f"predicate {where!r}: {parts[1]} takes no value — "
+                f"write {parts[0]}:{parts[1]}"
+            )
         cmp_form = len(parts) == 3 and parts[1] in (">=", ">", "<=", "<",
                                                     "==")
         if not null_form and len(parts) != 3 and not (

@@ -601,19 +601,30 @@ def _leaf_stat_keep(q: tuple):
         if q[1] == "isnull":
             return F.col("null_count") > 0
         return F.col("null_count") < F.col("n_docs")
+
+    def _b(v):
+        # bool stats are stored as 0/1 ints (encode's vmin/vmax); a raw
+        # True bound would compare DOUBLE to BOOLEAN and fail analysis
+        return int(v) if isinstance(v, bool) else v
+
     strict_lo = strict_hi = False
     if _is_cmp(q):
-        op, v = q[1], q[2]
+        op, v = q[1], _b(q[2])
+        if isinstance(v, float) and v != v:
+            return F.lit(False)  # NaN compares false under every op
         lo = v if op in (">=", ">", "==") else None
         hi = v if op in ("<=", "<", "==") else None
         strict_lo, strict_hi = op == ">", op == "<"
     elif _is_in_list(q):
-        vals = [v for v in q[2] if not (isinstance(v, float) and v != v)]
+        vals = [_b(v) for v in q[2]
+                if not (isinstance(v, float) and v != v)]
         if not vals:
             return F.lit(False)  # all-NaN IN-list matches nothing
         lo, hi = min(vals), max(vals)
     else:
-        lo, hi = q[1], q[2]
+        lo, hi = _b(q[1]), _b(q[2])
+        if any(isinstance(b, float) and b != b for b in (lo, hi)):
+            return F.lit(False)  # NaN range bound matches nothing
     if isinstance(lo if lo is not None else hi, str):
         vmin_c, vmax_c = F.col("vmin_s"), F.col("vmax_s")
     else:
@@ -633,8 +644,14 @@ def _pruned_chunk_ids_cnf(chunks_df: DataFrame, preds: list) -> DataFrame:
     """chunk_ids surviving a normalized CNF: within an OR-group a chunk
     survives when ANY branch's stats row passes (branches may reference
     different columns), across groups the surviving sets INTERSECT —
-    the same union/intersect shape as the parquet path's page spans."""
+    the same union/intersect shape as the parquet path's page spans.
+    A chunk with NO stats row for a column decodes as all-NULL rows for
+    it (schema evolution, see :func:`decode_table`), so an ``isnull``
+    branch additionally keeps every chunk missing its column entirely —
+    dropping them would lose exactly the rows IS NULL exists to find."""
     from functools import reduce
+
+    from ..parquet_compat import _is_null_test
 
     keep = None
     for grp in preds:
@@ -643,14 +660,29 @@ def _pruned_chunk_ids_cnf(chunks_df: DataFrame, preds: list) -> DataFrame:
             [(F.col("column") == q[0]) & _leaf_stat_keep(q) for q in grp],
         )
         ids = chunks_df.where(branch).select("chunk_id").distinct()
+        for q in grp:
+            if _is_null_test(q) and q[1] == "isnull":
+                missing = (
+                    chunks_df.groupBy("chunk_id")
+                    .agg(F.max(F.col("column") == q[0]).alias("_has"))
+                    .where(~F.col("_has"))
+                    .select("chunk_id")
+                )
+                ids = ids.unionByName(missing).distinct()
         keep = ids if keep is None else keep.join(ids, "chunk_id")
     return keep
 
 
-def row_filter_expr(predicate):
+def row_filter_expr(predicate, float_columns=()):
     """The CNF as an exact row-level Spark Column — the residual the
     filtered scan applies after chunk pruning (SQL semantics: NULL fails
-    every range/comparison/IN)."""
+    every range/comparison/IN). Column references are backtick-quoted so
+    flattened struct leaves with dotted names resolve. NaN semantics
+    match the parquet residual and the NaN-excluded chunk statistics —
+    NaN never matches: NaN bounds/values/members are match-nothing, and
+    ``float_columns`` names the DOUBLE/FLOAT columns that need an isnan
+    guard on ``>`` / ``>=`` (Spark orders NaN above every value, so an
+    unguarded NaN row would match what the stats pruned)."""
     import operator
     from functools import reduce
 
@@ -665,13 +697,24 @@ def row_filter_expr(predicate):
            "<": operator.lt, "==": operator.eq}
 
     def leaf(q):
-        c = F.col(q[0])
+        c = F.col(f"`{q[0]}`")
         if _is_null_test(q):
             return c.isNull() if q[1] == "isnull" else c.isNotNull()
         if _is_in_list(q):
-            return c.isin(list(q[2]))
+            vals = [v for v in q[2]
+                    if not (isinstance(v, float) and v != v)]
+            return c.isin(vals) if vals else F.lit(False)
         if _is_cmp(q):
-            return ops[q[1]](c, q[2])
+            v = q[2]
+            if isinstance(v, float) and v != v:
+                return F.lit(False)
+            e = ops[q[1]](c, v)
+            if q[1] in (">", ">=") and q[0] in float_columns:
+                e = e & ~F.isnan(c)
+            return e
+        if any(isinstance(b, float) and b != b for b in (q[1], q[2])):
+            return F.lit(False)
+        # two-sided ranges need no isnan guard: NaN fails `<= hi`
         return (c >= q[1]) & (c <= q[2])
 
     groups = [
@@ -694,7 +737,9 @@ def decode_table_filtered(
     the exact row residual is applied here, so callers get precisely the
     WHERE rows. Predicate columns are decoded as needed for the residual
     but dropped from the output unless selected."""
-    preds = _norm_predicates_shared(predicate)
+    from ..parquet_compat import _norm_predicates
+
+    preds = _norm_predicates(predicate)
     if not preds:
         raise ValueError("decode_table_filtered needs at least one leaf")
     pred_cols = {q[0] for grp in preds for q in grp}
@@ -711,15 +756,11 @@ def decode_table_filtered(
         columns,
         select=need,
     )
-    out = out.where(row_filter_expr(predicate))
+    float_cols = {
+        name for name, spec in columns.items()
+        if spec[0] in ("float32", "float64")
+    }
+    out = out.where(row_filter_expr(predicate, float_columns=float_cols))
     if want is not None and need != want:
-        out = out.select(*want)
+        out = out.select(*[F.col(f"`{c}`") for c in want])
     return out
-
-
-def _norm_predicates_shared(predicate) -> list:
-    """One leaf grammar for both container formats — delegate to the
-    parquet module's validator/normalizer."""
-    from ..parquet_compat import _norm_predicates
-
-    return _norm_predicates(predicate)

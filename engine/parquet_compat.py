@@ -1633,6 +1633,23 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
 
     paths = [path] if isinstance(path, str) else list(path)
     info = read_file_info(paths[0])
+    if predicate is not None:
+        # driver-side flat-predicate validation (mirrors
+        # read_table_pruned): a repeated leaf's Statistics null_count
+        # counts LEAF entries, not records, so letting it reach the
+        # plan-phase stats would silently mis-prune (e.g. a notnull test
+        # over all-[]/all-[null] lists) instead of failing clean
+        by_path = {}
+        for c in info.columns:
+            by_path.setdefault(c.path, c)
+        for grp in _norm_predicates(predicate):
+            for q in grp:
+                sc = by_path.get(q[0])
+                if sc is not None and sc.max_rep:
+                    raise ValueError(
+                        f"{q[0]}: pruned read requires flat predicate "
+                        "columns"
+                    )
     cols = [c for c in info.columns if columns is None or c.path in columns]
     # multi-row-group files repeat each column once per group; keep the
     # first occurrence for schema purposes

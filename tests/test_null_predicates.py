@@ -140,6 +140,19 @@ def test_engine_written_file_null_predicates(tmp_path):
     assert len(table["k"][0]) == n - 100
 
 
+def test_cli_isnull_with_value_rejected(clustered_path):
+    """col:isnull:x must fail clean, not silently run the string range
+    lo='isnull' and print a convincing 0-row answer (r7 review pass 5
+    #6)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "engine.cli", "read-parquet",
+         clustered_path, "3", "s:isnull:x"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "takes no value" in (out.stderr + out.stdout)
+
+
 def test_cli_isnull_form(clustered_path):
     out = subprocess.run(
         [sys.executable, "-m", "engine.cli", "read-parquet",

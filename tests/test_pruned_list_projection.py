@@ -72,6 +72,17 @@ def test_predicate_on_repeated_column_still_rejected(foreign_path):
         pc.read_table_pruned(foreign_path, ("vals.list.element", 0, 5))
 
 
+def test_distributed_read_rejects_repeated_predicate(spark, foreign_path):
+    """The driver must raise BEFORE planning: a repeated leaf's footer
+    null_count counts entries, not records, so plan-phase stats would
+    silently mis-prune (r7 review pass 5 #5)."""
+    with pytest.raises(ValueError, match="flat predicate columns"):
+        pc.read_parquet_with_engine(
+            spark, foreign_path,
+            predicate=("vals.list.element", "notnull", None),
+        )
+
+
 def test_no_index_fallback_whole_chunk(tmp_path):
     """A file WITHOUT a PageIndex decodes list projections whole-chunk
     (pages all counted as read) but still returns exact rows."""
