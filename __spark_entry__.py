@@ -989,8 +989,11 @@ def _q_pruned_scan_strings(spark, sf_dir) -> DataFrame:
 
 
 def _q_pruned_scan_floats(spark, sf_dir) -> DataFrame:
-    """Float-statistics pruning through the generic table path: decode only
-    chunks whose [vmin_d, vmax_d] intersects the value predicate."""
+    """Float-statistics pruning through the generic table path — via the
+    r7 FILTERED scan (decode_table_filtered): the same [0.5, 2.5] window
+    expressed as two ONE-SIDED comparison leaves ANDed, chunk pruning
+    and the exact row residual applied inside the call, so the full
+    predicate algebra is exercised under this graded gate."""
     encode_job, decode_job = _engine(spark)
     ev = _read(spark, sf_dir, "events").select(
         F.col("event_id").cast("long"),
@@ -1002,9 +1005,11 @@ def _q_pruned_scan_floats(spark, sf_dir) -> DataFrame:
         ev, columns=cols, rows_per_bucket=1024,
         bucket_key="event_type", salt_col="event_id", sort_col="event_id",
     )
-    dec = decode_job.decode_table_pruned(chunks, cols, "value", 0.5, 2.5)
+    dec = decode_job.decode_table_filtered(
+        chunks, cols, [("value", ">=", 0.5), ("value", "<=", 2.5)]
+    )
     return (
-        dec.where((F.col("value") >= 0.5) & (F.col("value") <= 2.5))
+        dec
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -2117,10 +2122,11 @@ def _q_page_pruned_read(spark, sf_dir) -> DataFrame:
     src/column/writer.rs:356,480-481, now driver-visible): lineitem is
     exported to engine-written parquet with small multi-page chunks
     (page_size_rows=512, sorted delta-packed orderkeys), then read back
-    through read_parquet_with_engine with a range predicate pushed all
-    the way down — row groups excluded by footer stats at PLAN time,
-    non-matching pages skipped via the ColumnIndex binary search inside
-    each task. The gate RAISES unless pruning provably engaged
+    through read_parquet_with_engine with a CNF predicate pushed all
+    the way down (one-sided comparisons, an IN-list over the dict
+    column, a null test — the full r7 leaf algebra) — row groups
+    excluded by footer stats at PLAN time, non-matching pages skipped
+    via the ColumnIndex binary search inside each task. The gate RAISES unless pruning provably engaged
     (rg_planned < rg_total or pages_read < pages_total); the surviving
     rows hash against DuckDB's WHERE over the original table."""
     import numpy as np
@@ -2156,7 +2162,15 @@ def _q_page_pruned_read(spark, sf_dir) -> DataFrame:
     back = pc.read_parquet_with_engine(
         spark, paths,
         columns=["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"],
-        predicate=("l_orderkey", 1200, 2399),
+        # the full r7 leaf algebra, driver-graded: one-sided comparisons
+        # (>= and strict <), an IN-list on the dict-encoded string column
+        # (page + dictionary filtering), and a null test
+        predicate=[
+            ("l_orderkey", ">=", 1200),
+            ("l_orderkey", "<", 2400),
+            ("l_returnflag", "in", ["A", "N"]),
+            ("l_returnflag", "notnull", None),
+        ],
         prune_stats=True, prune_report=rep,
     ).persist()
     units = (
@@ -2194,7 +2208,8 @@ SELECT l_returnflag,
        CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
        CAST(MAX(l_orderkey) AS BIGINT) AS max_okey
 FROM lineitem
-WHERE l_orderkey BETWEEN 1200 AND 2399
+WHERE l_orderkey >= 1200 AND l_orderkey < 2400
+  AND l_returnflag IN ('A', 'N') AND l_returnflag IS NOT NULL
 GROUP BY l_returnflag
 """
 
