@@ -50,6 +50,35 @@ def test_pruned_decode_semi_join_is_broadcast(spark):
     chunks.unpersist()
 
 
+def test_filtered_scan_semi_join_is_broadcast(spark):
+    """decode_table_filtered keeps the pruned-decode plan shape: the
+    surviving-chunk semi-join broadcasts (never a shuffle of payload
+    rows against a chunk-id list), no cartesian product anywhere, and
+    the CNF residual stays a plain Filter."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "score": np.arange(300, dtype=np.float64),
+    })
+    df = spark.createDataFrame(pdf)
+    cols = encode_job.derive_columns(df)
+    chunks = encode_job.encode_table(
+        df, columns=cols, rows_per_bucket=128,
+        bucket_key="id", salt_col="id",
+    ).persist()
+    out = decode_job.decode_table_filtered(
+        chunks, cols,
+        [[("id", "<", 10), ("score", ">=", 250.0)], ("id", "notnull", None)],
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Filter" in plan, plan
+    chunks.unpersist()
+
+
 def test_tpch_q3_broadcasts_customer(spark):
     import __spark_entry__ as entry
 
