@@ -2046,7 +2046,28 @@ def _q_parquet_export(spark, sf_dir) -> DataFrame:
              pdf["n_chars"].to_numpy(np.int64), None),
         ]
 
-    back = _export_partitions(spark, docs, "sg_pq_export", sf_dir, cols_fn)
+    # r7: through the RESUMABLE export job (engine/jobs/export.py) —
+    # deterministic bucket units, digest-named files, atomic commits —
+    # so the kill/resume parquet sink runs under this graded gate. The
+    # dir is cleared first: the gate grades a FULL export (the resume
+    # contract itself is pinned by tests/test_export_resume.py)
+    import shutil
+    import tempfile
+
+    from engine.jobs.export import export_parquet
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_pq_export_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = export_parquet(
+        docs, out_dir, cols_fn=cols_fn,
+        bucket_key="source", salt_col="doc_id", rows_per_bucket=256,
+        sort_col="doc_id",
+    )
+    paths = [r["path"] for r in manifest.collect()]  # bounded: 1/unit
+    back = spark.read.parquet(*paths)
     return back.select(
         F.col("doc_id").cast("long"),
         "text",

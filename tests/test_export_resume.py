@@ -1,0 +1,148 @@
+"""Resumable parquet export (engine/jobs/export.py): deterministic
+bucket units, one engine-parquet file per unit, atomic commit, and the
+three-run resume contract the chunk store already honors — partial run,
+resumed run completes the rest, third run writes 0."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.jobs import export as export_job
+
+
+def _frame(sources):
+    rng = np.random.default_rng(7)
+    rows = []
+    for s in sources:
+        for i in range(400):
+            rows.append((f"{s}-{i:05d}", s, int(rng.integers(0, 10**6)),
+                         None if i % 19 == 0 else f"txt {s} {i}"))
+    return pd.DataFrame(rows, columns=["doc_id", "source", "score", "text"])
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    pdf = _frame(["a", "b", "c", "d"])
+    df = spark.createDataFrame(pdf)
+    df.persist().count()
+    return df, pdf
+
+
+def test_full_export_roundtrips(spark, table, tmp_path):
+    df, pdf = table
+    out = str(tmp_path / "full")
+    manifest = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=128, codec="snappy",
+    ).collect()
+    assert all(not r.resumed for r in manifest)
+    assert sum(r.rows for r in manifest) == len(pdf)
+    assert len(manifest) == len(os.listdir(out))
+    back = spark.read.parquet(out).toPandas()
+    a = back.sort_values("doc_id").reset_index(drop=True)[pdf.columns]
+    b = pdf.sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    assert a["text"].fillna("~").tolist() == b["text"].fillna("~").tolist()
+
+
+def test_resume_three_run_contract(spark, table, tmp_path):
+    """Run 1 exports HALF the sources (the killed job), run 2 exports the
+    full input resuming run 1's units, run 3 writes nothing."""
+    df, pdf = table
+    out = str(tmp_path / "resume")
+    part1 = export_job.export_parquet(
+        df.where(F.col("source").isin("a", "b")), out,
+        bucket_key="source", salt_col="doc_id", rows_per_bucket=128,
+    ).collect()
+    n1 = len(part1)
+    assert n1 == len(os.listdir(out))
+
+    part2 = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=128,
+    ).collect()
+    resumed = [r for r in part2 if r.resumed]
+    written = [r for r in part2 if not r.resumed]
+    assert len(resumed) == n1  # every run-1 unit skipped
+    assert all(r.rows is None for r in resumed)
+    assert sum(r.rows for r in written) == 2 * 400  # sources c, d only
+
+    part3 = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=128,
+    ).collect()
+    assert all(r.resumed for r in part3)  # third run writes 0
+    assert len(part3) == len(part2)
+
+    back = spark.read.parquet(out)
+    assert back.count() == len(pdf)
+    assert back.select("doc_id").distinct().count() == len(pdf)
+
+
+def test_deterministic_bytes_per_unit(spark, table, tmp_path):
+    """A retried attempt must commit byte-identical content: two
+    independent full exports produce identical files name-by-name."""
+    df, _ = table
+    o1, o2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    for o in (o1, o2):
+        export_job.export_parquet(
+            df, o, bucket_key="source", salt_col="doc_id",
+            rows_per_bucket=128, resume=False,
+        ).collect()
+    f1, f2 = sorted(os.listdir(o1)), sorted(os.listdir(o2))
+    assert f1 == f2
+    for f in f1:
+        b1 = open(os.path.join(o1, f), "rb").read()
+        b2 = open(os.path.join(o2, f), "rb").read()
+        assert b1 == b2, f
+
+
+def test_leftover_tmp_is_ignored(spark, table, tmp_path):
+    """A .tmp orphan from a killed attempt neither blocks nor is counted
+    by the resumed run."""
+    df, pdf = table
+    out = str(tmp_path / "tmporphan")
+    os.makedirs(out)
+    orphan = os.path.join(out, "_tmp-deadbeef-part-dead.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"garbage")
+    manifest = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=128,
+    ).collect()
+    assert all(not r.resumed for r in manifest)
+    assert not os.path.exists(orphan)  # dead tmp swept at job start
+    assert spark.read.parquet(out).count() == len(pdf)
+
+
+def test_numeric_nulls_fail_clean(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b"], "source": ["s", "s"],
+        "v": pd.array([1, None], dtype="Int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="validity mask"):
+        export_job.export_parquet(
+            df, str(tmp_path / "nn"), bucket_key="source",
+            salt_col="doc_id",
+        ).collect()
+
+
+def test_external_readers_accept_output(spark, table, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    df, pdf = table
+    out = str(tmp_path / "ext")
+    export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=256,
+    ).collect()
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == len(pdf)
+    t = pq.read_table(out)
+    assert t.num_rows == len(pdf)
