@@ -52,13 +52,46 @@ def _auto_cols_fn(expected: dict):
     def cols_fn(pdf, parquet_out):
         cols = []
         for name, spark_t in expected.items():
+            s = pdf[name]
+            if spark_t.startswith("array<") and spark_t[6:-1] in kind:
+                # list column (e.g. the flagship tokens array<int>):
+                # null rows allowed; null ELEMENTS need a custom cols_fn
+                elem_alias, elem_t = kind[spark_t[6:-1]]
+                if elem_alias == "utf8":
+                    raise ValueError(
+                        f"export_parquet default spec cannot write "
+                        f"{name}: {spark_t} — pass cols_fn"
+                    )
+                valid = s.notna().to_numpy()
+                seqs = [np.asarray(x) for x in s if x is not None]
+                dense = (
+                    np.concatenate(seqs) if seqs else np.empty(0, elem_t)
+                )
+                if not np.issubdtype(dense.dtype, np.number) and \
+                        dense.dtype != np.bool_:
+                    raise ValueError(
+                        f"export_parquet: list column {name} carries "
+                        "null elements — pass cols_fn building an "
+                        "explicit element validity mask"
+                    )
+                # offsets span EVERY row (null rows = zero entries — the
+                # writer's null-list contract)
+                offsets = np.concatenate(
+                    ([0],
+                     np.cumsum([0 if x is None else len(x) for x in s]))
+                ).astype(np.int64)
+                cols.append(
+                    (name, f"list<{elem_alias}>", "AUTO",
+                     (offsets, dense.astype(elem_t), None),
+                     None if valid.all() else valid)
+                )
+                continue
             if spark_t not in kind:
                 raise ValueError(
                     f"export_parquet default spec cannot write {name}: "
                     f"{spark_t} — pass cols_fn for this table"
                 )
             alias, np_t = kind[spark_t]
-            s = pdf[name]
             if alias == "utf8":
                 valid = s.notna().to_numpy()
                 dense = parquet_out.flat_strings(
@@ -91,6 +124,7 @@ def export_parquet(
     rows_per_bucket: int = skew.DEFAULT_ROWS_PER_BUCKET,
     sort_col: str | None = None,
     resume: bool = True,
+    chunk_suffix: str | None = None,
     **write_kwargs,
 ) -> DataFrame:
     """Write ``df`` as a directory of engine-made parquet files, one per
@@ -108,7 +142,10 @@ def export_parquet(
     one row per unit; ``resumed`` rows were committed by a previous run
     and carry NULL ``rows`` (their payloads were never re-read). Resume
     is unit-granular over the SAME logical input: re-running with the
-    same df skips everything already committed; a third run writes 0."""
+    same df skips everything already committed; a third run writes 0.
+    ``chunk_suffix`` scopes unit ids to a window/micro-batch (the
+    streaming sink passes the batch id) so incremental appends CLOSE
+    their units instead of colliding with committed ones."""
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     if "_fname" in df.columns:
@@ -120,7 +157,7 @@ def export_parquet(
     fn = cols_fn or _auto_cols_fn(expected)
     planned = skew.plan_buckets(
         df, key=bucket_key, salt_col=salt_col,
-        rows_per_bucket=rows_per_bucket,
+        rows_per_bucket=rows_per_bucket, chunk_suffix=chunk_suffix,
     ).withColumn(
         "_fname",
         F.concat(

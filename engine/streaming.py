@@ -62,6 +62,44 @@ def encode_stream(
     return writer.start()
 
 
+def export_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    **export_kwargs,
+):
+    """Streaming PARQUET sink with exactly-once file commits: each
+    micro-batch exports through the resumable parquet job
+    (:func:`engine.jobs.export.export_parquet`) with unit ids scoped to
+    the batch (``chunk_suffix=f"b{batch_id}"``). A checkpoint-replayed
+    batch reproduces the same batch_id, hence the same digest-named unit
+    files, and the committed-file anti-join (plus the atomic rename)
+    makes the replay a no-op — exactly-once parquet files on top of
+    at-least-once foreachBatch, the sink-side twin of
+    :func:`encode_stream`. Returns the StreamingQuery handle."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from .jobs.export import export_parquet
+
+        export_parquet(
+            batch_df,
+            out_dir,
+            chunk_suffix=f"b{batch_id:06d}",
+            resume=True,
+            **export_kwargs,
+        ).collect()  # bounded manifest action: one row per unit
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def windowed_token_stats(
     stream_df: DataFrame,
     window_duration: str = "1 minute",
