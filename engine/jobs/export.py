@@ -13,6 +13,17 @@ rename), and a re-run anti-joins the already-committed file list BEFORE
 the shuffle — finished units are never re-encoded, re-shuffled, or even
 re-read past the scan.
 
+NULL faithfulness across the pandas hop: Arrow's arrow->pandas
+conversion (the one ``applyInPandas`` uses) turns a NULL in a numeric
+column into NaN — int64 silently widens to float64, and a double NULL
+becomes indistinguishable from a NaN VALUE. The default column spec
+therefore ships Spark-side validity companions (``F.isnotnull`` columns
+computed BEFORE the hop, the same pattern the encode job uses), so
+scalar NULLs of every type round-trip as real parquet nulls. Null
+ELEMENTS inside list columns have no scalar companion: integer lists
+raise with instructions, float lists would conflate element NULL with
+NaN and also raise — pass ``cols_fn`` for element-null tables.
+
 Reference: the FileSink/write_table half of ``src/file/writer.rs``;
 resumability is this engine's north-rule addition (the reference has no
 job layer to resume).
@@ -31,32 +42,33 @@ from .. import skew
 
 _MANIFEST_SCHEMA = "chunk_id string, path string, rows long, resumed boolean"
 
+_KINDS = {
+    "int": ("int32", np.int32),
+    "bigint": ("int64", np.int64),
+    "float": ("float32", np.float32),
+    "double": ("float64", np.float64),
+    "boolean": ("bool", np.bool_),
+    "string": ("utf8", None),
+}
+
 
 def _auto_cols_fn(expected: dict):
-    """Default column-spec builder from the DataFrame's OWN schema: int32/
-    int64/float/double/boolean/string map to the writer's aliases with the
-    AUTO selector. NULLs are supported in string columns (validity mask);
-    a NULL in a numeric column surfaces in pandas as a dtype change
-    (int64 -> float64) and raises here with instructions — numeric-null
-    tables need an explicit ``cols_fn`` that builds validity masks, the
-    same contract the export gates use."""
-    kind = {
-        "int": ("int32", np.int32),
-        "bigint": ("int64", np.int64),
-        "float": ("float32", np.float32),
-        "double": ("float64", np.float64),
-        "boolean": ("bool", np.bool_),
-        "string": ("utf8", None),
-    }
+    """Default column-spec builder from the DataFrame's OWN schema:
+    int/bigint/float/double/boolean/string plus array<numeric> map to
+    the writer's aliases with the AUTO selector. Scalar NULLs restore
+    from the ``__valid_*`` companions export_parquet computes Spark-side
+    (values at null slots may hold anything — the writer's contract);
+    string NULLs survive the hop as None directly. Null LIST ELEMENTS
+    raise with instructions (integer lists arrive as float64+NaN, float
+    lists cannot tell element-NULL from value-NaN — both need an
+    explicit ``cols_fn``)."""
 
     def cols_fn(pdf, parquet_out):
         cols = []
         for name, spark_t in expected.items():
             s = pdf[name]
-            if spark_t.startswith("array<") and spark_t[6:-1] in kind:
-                # list column (e.g. the flagship tokens array<int>):
-                # null rows allowed; null ELEMENTS need a custom cols_fn
-                elem_alias, elem_t = kind[spark_t[6:-1]]
+            if spark_t.startswith("array<") and spark_t[6:-1] in _KINDS:
+                elem_alias, elem_t = _KINDS[spark_t[6:-1]]
                 if elem_alias == "utf8":
                     raise ValueError(
                         f"export_parquet default spec cannot write "
@@ -67,8 +79,17 @@ def _auto_cols_fn(expected: dict):
                 dense = (
                     np.concatenate(seqs) if seqs else np.empty(0, elem_t)
                 )
-                if not np.issubdtype(dense.dtype, np.number) and \
-                        dense.dtype != np.bool_:
+                # a null ELEMENT surfaces as NaN after the pandas hop
+                # (integer lists widen to float64); refuse to guess —
+                # astype would stamp INT_MIN garbage over the nulls
+                bad = (
+                    not (np.issubdtype(dense.dtype, np.number)
+                         or dense.dtype == np.bool_)
+                    or (np.issubdtype(dense.dtype, np.floating)
+                        and np.isnan(dense).any()
+                        and not np.issubdtype(elem_t, np.floating))
+                )
+                if bad:
                     raise ValueError(
                         f"export_parquet: list column {name} carries "
                         "null elements — pass cols_fn building an "
@@ -86,12 +107,12 @@ def _auto_cols_fn(expected: dict):
                      None if valid.all() else valid)
                 )
                 continue
-            if spark_t not in kind:
+            if spark_t not in _KINDS:
                 raise ValueError(
                     f"export_parquet default spec cannot write {name}: "
                     f"{spark_t} — pass cols_fn for this table"
                 )
-            alias, np_t = kind[spark_t]
+            alias, np_t = _KINDS[spark_t]
             if alias == "utf8":
                 valid = s.notna().to_numpy()
                 dense = parquet_out.flat_strings(
@@ -102,14 +123,20 @@ def _auto_cols_fn(expected: dict):
                      None if valid.all() else valid)
                 )
                 continue
-            if s.dtype != np_t:
-                raise ValueError(
-                    f"export_parquet: column {name} arrived as {s.dtype} "
-                    f"instead of {np_t.__name__} — it carries NULLs "
-                    "(Spark widens nullable numerics in pandas); pass "
-                    "cols_fn building an explicit validity mask"
-                )
-            cols.append((name, alias, "AUTO", s.to_numpy(np_t), None))
+            # scalar numerics/bools: the Spark-side companion is the
+            # truth about NULLs — the value column may have widened to
+            # float64 (int NULLs) or hide NULL inside NaN (doubles)
+            valid = pdf[f"__valid_{name}"].to_numpy(bool)
+            if valid.all():
+                if s.dtype != np_t:
+                    vals = s.to_numpy().astype(np_t)
+                else:
+                    vals = s.to_numpy(np_t)
+                cols.append((name, alias, "AUTO", vals, None))
+                continue
+            full = np.zeros(len(s), np_t)
+            full[valid] = s.to_numpy()[valid].astype(np_t)
+            cols.append((name, alias, "AUTO", full, valid))
         return cols
 
     return cols_fn
@@ -132,51 +159,83 @@ def export_parquet(
 
     ``cols_fn(pdf, parquet_out) -> columns spec`` customizes the writer
     input (same contract as :func:`engine.parquet_out.write_table`);
-    default derives the spec from the DataFrame schema. ``sort_col``
-    orders rows inside each file (defaults to ``salt_col`` — file bytes
-    must be deterministic so retried attempts commit identical content).
-    Extra ``write_kwargs`` flow to ``write_table`` (codec,
-    page_size_rows, data_page_version, sorting_columns, ...).
+    default derives the spec from the DataFrame schema, NULL-faithfully
+    for every scalar type (see module docstring). ``sort_col`` leads the
+    in-file row order (defaults to ``salt_col``); remaining SCALAR
+    columns tie-break so retried attempts commit byte-identical files
+    even under duplicate sort keys (rows identical in every scalar but
+    differing in a list column are the one remaining nondeterminism —
+    give such tables a unique ``sort_col``). Extra ``write_kwargs`` flow to
+    ``write_table`` (codec, page_size_rows, data_page_version, ...).
 
-    Returns the manifest DataFrame ``(chunk_id, path, rows, resumed)`` —
-    one row per unit; ``resumed`` rows were committed by a previous run
-    and carry NULL ``rows`` (their payloads were never re-read). Resume
-    is unit-granular over the SAME logical input: re-running with the
-    same df skips everything already committed; a third run writes 0.
-    ``chunk_suffix`` scopes unit ids to a window/micro-batch (the
-    streaming sink passes the batch id) so incremental appends CLOSE
-    their units instead of colliding with committed ones."""
+    Returns the manifest as an INERT (pre-materialized) DataFrame
+    ``(chunk_id, path, rows, resumed)`` — one row per unit, safe to act
+    on any number of times; the export itself runs exactly once, inside
+    this call. ``resumed`` rows were committed by a previous run and
+    carry NULL ``rows`` (their payloads were never re-read — the
+    resumed-unit list is enumerated from the per-key bucket counts, not
+    a second data scan).
+
+    ``chunk_suffix`` scopes unit ids AND file names to a window/
+    micro-batch (the streaming sink passes the batch id): resume listing
+    and the dead-tmp sweep then consider only this suffix's files, so a
+    long-lived stream's cost per batch stays bounded by the batch, and
+    concurrent exports into one directory are safe as long as their
+    suffixes differ (suffix-less concurrent exports into one directory
+    are NOT supported — the tmp sweep assumes it owns the directory)."""
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
-    if "_fname" in df.columns:
-        raise ValueError("input column _fname collides with export metadata")
+    clash = {c for c in df.columns
+             if c == "_fname" or c.startswith("__valid_")}
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with export metadata"
+        )
     expected = {
         f.name: f.dataType.simpleString()
         for f in df.schema.fields
     }
+    out_cols = list(df.columns)
+    companions = []
+    if cols_fn is None:
+        # Spark-side validity companions: computed BEFORE the pandas hop,
+        # where NULL is still distinguishable from NaN / dtype widening
+        companions = [
+            n for n, t in expected.items()
+            if t in _KINDS and _KINDS[t][0] != "utf8"
+        ]
+        for n in companions:
+            df = df.withColumn(f"__valid_{n}", F.col(n).isNotNull())
     fn = cols_fn or _auto_cols_fn(expected)
-    planned = skew.plan_buckets(
-        df, key=bucket_key, salt_col=salt_col,
-        rows_per_bucket=rows_per_bucket, chunk_suffix=chunk_suffix,
-    ).withColumn(
-        "_fname",
-        F.concat(
-            F.lit("part-"),
+    prefix = f"part-{chunk_suffix}-" if chunk_suffix else "part-"
+
+    def _fname_expr():
+        return F.concat(
+            F.lit(prefix),
             F.substring(F.sha2(F.col("chunk_id"), 256), 1, 32),
             F.lit(".parquet"),
-        ),
-    )
+        )
+
     for f in os.listdir(out_dir):
         # a tmp present BEFORE the job starts belongs to a dead attempt
         # (live tmps only exist while tasks run) — sweep it; the leading
-        # underscore also keeps Hadoop/Spark readers from ever seeing one
-        if f.startswith("_tmp-"):
+        # underscore also keeps Hadoop/Spark readers from ever seeing
+        # one. Suffix-scoped runs sweep only their own suffix so
+        # concurrent differently-suffixed exports never race.
+        if f.startswith("_tmp-") and (
+            chunk_suffix is None or f"-{prefix}" in f
+        ):
             os.remove(os.path.join(out_dir, f))
     existing = sorted(
         f for f in os.listdir(out_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
+        if f.startswith(prefix) and f.endswith(".parquet")
     )
+    planned = skew.plan_buckets(
+        df, key=bucket_key, salt_col=salt_col,
+        rows_per_bucket=rows_per_bucket, chunk_suffix=chunk_suffix,
+    ).withColumn("_fname", _fname_expr())
     todo = planned
+    ex_df = None
     if resume and existing:
         ex_df = spark.createDataFrame([(f,) for f in existing],
                                       "_fname string")
@@ -184,9 +243,11 @@ def export_parquet(
         # the encode_with_resume shape): a resumed run never re-encodes,
         # re-shuffles, or carries finished units past the scan
         todo = planned.join(F.broadcast(ex_df), "_fname", "left_anti")
-    meta = set(skew.BUCKET_META_COLS) | {"chunk_id", "_fname"}
     order = sort_col or salt_col
-    out_cols = [c for c in df.columns]
+    scalar_cols = [
+        c for c in out_cols
+        if expected[c] in _KINDS and c != order
+    ]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         from engine import parquet_out
@@ -194,10 +255,11 @@ def export_parquet(
         chunk_id = pdf["chunk_id"].iloc[0]
         name = pdf["_fname"].iloc[0]
         # deterministic bytes: a speculative/retried attempt must commit
-        # IDENTICAL content under the same final name
-        pdf = pdf.sort_values(order, kind="mergesort")
-        data = pdf[[c for c in pdf.columns if c not in meta]]
-        data = data[out_cols]
+        # IDENTICAL content under the same final name — sort by the
+        # leading key, tie-broken by every remaining scalar column
+        pdf = pdf.sort_values([order, *scalar_cols], kind="mergesort")
+        data = pdf[[*out_cols,
+                    *(f"__valid_{n}" for n in companions)]]
         path = os.path.join(out_dir, name)
         tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex}-{name}")
         info = parquet_out.write_table(tmp, fn(data, parquet_out),
@@ -211,17 +273,39 @@ def export_parquet(
     written = todo.groupBy("chunk_id").applyInPandas(
         lambda _key, pdf: write_one(pdf), _MANIFEST_SCHEMA
     )
+    # materialize NOW: the export must run exactly once, not once per
+    # caller action on a lazy plan
+    rows = [tuple(r) for r in written.collect()]
     if resume and existing:
-        done = (
-            planned.select("chunk_id", "_fname").distinct()
+        # resumed-unit manifest WITHOUT re-scanning data rows: per-key
+        # counts -> bucket_n -> every (key, salt) chunk_id, joined with
+        # the committed file list (counts is a column-pruned aggregate;
+        # bucket sizing shares skew.bucket_counts with plan_buckets)
+        suffix = (
+            F.lit(chunk_suffix) if chunk_suffix
+            else F.lit(None).cast("string")
+        )
+        units = (
+            skew.bucket_counts(df, bucket_key, rows_per_bucket)
+            .select(
+                F.col(bucket_key),
+                F.explode(
+                    F.sequence(F.lit(0), F.col("bucket_n") - 1)
+                ).alias("_salt"),
+            )
+            .select(
+                skew.chunk_id_expr(
+                    F.col(bucket_key), F.col("_salt"), suffix
+                ).alias("chunk_id")
+            )
+            .withColumn("_fname", _fname_expr())
             .join(F.broadcast(ex_df), "_fname")
             .select(
                 "chunk_id",
                 F.concat(F.lit(out_dir.rstrip("/") + "/"),
                          F.col("_fname")).alias("path"),
-                F.lit(None).cast("long").alias("rows"),
-                F.lit(True).alias("resumed"),
             )
         )
-        return written.unionByName(done)
-    return written
+        rows += [(r["chunk_id"], r["path"], None, True)
+                 for r in units.collect()]
+    return spark.createDataFrame(rows, _MANIFEST_SCHEMA)

@@ -54,6 +54,19 @@ def chunk_id_expr(key_col, salt_col, suffix_col):
     ).otherwise(base)
 
 
+def bucket_counts(df: DataFrame, key: str, rows_per_bucket: int) -> DataFrame:
+    """Per-key bucket counts ``(key, bucket_n)`` — the ONE copy of the
+    sizing formula, shared by :func:`plan_buckets` and the export job's
+    resumed-unit enumeration so the two can never drift."""
+    counts = df.groupBy(key).agg(F.count("*").alias("_rows"))
+    return counts.select(
+        F.col(key),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("_rows") / F.lit(rows_per_bucket))
+        ).cast("int").alias("bucket_n"),
+    )
+
+
 def plan_buckets(
     df: DataFrame,
     key: str = "source",
@@ -79,13 +92,7 @@ def plan_buckets(
             f"input columns {sorted(clash)} collide with reserved bucket "
             "metadata names; rename them before encoding"
         )
-    counts = df.groupBy(key).agg(F.count("*").alias("_rows"))
-    buckets = counts.select(
-        F.col(key),
-        F.greatest(
-            F.lit(1), F.ceil(F.col("_rows") / F.lit(rows_per_bucket))
-        ).cast("int").alias("bucket_n"),
-    )
+    buckets = bucket_counts(df, key, rows_per_bucket)
     out = df.join(F.broadcast(buckets), key, "left")
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.col("bucket_n")).cast("int")
     suffix = F.lit(chunk_suffix) if chunk_suffix else F.lit(None).cast("string")

@@ -119,17 +119,109 @@ def test_leftover_tmp_is_ignored(spark, table, tmp_path):
     assert spark.read.parquet(out).count() == len(pdf)
 
 
-def test_numeric_nulls_fail_clean(spark, tmp_path):
-    pdf = pd.DataFrame({
-        "doc_id": ["a", "b"], "source": ["s", "s"],
-        "v": pd.array([1, None], dtype="Int64"),
-    })
-    df = spark.createDataFrame(pdf)
-    with pytest.raises(Exception, match="validity mask"):
+def test_scalar_nulls_roundtrip_as_real_nulls(spark, tmp_path):
+    """Spark-side validity companions carry NULL across the pandas hop:
+    int NULLs neither crash nor become INT_MIN, and double NULLs stay
+    distinguishable from genuine NaN VALUES (r7 review pass 6 #1/#2)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [("a", "s", 1, 1.5), ("b", "s", None, None),
+         ("c", "s", 3, float("nan")), ("d", "s", None, 2.5)],
+        "doc_id string, source string, v bigint, d double",
+    )
+    out = str(tmp_path / "nulls")
+    export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=16,
+    )
+    t = pq.read_table(out).to_pylist()
+    by_id = {r["doc_id"]: r for r in t}
+    assert by_id["a"]["v"] == 1 and by_id["b"]["v"] is None
+    assert by_id["b"]["d"] is None  # NULL stays NULL...
+    assert math.isnan(by_id["c"]["d"])  # ...while the NaN VALUE stays NaN
+    assert by_id["d"]["v"] is None and by_id["d"]["d"] == 2.5
+    back = spark.read.parquet(out)
+    assert back.where("v IS NULL").count() == 2
+    assert back.where("d IS NULL").count() == 1
+
+
+def test_null_list_elements_fail_clean(spark, tmp_path):
+    """A null ELEMENT inside an int list must raise, not be stamped as
+    INT_MIN by astype (r7 review pass 6 #1)."""
+    df = spark.createDataFrame(
+        [("a", "s", [1, 2, None]), ("b", "s", [3])],
+        "doc_id string, source string, xs array<int>",
+    )
+    with pytest.raises(Exception, match="element validity mask"):
         export_job.export_parquet(
-            df, str(tmp_path / "nn"), bucket_key="source",
+            df, str(tmp_path / "ne"), bucket_key="source",
             salt_col="doc_id",
-        ).collect()
+        )
+
+
+def test_duplicate_sort_keys_still_byte_deterministic(spark, tmp_path):
+    """With a non-unique sort_col the remaining scalar columns tie-break
+    the in-file order (r7 review pass 6 #3)."""
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(600)],
+        "source": ["s"] * 600,
+        "lang": rng.choice(["en", "de"], 600),  # the (duplicate) sort key
+        "score": rng.integers(0, 5, 600).astype(np.int64),
+    })
+    df = spark.createDataFrame(pdf).repartition(8)
+    o1, o2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    for o in (o1, o2):
+        export_job.export_parquet(
+            df, o, bucket_key="source", salt_col="doc_id",
+            sort_col="lang", rows_per_bucket=256, resume=False,
+        )
+    for f in sorted(os.listdir(o1)):
+        assert open(os.path.join(o1, f), "rb").read() == \
+            open(os.path.join(o2, f), "rb").read(), f
+
+
+def test_manifest_is_inert(spark, table, tmp_path):
+    """The export runs exactly once inside the call; acting on the
+    returned manifest repeatedly must not rewrite files (r7 review
+    pass 6 #4)."""
+    df, _ = table
+    out = str(tmp_path / "inert")
+    manifest = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=128,
+    )
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out)}
+    assert manifest.count() == len(mtimes)
+    manifest.collect()
+    manifest.where("resumed").count()
+    after = {f: os.path.getmtime(os.path.join(out, f))
+             for f in os.listdir(out)}
+    assert after == mtimes
+
+
+def test_suffix_scoped_sweep_spares_other_suffixes(spark, table, tmp_path):
+    """A suffixed run sweeps only ITS suffix's dead tmps — a concurrent
+    differently-suffixed export's live tmp survives (r7 review pass 6
+    #7)."""
+    df, _ = table
+    out = str(tmp_path / "sfx")
+    os.makedirs(out)
+    other = os.path.join(out, "_tmp-feed-part-b000002-abc.parquet")
+    mine = os.path.join(out, "_tmp-dead-part-b000001-def.parquet")
+    for p in (other, mine):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=256, chunk_suffix="b000001",
+    )
+    assert os.path.exists(other)  # the other stream's tmp untouched
+    assert not os.path.exists(mine)  # my dead tmp swept
 
 
 def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
