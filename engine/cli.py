@@ -18,6 +18,10 @@ Usage::
                                                  # bin-pack row groups into
                                                  # merged files (byte-verbatim)
     python -m engine.cli compact-store  <store_dir>  # snapshot-store rewrite
+    python -m engine.cli export-parquet <in_path> <out_dir> [bucket_key [salt_col]]
+                                                 # re-encode any parquet dataset
+                                                 # through the engine writer,
+                                                 # RESUMABLE (re-run to finish)
 """
 
 from __future__ import annotations
@@ -288,6 +292,32 @@ def cmd_compact_store(store_dir: str) -> None:
     )
 
 
+def cmd_export_parquet(in_path: str, out_dir: str,
+                       bucket_key: str | None = None,
+                       salt_col: str | None = None) -> None:
+    """Re-encode an arbitrary parquet dataset through the engine writer
+    as a RESUMABLE export (engine/jobs/export.py): kill it, re-run it,
+    and only the missing units are written. Without a bucket_key the
+    units are uniform salted buckets over ONE logical key (sized by
+    rows_per_bucket); salt_col defaults to the first column."""
+    from engine.jobs.export import export_parquet
+
+    spark = _spark()
+    df = spark.read.parquet(in_path)
+    if not df.columns:
+        raise SystemExit(f"{in_path}: no columns")
+    salt_col = salt_col or df.columns[0]
+    manifest = export_parquet(
+        df, out_dir, bucket_key=bucket_key, salt_col=salt_col
+    ).collect()
+    written = [r for r in manifest if not r.resumed]
+    print(
+        f"{len(written)} unit files written "
+        f"({sum(r.rows for r in written)} rows), "
+        f"{len(manifest) - len(written)} resumed -> {out_dir}"
+    )
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -325,6 +355,11 @@ def main() -> None:
         cmd_compact_parquet(store, sys.argv[3:])
     elif cmd == "compact-store":
         cmd_compact_store(store)
+    elif cmd == "export-parquet":
+        if len(sys.argv) < 4:
+            print(__doc__)
+            raise SystemExit(2)
+        cmd_export_parquet(store, sys.argv[3], *sys.argv[4:6])
     else:
         print(__doc__)
         raise SystemExit(2)

@@ -146,7 +146,7 @@ def export_parquet(
     df: DataFrame,
     out_dir: str,
     cols_fn=None,
-    bucket_key: str = "source",
+    bucket_key: str | None = "source",
     salt_col: str = "doc_id",
     rows_per_bucket: int = skew.DEFAULT_ROWS_PER_BUCKET,
     sort_col: str | None = None,
@@ -186,7 +186,7 @@ def export_parquet(
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     clash = {c for c in df.columns
-             if c == "_fname" or c.startswith("__valid_")}
+             if c in ("_fname", "__all") or c.startswith("__valid_")}
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with export metadata"
@@ -196,6 +196,11 @@ def export_parquet(
         for f in df.schema.fields
     }
     out_cols = list(df.columns)
+    if bucket_key is None:
+        # no natural key: uniform salted buckets over ONE logical key —
+        # unit count = ceil(rows / rows_per_bucket), skew-free by salt
+        bucket_key = "__all"
+        df = df.withColumn("__all", F.lit("all"))
     companions = []
     if cols_fn is None:
         # Spark-side validity companions: computed BEFORE the pandas hop,

@@ -269,6 +269,38 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == 200
 
 
+def test_keyless_uniform_buckets(spark, table, tmp_path):
+    """bucket_key=None exports uniform salted buckets over one logical
+    key — unit count = ceil(rows / rows_per_bucket), no synthetic column
+    leaks into the files."""
+    df, pdf = table
+    out = str(tmp_path / "keyless")
+    manifest = export_job.export_parquet(
+        df, out, bucket_key=None, salt_col="doc_id",
+        rows_per_bucket=500,
+    ).collect()
+    assert len(manifest) == 4  # 1600 rows / 500
+    back = spark.read.parquet(out)
+    assert back.columns == df.columns  # no __all leak
+    assert back.count() == len(pdf)
+
+
+def test_cli_export_parquet(tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cliexp")
+    for expect in ("1 unit files written (500 rows)",
+                   "0 unit files written (0 rows), 1 resumed"):
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "export-parquet",
+             "/root/testdata/sf0.001/documents.parquet", out],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        assert expect in r.stdout
+
+
 def test_external_readers_accept_output(spark, table, tmp_path):
     import duckdb
     import pyarrow.parquet as pq
