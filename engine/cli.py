@@ -299,14 +299,28 @@ def cmd_export_parquet(in_path: str, out_dir: str,
     as a RESUMABLE export (engine/jobs/export.py): kill it, re-run it,
     and only the missing units are written. Without a bucket_key the
     units are uniform salted buckets over ONE logical key (sized by
-    rows_per_bucket); salt_col defaults to the first column."""
+    rows_per_bucket); salt_col defaults to the first hashable scalar
+    column."""
     from engine.jobs.export import export_parquet
 
     spark = _spark()
     df = spark.read.parquet(in_path)
     if not df.columns:
         raise SystemExit(f"{in_path}: no columns")
-    salt_col = salt_col or df.columns[0]
+    if salt_col is None:
+        # first HASHABLE scalar column (xxhash64 rejects maps; arrays /
+        # structs hash but make poor salts) — prefer strings/ids
+        hashable = ("string", "bigint", "int", "double", "float",
+                    "boolean", "date", "smallint", "tinyint")
+        cands = [f.name for f in df.schema.fields
+                 if f.dataType.simpleString() in hashable
+                 or f.dataType.simpleString().startswith("timestamp")]
+        if not cands:
+            raise SystemExit(
+                "no scalar column usable as a salt — pass one: "
+                "export-parquet <in> <out> [bucket_key [salt_col]]"
+            )
+        salt_col = cands[0]
     manifest = export_parquet(
         df, out_dir, bucket_key=bucket_key, salt_col=salt_col
     ).collect()

@@ -21,8 +21,9 @@ therefore ships Spark-side validity companions (``F.isnotnull`` columns
 computed BEFORE the hop, the same pattern the encode job uses), so
 scalar NULLs of every type round-trip as real parquet nulls. Null
 ELEMENTS inside list columns have no scalar companion: integer lists
-raise with instructions, float lists would conflate element NULL with
-NaN and also raise — pass ``cols_fn`` for element-null tables.
+raise with instructions; float/double lists CANNOT tell an element NULL
+from a genuine NaN value after the hop, so element NULLs surface as NaN
+VALUES — pass ``cols_fn`` for NULL-faithful float elements.
 
 Reference: the FileSink/write_table half of ``src/file/writer.rs``;
 resumability is this engine's north-rule addition (the reference has no
@@ -32,6 +33,7 @@ job layer to resume).
 from __future__ import annotations
 
 import os
+import re
 import uuid
 
 import numpy as np
@@ -58,10 +60,11 @@ def _auto_cols_fn(expected: dict):
     the writer's aliases with the AUTO selector. Scalar NULLs restore
     from the ``__valid_*`` companions export_parquet computes Spark-side
     (values at null slots may hold anything — the writer's contract);
-    string NULLs survive the hop as None directly. Null LIST ELEMENTS
-    raise with instructions (integer lists arrive as float64+NaN, float
-    lists cannot tell element-NULL from value-NaN — both need an
-    explicit ``cols_fn``)."""
+    string NULLs survive the hop as None directly. Null elements in
+    INTEGER lists raise with instructions (they arrive as float64+NaN
+    and an astype would stamp garbage); float-list element NULLs are
+    indistinguishable from NaN values and write as NaN — cols_fn is the
+    NULL-faithful path for those."""
 
     def cols_fn(pdf, parquet_out):
         cols = []
@@ -127,6 +130,25 @@ def _auto_cols_fn(expected: dict):
             # truth about NULLs — the value column may have widened to
             # float64 (int NULLs) or hide NULL inside NaN (doubles)
             valid = pdf[f"__valid_{name}"].to_numpy(bool)
+            if (
+                np_t == np.int64
+                and np.issubdtype(s.dtype, np.floating)
+            ):
+                # widened bigint: float64 holds ints exactly only below
+                # 2^53 — beyond that the value was ALREADY corrupted by
+                # the hop and no cast can recover it (r7 review pass 7
+                # #1; int32 always fits exactly). >= because corrupted
+                # values ROUND ONTO the 2^53 boundary (2^53+1 -> 2^53),
+                # so the boundary itself is unprovable-exact
+                big = np.abs(s.to_numpy()[valid]) >= float(2**53)
+                if big.any():
+                    raise ValueError(
+                        f"export_parquet: bigint column {name} mixes "
+                        "NULLs with values beyond 2^53 — the pandas hop "
+                        "widened it to float64 and lost exactness; pass "
+                        "cols_fn (e.g. split validity Spark-side and "
+                        "keep the values column non-null)"
+                    )
             if valid.all():
                 if s.dtype != np_t:
                     vals = s.to_numpy().astype(np_t)
@@ -201,6 +223,15 @@ def export_parquet(
         # unit count = ceil(rows / rows_per_bucket), skew-free by salt
         bucket_key = "__all"
         df = df.withColumn("__all", F.lit("all"))
+    elif df.where(F.col(bucket_key).isNull()).limit(1).count():
+        # plan_buckets' broadcast join misses NULL keys (they collapse
+        # into one unsalted degenerate unit) and the resumed-unit
+        # enumeration could not reproduce its id (r7 review pass 7 #2)
+        raise ValueError(
+            f"export_parquet: bucket_key {bucket_key!r} contains NULLs "
+            "— coalesce the key first (e.g. F.coalesce(col, lit('?'))) "
+            "or use bucket_key=None for uniform buckets"
+        )
     companions = []
     if cols_fn is None:
         # Spark-side validity companions: computed BEFORE the pandas hop,
@@ -221,19 +252,19 @@ def export_parquet(
             F.lit(".parquet"),
         )
 
+    # this run's OWN file-name shape, exactly: a suffix-less run owns
+    # part-<32 hex>.parquet and nothing else, so it neither sweeps a
+    # concurrent suffixed stream's live tmps nor lists that stream's
+    # committed files as resume candidates (r7 review pass 7 #5)
+    own = re.compile(re.escape(prefix) + r"[0-9a-f]{32}\.parquet$")
     for f in os.listdir(out_dir):
         # a tmp present BEFORE the job starts belongs to a dead attempt
         # (live tmps only exist while tasks run) — sweep it; the leading
-        # underscore also keeps Hadoop/Spark readers from ever seeing
-        # one. Suffix-scoped runs sweep only their own suffix so
-        # concurrent differently-suffixed exports never race.
-        if f.startswith("_tmp-") and (
-            chunk_suffix is None or f"-{prefix}" in f
-        ):
+        # underscore also keeps Hadoop/Spark readers from ever seeing one
+        if f.startswith("_tmp-") and own.search(f):
             os.remove(os.path.join(out_dir, f))
     existing = sorted(
-        f for f in os.listdir(out_dir)
-        if f.startswith(prefix) and f.endswith(".parquet")
+        f for f in os.listdir(out_dir) if own.fullmatch(f)
     )
     planned = skew.plan_buckets(
         df, key=bucket_key, salt_col=salt_col,
@@ -249,10 +280,15 @@ def export_parquet(
         # re-shuffles, or carries finished units past the scan
         todo = planned.join(F.broadcast(ex_df), "_fname", "left_anti")
     order = sort_col or salt_col
+    # byte determinism: tie-break by EVERY remaining sortable column,
+    # including the validity companions (a NULL and a NaN double arrive
+    # as identical NaN values — only the companion separates them; r7
+    # review pass 7 #4) and non-_KINDS scalars under a custom cols_fn
     scalar_cols = [
         c for c in out_cols
-        if expected[c] in _KINDS and c != order
-    ]
+        if c != order
+        and not expected[c].startswith(("array<", "map<", "struct<"))
+    ] + [f"__valid_{n}" for n in companions]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         from engine import parquet_out

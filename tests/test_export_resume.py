@@ -107,7 +107,7 @@ def test_leftover_tmp_is_ignored(spark, table, tmp_path):
     df, pdf = table
     out = str(tmp_path / "tmporphan")
     os.makedirs(out)
-    orphan = os.path.join(out, "_tmp-deadbeef-part-dead.parquet")
+    orphan = os.path.join(out, "_tmp-deadbeef-part-" + "a" * 32 + ".parquet")
     with open(orphan, "wb") as f:
         f.write(b"garbage")
     manifest = export_job.export_parquet(
@@ -211,8 +211,10 @@ def test_suffix_scoped_sweep_spares_other_suffixes(spark, table, tmp_path):
     df, _ = table
     out = str(tmp_path / "sfx")
     os.makedirs(out)
-    other = os.path.join(out, "_tmp-feed-part-b000002-abc.parquet")
-    mine = os.path.join(out, "_tmp-dead-part-b000001-def.parquet")
+    other = os.path.join(out, "_tmp-feed-part-b000002-" + "a" * 32
+                         + ".parquet")
+    mine = os.path.join(out, "_tmp-dead-part-b000001-" + "d" * 32
+                        + ".parquet")
     for p in (other, mine):
         with open(p, "wb") as f:
             f.write(b"x")
@@ -267,6 +269,70 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert sorted(os.listdir(out)) == files1
     assert spark.read.parquet(out).count() == 200
+
+
+def test_bigint_beyond_2p53_with_nulls_fails_clean(spark, tmp_path):
+    """A widened bigint column whose values exceed 2^53 was ALREADY
+    corrupted by the pandas hop — the export must refuse, not commit
+    rounded values (r7 review pass 7 #1)."""
+    df = spark.createDataFrame(
+        [("a", "s", 2**53 + 1), ("b", "s", None)],
+        "doc_id string, source string, v bigint",
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        export_job.export_parquet(
+            df, str(tmp_path / "big"), bucket_key="source",
+            salt_col="doc_id",
+        )
+    # small nullable bigints stay exact
+    df2 = spark.createDataFrame(
+        [("a", "s", 7), ("b", "s", None)],
+        "doc_id string, source string, v bigint",
+    )
+    out = str(tmp_path / "small")
+    export_job.export_parquet(
+        df2, out, bucket_key="source", salt_col="doc_id",
+    )
+    back = {r.doc_id: r.v for r in spark.read.parquet(out).collect()}
+    assert back == {"a": 7, "b": None}
+
+
+def test_null_bucket_key_rejected(spark, tmp_path):
+    """NULL bucket keys collapse into a degenerate unsalted unit the
+    resume enumeration cannot reproduce — refuse up front (r7 review
+    pass 7 #2)."""
+    df = spark.createDataFrame(
+        [("a", None, 1), ("b", "s", 2)],
+        "doc_id string, source string, v bigint",
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        export_job.export_parquet(
+            df, str(tmp_path / "nk"), bucket_key="source",
+            salt_col="doc_id",
+        )
+
+
+def test_suffixless_run_ignores_suffixed_files(spark, table, tmp_path):
+    """A suffix-less export in a directory holding a suffixed stream's
+    output must neither sweep the stream's live tmp nor list its
+    committed files as resume candidates (r7 review pass 7 #5)."""
+    df, pdf = table
+    out = str(tmp_path / "mixed")
+    os.makedirs(out)
+    stream_tmp = os.path.join(
+        out, "_tmp-abc-part-b000001-" + "0" * 32 + ".parquet"
+    )
+    with open(stream_tmp, "wb") as f:
+        f.write(b"live")
+    stream_file = os.path.join(out, "part-b000001-" + "1" * 32 + ".parquet")
+    with open(stream_file, "wb") as f:
+        f.write(b"committed")
+    manifest = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        rows_per_bucket=256,
+    ).collect()
+    assert os.path.exists(stream_tmp)  # other job's live tmp untouched
+    assert all(not r.resumed for r in manifest)  # foreign files ignored
 
 
 def test_keyless_uniform_buckets(spark, table, tmp_path):
