@@ -367,6 +367,31 @@ def test_cli_export_parquet(tmp_path):
         assert expect in r.stdout
 
 
+def test_exported_files_are_prunable(spark, table, tmp_path):
+    """Exports carry the full PageIndex, so a predicate read over an
+    exported directory prunes row groups at plan time and pages inside
+    tasks — the two r7 features compose."""
+    from engine import parquet_compat as pc
+
+    df, pdf = table
+    out = str(tmp_path / "prunable")
+    manifest = export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+        sort_col="doc_id", rows_per_bucket=256, page_size_rows=64,
+    ).collect()
+    paths = sorted(r.path for r in manifest)
+    rep: dict = {}
+    got = pc.read_parquet_with_engine(
+        spark, paths, columns=["doc_id", "score"],
+        predicate=[("doc_id", ">=", "a-00100"), ("doc_id", "<", "a-00110")],
+        prune_stats=True, prune_report=rep,
+    ).orderBy("doc_id").collect()
+    expect = pdf[(pdf.doc_id >= "a-00100") & (pdf.doc_id < "a-00110")]
+    assert [r.doc_id.decode() for r in got] == expect.doc_id.tolist()
+    assert [r.score for r in got] == expect.score.tolist()
+    assert rep["rg_planned"] < rep["rg_total"], rep
+
+
 def test_external_readers_accept_output(spark, table, tmp_path):
     import duckdb
     import pyarrow.parquet as pq
