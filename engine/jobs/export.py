@@ -19,11 +19,11 @@ column into NaN — int64 silently widens to float64, and a double NULL
 becomes indistinguishable from a NaN VALUE. The default column spec
 therefore ships Spark-side validity companions (``F.isnotnull`` columns
 computed BEFORE the hop, the same pattern the encode job uses), so
-scalar NULLs of every type round-trip as real parquet nulls. Null
-ELEMENTS inside list columns have no scalar companion: integer lists
-raise with instructions; float/double lists CANNOT tell an element NULL
-from a genuine NaN value after the hop, so element NULLs surface as NaN
-VALUES — pass ``cols_fn`` for NULL-faithful float elements.
+scalar NULLs of every type round-trip as real parquet nulls, and list
+columns get per-ELEMENT companions (``F.transform`` isNotNull arrays),
+so element NULLs round-trip too — including float lists, where a
+post-hop NaN would otherwise be ambiguous between element NULL and a
+genuine NaN value.
 
 Reference: the FileSink/write_table half of ``src/file/writer.rs``;
 resumability is this engine's north-rule addition (the reference has no
@@ -60,11 +60,8 @@ def _auto_cols_fn(expected: dict):
     the writer's aliases with the AUTO selector. Scalar NULLs restore
     from the ``__valid_*`` companions export_parquet computes Spark-side
     (values at null slots may hold anything — the writer's contract);
-    string NULLs survive the hop as None directly. Null elements in
-    INTEGER lists raise with instructions (they arrive as float64+NaN
-    and an astype would stamp garbage); float-list element NULLs are
-    indistinguishable from NaN values and write as NaN — cols_fn is the
-    NULL-faithful path for those."""
+    string NULLs survive the hop as None directly; list-element NULLs
+    restore from the ``__evalid_*`` per-element companions."""
 
     def cols_fn(pdf, parquet_out):
         cols = []
@@ -78,25 +75,39 @@ def _auto_cols_fn(expected: dict):
                         f"{name}: {spark_t} — pass cols_fn"
                     )
                 valid = s.notna().to_numpy()
-                seqs = [np.asarray(x) for x in s if x is not None]
+                # element validity rides the Spark-side __evalid_
+                # companion (F.transform isNotNull arrays, computed
+                # BEFORE the hop) — a null int element otherwise arrives
+                # as NaN in a float64 array and astype would stamp
+                # garbage, while a null float element would conflate
+                # with a genuine NaN value
+                ev = pdf[f"__evalid_{name}"]
+                masks = [
+                    np.asarray(m, bool) for m in ev if m is not None
+                ]
+                elem_valid = (
+                    np.concatenate(masks) if masks
+                    else np.empty(0, bool)
+                )
+                parts = []
+                for arr, m in zip(
+                    (np.asarray(x) for x in s if x is not None), masks
+                ):
+                    parts.append(arr[m])
                 dense = (
-                    np.concatenate(seqs) if seqs else np.empty(0, elem_t)
+                    np.concatenate(parts) if parts
+                    else np.empty(0, elem_t)
                 )
-                # a null ELEMENT surfaces as NaN after the pandas hop
-                # (integer lists widen to float64); refuse to guess —
-                # astype would stamp INT_MIN garbage over the nulls
-                bad = (
-                    not (np.issubdtype(dense.dtype, np.number)
-                         or dense.dtype == np.bool_)
-                    or (np.issubdtype(dense.dtype, np.floating)
-                        and np.isnan(dense).any()
-                        and not np.issubdtype(elem_t, np.floating))
-                )
-                if bad:
+                if (
+                    elem_t == np.int64
+                    and np.issubdtype(dense.dtype, np.floating)
+                    and (np.abs(dense) >= float(2**53)).any()
+                ):
                     raise ValueError(
-                        f"export_parquet: list column {name} carries "
-                        "null elements — pass cols_fn building an "
-                        "explicit element validity mask"
+                        f"export_parquet: list column {name} mixes "
+                        "null elements with values at or beyond 2^53 — "
+                        "the pandas hop widened it to float64 and lost "
+                        "exactness; pass cols_fn"
                     )
                 # offsets span EVERY row (null rows = zero entries — the
                 # writer's null-list contract)
@@ -106,7 +117,8 @@ def _auto_cols_fn(expected: dict):
                 ).astype(np.int64)
                 cols.append(
                     (name, f"list<{elem_alias}>", "AUTO",
-                     (offsets, dense.astype(elem_t), None),
+                     (offsets, dense.astype(elem_t),
+                      None if elem_valid.all() else elem_valid),
                      None if valid.all() else valid)
                 )
                 continue
@@ -208,7 +220,8 @@ def export_parquet(
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
     clash = {c for c in df.columns
-             if c in ("_fname", "__all") or c.startswith("__valid_")}
+             if c in ("_fname", "__all")
+             or c.startswith(("__valid_", "__evalid_"))}
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with export metadata"
@@ -233,15 +246,28 @@ def export_parquet(
             "or use bucket_key=None for uniform buckets"
         )
     companions = []
+    list_companions = []
     if cols_fn is None:
         # Spark-side validity companions: computed BEFORE the pandas hop,
-        # where NULL is still distinguishable from NaN / dtype widening
+        # where NULL is still distinguishable from NaN / dtype widening —
+        # scalar isnotnull flags plus per-ELEMENT isnotnull arrays for
+        # numeric/bool list columns
         companions = [
             n for n, t in expected.items()
             if t in _KINDS and _KINDS[t][0] != "utf8"
         ]
         for n in companions:
             df = df.withColumn(f"__valid_{n}", F.col(n).isNotNull())
+        list_companions = [
+            n for n, t in expected.items()
+            if t.startswith("array<") and t[6:-1] in _KINDS
+            and _KINDS[t[6:-1]][0] != "utf8"
+        ]
+        for n in list_companions:
+            df = df.withColumn(
+                f"__evalid_{n}",
+                F.transform(F.col(n), lambda x: x.isNotNull()),
+            )
     fn = cols_fn or _auto_cols_fn(expected)
     prefix = f"part-{chunk_suffix}-" if chunk_suffix else "part-"
 
@@ -300,7 +326,8 @@ def export_parquet(
         # leading key, tie-broken by every remaining scalar column
         pdf = pdf.sort_values([order, *scalar_cols], kind="mergesort")
         data = pdf[[*out_cols,
-                    *(f"__valid_{n}" for n in companions)]]
+                    *(f"__valid_{n}" for n in companions),
+                    *(f"__evalid_{n}" for n in list_companions)]]
         path = os.path.join(out_dir, name)
         tmp = os.path.join(out_dir, f"_tmp-{uuid.uuid4().hex}-{name}")
         info = parquet_out.write_table(tmp, fn(data, parquet_out),

@@ -148,18 +148,33 @@ def test_scalar_nulls_roundtrip_as_real_nulls(spark, tmp_path):
     assert back.where("d IS NULL").count() == 1
 
 
-def test_null_list_elements_fail_clean(spark, tmp_path):
-    """A null ELEMENT inside an int list must raise, not be stamped as
-    INT_MIN by astype (r7 review pass 6 #1)."""
+def test_null_list_elements_roundtrip(spark, tmp_path):
+    """Element NULLs ride per-element companions: int-list NULLs neither
+    crash nor become INT_MIN (r7 review pass 6 #1), and float-list
+    element NULLs stay distinguishable from genuine NaN values."""
+    import math
+
+    import pyarrow.parquet as pq
+
     df = spark.createDataFrame(
-        [("a", "s", [1, 2, None]), ("b", "s", [3])],
-        "doc_id string, source string, xs array<int>",
+        [("a", "s", [1, 2, None], [1.5, None]),
+         ("b", "s", [3], [float("nan"), 2.5]),
+         ("c", "s", None, [])],
+        "doc_id string, source string, xs array<int>, fs array<double>",
     )
-    with pytest.raises(Exception, match="element validity mask"):
-        export_job.export_parquet(
-            df, str(tmp_path / "ne"), bucket_key="source",
-            salt_col="doc_id",
-        )
+    out = str(tmp_path / "ne")
+    export_job.export_parquet(
+        df, out, bucket_key="source", salt_col="doc_id",
+    )
+    rows = {r["doc_id"]: r for r in pq.read_table(out).to_pylist()}
+    assert rows["a"]["xs"] == [1, 2, None]
+    assert rows["a"]["fs"] == [1.5, None]  # element NULL stays NULL...
+    assert rows["b"]["xs"] == [3]
+    assert math.isnan(rows["b"]["fs"][0])  # ...NaN VALUE stays NaN
+    assert rows["b"]["fs"][1] == 2.5
+    assert rows["c"]["xs"] is None and rows["c"]["fs"] == []
+    back = spark.read.parquet(out)
+    assert back.where("xs IS NULL").count() == 1
 
 
 def test_duplicate_sort_keys_still_byte_deterministic(spark, tmp_path):
