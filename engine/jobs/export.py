@@ -54,7 +54,7 @@ _KINDS = {
 }
 
 
-def _auto_cols_fn(expected: dict):
+def _auto_cols_fn(expected: dict, with_evalid: frozenset = frozenset()):
     """Default column-spec builder from the DataFrame's OWN schema:
     int/bigint/float/double/boolean/string plus array<numeric> map to
     the writer's aliases with the AUTO selector. Scalar NULLs restore
@@ -75,25 +75,32 @@ def _auto_cols_fn(expected: dict):
                         f"{name}: {spark_t} — pass cols_fn"
                     )
                 valid = s.notna().to_numpy()
-                # element validity rides the Spark-side __evalid_
-                # companion (F.transform isNotNull arrays, computed
-                # BEFORE the hop) — a null int element otherwise arrives
-                # as NaN in a float64 array and astype would stamp
-                # garbage, while a null float element would conflate
-                # with a genuine NaN value
-                ev = pdf[f"__evalid_{name}"]
-                masks = [
-                    np.asarray(m, bool) for m in ev if m is not None
-                ]
-                elem_valid = (
-                    np.concatenate(masks) if masks
-                    else np.empty(0, bool)
-                )
-                parts = []
-                for arr, m in zip(
-                    (np.asarray(x) for x in s if x is not None), masks
-                ):
-                    parts.append(arr[m])
+                if name in with_evalid:
+                    # element validity rides the Spark-side __evalid_
+                    # companion (F.transform isNotNull arrays, computed
+                    # BEFORE the hop) — a null int element otherwise
+                    # arrives as NaN in a float64 array and astype would
+                    # stamp garbage, while a null float element would
+                    # conflate with a genuine NaN value
+                    ev = pdf[f"__evalid_{name}"]
+                    masks = [
+                        np.asarray(m, bool) for m in ev if m is not None
+                    ]
+                    elem_valid = (
+                        np.concatenate(masks) if masks
+                        else np.empty(0, bool)
+                    )
+                    parts = [
+                        np.asarray(x)[m]
+                        for x, m in zip(
+                            (x for x in s if x is not None), masks
+                        )
+                    ]
+                else:
+                    # schema declared containsNull=false: no companion
+                    # was shipped, every entry is valid
+                    elem_valid = np.empty(0, bool)  # .all() -> None below
+                    parts = [np.asarray(x) for x in s if x is not None]
                 dense = (
                     np.concatenate(parts) if parts
                     else np.empty(0, elem_t)
@@ -195,11 +202,12 @@ def export_parquet(
     input (same contract as :func:`engine.parquet_out.write_table`);
     default derives the spec from the DataFrame schema, NULL-faithfully
     for every scalar type (see module docstring). ``sort_col`` leads the
-    in-file row order (defaults to ``salt_col``); remaining SCALAR
-    columns tie-break so retried attempts commit byte-identical files
-    even under duplicate sort keys (rows identical in every scalar but
-    differing in a list column are the one remaining nondeterminism —
-    give such tables a unique ``sort_col``). Extra ``write_kwargs`` flow to
+    in-file row order (defaults to ``salt_col``); remaining scalar
+    columns, validity companions, and byte-serialized numeric-list keys
+    tie-break so retried attempts commit byte-identical files even
+    under duplicate sort keys (rows distinguishable only by a
+    non-numeric list under a custom cols_fn are the remaining
+    caveat — give such tables a unique ``sort_col``). Extra ``write_kwargs`` flow to
     ``write_table`` (codec, page_size_rows, data_page_version, ...).
 
     Returns the manifest as an INERT (pre-materialized) DataFrame
@@ -258,17 +266,25 @@ def export_parquet(
         ]
         for n in companions:
             df = df.withColumn(f"__valid_{n}", F.col(n).isNotNull())
+        # only arrays whose schema ADMITS null elements ship a companion
+        # (containsNull=false lists — e.g. the flagship tokens column —
+        # would pay a same-shape boolean array per row for nothing)
+        nullable_elems = {
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString().startswith("array<")
+            and getattr(f.dataType, "containsNull", True)
+        }
         list_companions = [
             n for n, t in expected.items()
             if t.startswith("array<") and t[6:-1] in _KINDS
-            and _KINDS[t[6:-1]][0] != "utf8"
+            and _KINDS[t[6:-1]][0] != "utf8" and n in nullable_elems
         ]
         for n in list_companions:
             df = df.withColumn(
                 f"__evalid_{n}",
                 F.transform(F.col(n), lambda x: x.isNotNull()),
             )
-    fn = cols_fn or _auto_cols_fn(expected)
+    fn = cols_fn or _auto_cols_fn(expected, frozenset(list_companions))
     prefix = f"part-{chunk_suffix}-" if chunk_suffix else "part-"
 
     def _fname_expr():
@@ -309,12 +325,19 @@ def export_parquet(
     # byte determinism: tie-break by EVERY remaining sortable column,
     # including the validity companions (a NULL and a NaN double arrive
     # as identical NaN values — only the companion separates them; r7
-    # review pass 7 #4) and non-_KINDS scalars under a custom cols_fn
+    # review pass 7 #4) and non-_KINDS scalars under a custom cols_fn;
+    # numeric list columns tie-break through derived byte keys built in
+    # write_one (values + element companions — r7 review pass 8 #1)
     scalar_cols = [
         c for c in out_cols
         if c != order
         and not expected[c].startswith(("array<", "map<", "struct<"))
     ] + [f"__valid_{n}" for n in companions]
+    list_cols = [
+        n for n, t in expected.items()
+        if t.startswith("array<") and t[6:-1] in _KINDS
+        and _KINDS[t[6:-1]][0] != "utf8"
+    ]
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         from engine import parquet_out
@@ -323,8 +346,27 @@ def export_parquet(
         name = pdf["_fname"].iloc[0]
         # deterministic bytes: a speculative/retried attempt must commit
         # IDENTICAL content under the same final name — sort by the
-        # leading key, tie-broken by every remaining scalar column
-        pdf = pdf.sort_values([order, *scalar_cols], kind="mergesort")
+        # leading key, tie-broken by every remaining scalar column and
+        # byte-serialized numeric-list keys (values normalize through
+        # float64 so per-cell dtype widening cannot split equal lists)
+        extra = {}
+        for n in list_cols:
+            extra[f"__lsort_{n}"] = [
+                None if x is None
+                else np.asarray(x, np.float64).tobytes()
+                for x in pdf[n]
+            ]
+        for n in list_companions:
+            extra[f"__evsort_{n}"] = [
+                None if m is None
+                else np.packbits(np.asarray(m, bool)).tobytes()
+                for m in pdf[f"__evalid_{n}"]
+            ]
+        if extra:
+            pdf = pdf.assign(**extra)
+        pdf = pdf.sort_values(
+            [order, *scalar_cols, *extra], kind="mergesort"
+        )
         data = pdf[[*out_cols,
                     *(f"__valid_{n}" for n in companions),
                     *(f"__evalid_{n}" for n in list_companions)]]

@@ -199,6 +199,31 @@ def test_duplicate_sort_keys_still_byte_deterministic(spark, tmp_path):
             open(os.path.join(o2, f), "rb").read(), f
 
 
+def test_list_rows_tiebreak_deterministically(spark, tmp_path):
+    """Rows tying on every scalar but differing in list content — or
+    ONLY in element-NULL vs NaN — still commit byte-identical files
+    across independent exports (r7 review pass 8 #1)."""
+    rows = [
+        ("k", "s", [3, 1], [float("nan")]),
+        ("k", "s", [1, 2], [None]),
+        ("k", "s", None, [2.5]),
+        ("k", "s", [1, 2], [None, 1.0]),
+    ]
+    schema = ("doc_id string, source string, xs array<int>, "
+              "fs array<double>")
+    o1, o2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    for o, order in ((o1, rows), (o2, rows[::-1])):
+        df = spark.createDataFrame(order, schema).repartition(4)
+        export_job.export_parquet(
+            df, o, bucket_key="source", salt_col="doc_id", resume=False,
+        )
+    f1, f2 = sorted(os.listdir(o1)), sorted(os.listdir(o2))
+    assert f1 == f2
+    for f in f1:
+        assert open(os.path.join(o1, f), "rb").read() == \
+            open(os.path.join(o2, f), "rb").read(), f
+
+
 def test_manifest_is_inert(spark, table, tmp_path):
     """The export runs exactly once inside the call; acting on the
     returned manifest repeatedly must not rewrite files (r7 review
