@@ -29,6 +29,7 @@ chunk format remains the production container; this module is a
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -1591,8 +1592,8 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
                              prune_stats: bool = False,
                              prune_report: dict | None = None):
     """Distributed read of FOREIGN parquet through the engine's own codecs,
-    split at ROW-GROUP granularity (``path`` may be one path or a list
-    sharing a schema). Two phases, mirroring Spark's own scan planning:
+    split at ROW-GROUP granularity (``path`` may be one file, a
+    directory of .parquet files, or a list sharing a schema). Two phases, mirroring Spark's own scan planning:
     (1) a distributed footer-parse pass over the file list yields one
     (path, rg, bytes) unit per row group — executors read footers, the
     driver collects only the metadata triples (the split ledger Spark's
@@ -1631,7 +1632,18 @@ def read_parquet_with_engine(spark, path: str | list, columns: list | None = Non
             "report predicate-driven page skipping)"
         )
 
-    paths = [path] if isinstance(path, str) else list(path)
+    if isinstance(path, str) and os.path.isdir(path):
+        # directory datasets read like Spark's own reader: every
+        # .parquet file, name-sorted, underscore/dot files ignored
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not paths:
+            raise ValueError(f"{path}: no .parquet files in directory")
+    else:
+        paths = [path] if isinstance(path, str) else list(path)
     info = read_file_info(paths[0])
     if predicate is not None:
         # driver-side flat-predicate validation (mirrors

@@ -421,8 +421,10 @@ def test_exported_files_are_prunable(spark, table, tmp_path):
     ).collect()
     paths = sorted(r.path for r in manifest)
     rep: dict = {}
+    assert sorted(os.path.join(out, f) for f in os.listdir(out)) == paths
     got = pc.read_parquet_with_engine(
-        spark, paths, columns=["doc_id", "score"],
+        spark, out,  # directory form — resolves to the same file list
+        columns=["doc_id", "score"],
         predicate=[("doc_id", ">=", "a-00100"), ("doc_id", "<", "a-00110")],
         prune_stats=True, prune_report=rep,
     ).orderBy("doc_id").collect()
