@@ -96,21 +96,20 @@ def _seq_from_documents(spark, sf_dir) -> DataFrame:
 
 
 def _roundtrip_agg(spark, seq_df: DataFrame, token_codec: str | None) -> DataFrame:
+    """Encode -> decode -> per-doc aggregate over the decoded tokens. The
+    aggregate (count, sum, min, max, position-weighted sum with positions
+    ranked by ascending token) is computed inside the decode task
+    (decode_tokens_agg) — equivalent to posexplode + groupBy(doc_id), which
+    the r8 optimization round removed because every doc lives in exactly one
+    chunk, so the exploded-token exchange shuffled 100% of the corpus for an
+    aggregate that was already computable where the tokens decode."""
     encode_job, decode_job = _engine(spark)
     cols = dict(encode_job.DEFAULT_COLUMNS)
     cols["tokens"] = ("int32_list", token_codec)
     chunks = encode_job.encode_table(seq_df, columns=cols, rows_per_bucket=8192)
-    decoded = decode_job.decode_chunks(chunks)
-    ex = decoded.select(
-        "doc_id", F.posexplode("tokens").alias("pos", "tok")
-    )
-    return ex.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tok"),
-        F.sum(F.col("tok").cast("long")).alias("tok_sum"),
-        F.min("tok").cast("long").alias("tok_min"),
-        F.max("tok").cast("long").alias("tok_max"),
-        F.sum((F.col("pos") + 1) * F.col("tok").cast("long")).alias("tok_wsum"),
-    )
+    return decode_job.decode_tokens_agg(chunks)
+
+
 
 
 _RT_ORACLE_LINEITEM = """

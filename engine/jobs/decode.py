@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -170,6 +171,42 @@ def _decode_group(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
     return pd.DataFrame({c: out[c] for c in columns})
 
 
+def _decode_group_arrow(tbl, columns: list[str], arrow_schema):
+    """Arrow-native ``_decode_group``: one chunk's column rows (a pa.Table)
+    -> one decoded pa.Table. The assembled Arrow arrays (_list_array /
+    _string_array_from_flat) are returned directly instead of detouring
+    through pandas object Series and back (guide §4.2)."""
+    import pyarrow as pa
+
+    nd = tbl.column("n_docs").to_numpy(zero_copy_only=False)
+    if len(nd) and (nd != nd[0]).any():
+        cid = tbl.column("chunk_id")[0].as_py()
+        raise ValueError(
+            f"chunk {cid!r}: columns disagree on row count "
+            f"({sorted(set(int(x) for x in nd))})"
+        )
+    blobs = dict(
+        zip(tbl.column("column").to_pylist(), tbl.column("payload").to_pylist())
+    )
+
+    out = {}
+    lens_arr = None
+    if "n_tok" in blobs:
+        lens_arr = chunk.decode_chunk(blobs["n_tok"]).astype(np.int64)
+    if "tokens" in columns:
+        flat = chunk.decode_chunk(blobs["tokens"])
+        out["tokens"] = _list_array(lens_arr, pa.array(flat))
+    if "doc_id" in columns:
+        out["doc_id"] = _string_array_from_flat(*chunk.decode_chunk(blobs["doc_id"]))
+    if "n_tok" in columns:
+        out["n_tok"] = pa.array(lens_arr.astype(np.int32))
+    if "source" in columns:
+        out["source"] = _string_array_from_flat(*chunk.decode_chunk(blobs["source"]))
+    return pa.Table.from_arrays([out[c] for c in columns], names=columns).cast(
+        arrow_schema
+    )
+
+
 def decode_chunks(chunks_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Decode chunk rows back into (doc_id, tokens, n_tok, source).
 
@@ -180,15 +217,105 @@ def decode_chunks(chunks_df: DataFrame, columns: list[str] | None = None) -> Dat
     chunk store prunes the payload column reads via Catalyst as usual).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     columns = columns or ALL_COLUMNS
     needed = set(columns)
     if "tokens" in needed:
         needed.add("n_tok")  # offsets required to rebuild arrays
     schema = StructType([_FIELDS[c] for c in columns])
+    arrow_schema = to_arrow_schema(schema)
     pruned = chunks_df.where(F.col("column").isin(list(needed)))
-    return pruned.groupBy("chunk_id").applyInPandas(
-        lambda pdf: _decode_group(pdf, columns), schema
+    return pruned.groupBy("chunk_id").applyInArrow(
+        lambda tbl: _decode_group_arrow(tbl, columns, arrow_schema), schema
+    )
+
+
+_AGG_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_tok", LongType(), False),
+        StructField("tok_sum", LongType(), True),
+        StructField("tok_min", LongType(), True),
+        StructField("tok_max", LongType(), True),
+        StructField("tok_wsum", LongType(), True),
+    ]
+)
+
+
+def decode_tokens_agg(chunks_df: DataFrame) -> DataFrame:
+    """Decode + per-document aggregate in ONE pass: ``(doc_id, n_tok,
+    tok_sum, tok_min, tok_max, tok_wsum)`` with positions ranked by
+    ascending token value — the round-trip gate's aggregate contract.
+
+    Equivalent to::
+
+        decode_chunks(chunks).select("doc_id", posexplode("tokens"))
+            .groupBy("doc_id").agg(count, sum, min, max, weighted sum)
+
+    but the aggregation happens inside the decode task with numpy
+    ``reduceat`` over the flat value stream (guide §2.3: aggregate before
+    you shuffle). Every document lives in exactly one chunk (bucketing is
+    by doc hash), so the per-chunk aggregates ARE the final aggregates and
+    the exploded-token exchange + hash aggregate disappear outright; the
+    ``source`` payload is never even shuffled or decoded. Documents with
+    zero tokens are absent, exactly like posexplode of an empty array.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(_AGG_SCHEMA)
+    names = [f.name for f in _AGG_SCHEMA.fields]
+
+    def agg_group(tbl):
+        import pyarrow as pa
+
+        nd = tbl.column("n_docs").to_numpy(zero_copy_only=False)
+        if len(nd) and (nd != nd[0]).any():
+            cid = tbl.column("chunk_id")[0].as_py()
+            raise ValueError(
+                f"chunk {cid!r}: columns disagree on row count "
+                f"({sorted(set(int(x) for x in nd))})"
+            )
+        blobs = dict(
+            zip(tbl.column("column").to_pylist(), tbl.column("payload").to_pylist())
+        )
+        lens = chunk.decode_chunk(blobs["n_tok"]).astype(np.int64)
+        flat = np.asarray(chunk.decode_chunk(blobs["tokens"])).astype(np.int64)
+        if int(lens.sum()) != flat.size:
+            raise ValueError(
+                f"list chunk lengths sum to {int(lens.sum())} but "
+                f"{flat.size} elements present"
+            )
+        doc_ids = _string_array_from_flat(*chunk.decode_chunk(blobs["doc_id"]))
+        nz = lens > 0
+        if not nz.all():
+            doc_ids = doc_ids.filter(pa.array(nz))
+            lens = lens[nz]
+        if lens.size:
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sums = np.add.reduceat(flat, starts)
+            mins = np.minimum.reduceat(flat, starts)
+            maxs = np.maximum.reduceat(flat, starts)
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens) + 1
+            wsums = np.add.reduceat(flat * pos, starts)
+        else:
+            sums = mins = maxs = wsums = np.empty(0, np.int64)
+        return pa.Table.from_arrays(
+            [
+                doc_ids,
+                pa.array(lens),
+                pa.array(sums),
+                pa.array(mins),
+                pa.array(maxs),
+                pa.array(wsums),
+            ],
+            names=names,
+        ).cast(arrow_schema)
+
+    pruned = chunks_df.where(F.col("column").isin(["tokens", "n_tok", "doc_id"]))
+    return pruned.groupBy("chunk_id").applyInArrow(
+        lambda tbl: agg_group(tbl), _AGG_SCHEMA
     )
 
 

@@ -7,10 +7,10 @@ write_batch -> close``, ``src/file/writer.rs:119-248`` /
 - one shuffle co-locates each deterministic ``chunk_id`` bucket
   (``engine.skew.plan_buckets``) on one task — the row-group boundary;
 - rows sort by (chunk_id, doc_id) in Tungsten (``sortWithinPartitions``),
-  then a streaming ``mapInPandas`` pass detects bucket boundaries and encodes
-  every column with numpy kernels (the column-chunk write loop,
-  ``src/file/writer.rs:339-357``) — zero per-row Python, no pandas sort, no
-  whole-group shuffle materialization;
+  then a streaming ``mapInArrow`` pass detects bucket boundaries and encodes
+  every column with numpy kernels straight off the Arrow buffers (the
+  column-chunk write loop, ``src/file/writer.rs:339-357``) — zero per-row
+  Python, no pandas sort or materialization, no whole-group shuffle;
 - each column emits one chunk row carrying the ``PageWriteSpec``-equivalent
   metrics (codec, n_values, raw/encoded bytes, crc32 —
   ``src/column/page.rs:151-158``) plus min/max statistics for integer
@@ -197,6 +197,34 @@ def _list_from_series(ser: pd.Series, binary: bool):
         raise ValueError("list chunk exceeds 2^31 child values/bytes; page the column")
     lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int32)
     return lengths, arr.flatten()
+
+
+def _ba_stats(arr) -> tuple[str, str]:
+    """(vmin_s, vmax_s) for a NON-NULL Arrow string array.
+
+    Arrow min_max compares UTF-8 bytes == Python code-point order for valid
+    UTF-8; truncated like parquet's column-index bounds: a prefix of min is
+    still a valid lower bound; for max a bare prefix would be a WRONG upper
+    bound, so only truncate when the remaining prefix can be bumped (last
+    char < U+10FFFF). Shared by the pandas and Arrow-native encode paths so
+    the emitted statistics can never drift."""
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(arr)
+    vmin_s = str(mm["min"].as_py())[:_STAT_TRUNC]
+    mx = str(mm["max"].as_py())
+    if len(mx) > _STAT_TRUNC:
+        cut = mx[:_STAT_TRUNC]
+        nxt = ord(cut[-1]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000  # never emit a lone surrogate
+        if nxt <= 0x10FFFF:
+            vmax_s = cut[:-1] + chr(nxt)
+        else:
+            vmax_s = mx  # cannot bump: keep the exact bound
+    else:
+        vmax_s = mx
+    return vmin_s, vmax_s
 
 
 def _encode_group_sorted(
@@ -460,28 +488,7 @@ def _encode_group_sorted(
                 codec = "delta_length_ba"
             blob = chunk.encode_chunk((lengths, data), codec, "bytes", valid=valid)
             if len(arr) and kind == "bytes":
-                import pyarrow.compute as pc
-
-                # Arrow min_max compares UTF-8 bytes == Python code-point
-                # order for valid UTF-8; truncated like parquet's
-                # column-index bounds: a prefix of min is still a valid
-                # lower bound; for max a bare prefix would be a WRONG upper
-                # bound, so only truncate when the remaining prefix can be
-                # bumped (last char < U+10FFFF)
-                mm = pc.min_max(arr)
-                vmin_s = str(mm["min"].as_py())[:_STAT_TRUNC]
-                mx = str(mm["max"].as_py())
-                if len(mx) > _STAT_TRUNC:
-                    cut = mx[:_STAT_TRUNC]
-                    nxt = ord(cut[-1]) + 1
-                    if 0xD800 <= nxt <= 0xDFFF:
-                        nxt = 0xE000  # never emit a lone surrogate
-                    if nxt <= 0x10FFFF:
-                        vmax_s = cut[:-1] + chr(nxt)
-                    else:
-                        vmax_s = mx  # cannot bump: keep the exact bound
-                else:
-                    vmax_s = mx
+                vmin_s, vmax_s = _ba_stats(arr)
         else:
             raise ValueError(f"unknown column kind {kind}")
         if block_codec:
@@ -510,6 +517,176 @@ def _encode_group_sorted(
             }
         )
     return pd.DataFrame(rows)
+
+
+# Arrow-native encode hot path (guide §4.2: hand whole Arrow batches to
+# vectorized kernels; the pandas hop materialized one ndarray object per row
+# for list columns and re-built Arrow arrays for byte-array columns). Kinds
+# outside this set — or columns whose runtime null-ness needs the pandas
+# NaN/None conventions (validity companions, nullable scalars, list:*,
+# floats) — fall back to ``_encode_group_sorted`` over ``tbl.to_pandas()``,
+# which is behavior-identical to the old mapInPandas input.
+_FAST_SCALAR_NP = {"int32": np.dtype(np.int32), "int64": np.dtype(np.int64),
+                   "bool": np.dtype(bool)}
+
+
+def _one_chunk(tbl, name: str):
+    """Single contiguous Arrow array for ``tbl[name]`` (the table arrives
+    combine_chunks()ed; >1 chunk means a >2^31-byte column that the frame
+    format requires paging for — same guard as ``flat_from_arrow``)."""
+    ca = tbl.column(name)
+    if ca.num_chunks == 1:
+        return ca.chunk(0)
+    if ca.num_chunks == 0:
+        import pyarrow as pa
+
+        return pa.array([], type=ca.type)
+    raise ValueError("byte-array chunk exceeds 2^31 bytes; page the column")
+
+
+def _group_is_fast(tbl, columns: dict) -> bool:
+    """True when every column of this bucket can take the Arrow-native
+    path with results identical to the pandas path."""
+    names = set(tbl.schema.names)
+    for col, spec in columns.items():
+        kind = spec[0]
+        if kind in ("bytes", "binary"):
+            continue  # fully native incl. nulls (same Arrow ops as before)
+        ca = tbl.column(col)
+        if kind == "int32_list":
+            if ca.null_count:
+                return False  # record nulls: pandas path raises the contract error
+            if any(c.flatten().null_count for c in ca.chunks):
+                return False  # element nulls: keep pandas semantics
+            continue
+        if (
+            kind in _FAST_SCALAR_NP
+            and f"{col}{VALID_SUFFIX}" not in names
+            and ca.null_count == 0
+        ):
+            continue
+        return False
+    return True
+
+
+def _encode_group_arrow(
+    tbl,
+    columns: dict,
+    block_codec: str | None,
+    bloom_cols: frozenset | None,
+    arrow_schema,
+):
+    """Encode one bucket held as a (combined) Arrow table -> one RecordBatch
+    of chunk rows. Byte-identical to ``_encode_group_sorted``: the codec
+    kernels receive the same numpy arrays, only the pandas materialization
+    is gone."""
+    import pyarrow as pa
+
+    if not _group_is_fast(tbl, columns):
+        out = _encode_group_sorted(tbl.to_pandas(), columns, block_codec, bloom_cols)
+        return pa.RecordBatch.from_pandas(
+            out, schema=arrow_schema, preserve_index=False
+        )
+    names = set(tbl.schema.names)
+    chunk_id = _one_chunk(tbl, "chunk_id")[0].as_py()
+    n_docs = tbl.num_rows
+    meta = {
+        c: (_one_chunk(tbl, c)[0].as_py() if c in names else None)
+        for c in skew.BUCKET_META_COLS
+    }
+    rows = []
+    for col, spec in columns.items():
+        kind, override = spec[0], spec[1]
+        candidates = spec[2] if len(spec) > 2 and spec[2] else None
+        vmin = vmax = vmin_d = vmax_d = vmin_s = vmax_s = None
+        null_count = 0
+        bloom_blob = None
+        if kind == "int32_list":
+            arr = _one_chunk(tbl, col)
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int32, copy=False
+            )
+            if override is None and flat.size > chunk.DEFAULT_PAGE_VALUES:
+                codec = "paged"
+                blob = chunk.encode_chunk_paged(flat, "int32")
+            else:
+                codec, _, _ = selector.select_codec(
+                    flat,
+                    override=override,
+                    candidates=candidates or selector.INT_CANDIDATES,
+                )
+                blob = chunk.encode_chunk(flat, codec, "int32")
+            if flat.size:
+                vmin, vmax = int(flat.min()), int(flat.max())
+        elif kind in ("int32", "int64", "bool"):
+            vals = np.ascontiguousarray(
+                _one_chunk(tbl, col).to_numpy(zero_copy_only=False),
+                dtype=_FAST_SCALAR_NP[kind],
+            )
+            if kind == "bool":
+                codec = selector.select_bool_codec(vals, override=override)
+            else:
+                codec, _, _ = selector.select_codec(
+                    vals,
+                    override=override,
+                    candidates=candidates or selector.INT_CANDIDATES,
+                )
+            blob = chunk.encode_chunk(vals, codec, kind)
+            if vals.size:
+                vmin, vmax = int(vals.min()), int(vals.max())
+        elif kind in ("bytes", "binary"):
+            arr = _one_chunk(tbl, col)
+            null_count = int(arr.null_count)
+            if null_count:
+                valid = ~arr.is_null().to_numpy(zero_copy_only=False)
+                arr = arr.drop_null()
+            else:
+                valid = None
+            lengths, data = bytearrays.flat_from_arrow(arr)
+            if bloom_cols and col in bloom_cols:
+                from .. import bloom as bloom_mod
+
+                bloom_blob = bloom_mod.build(lengths, data)
+            codec = selector.select_ba_codec(lengths, data, override=override)
+            if candidates and codec not in candidates:
+                codec = "delta_length_ba"
+            blob = chunk.encode_chunk((lengths, data), codec, "bytes", valid=valid)
+            if len(arr) and kind == "bytes":
+                vmin_s, vmax_s = _ba_stats(arr)
+        else:  # unreachable behind _group_is_fast; mirror the pandas error
+            raise ValueError(f"unknown column kind {kind}")
+        if block_codec:
+            blob = chunk.compress_chunk(blob, block_codec)
+        info = chunk.read_info(blob)
+        rows.append(
+            {
+                "chunk_id": chunk_id,
+                **meta,
+                "column": col,
+                "codec": codec,
+                "n_values": info.n_values,
+                "n_docs": n_docs,
+                "raw_bytes": info.raw_bytes,
+                "enc_bytes": info.enc_bytes,
+                "checksum": info.checksum,
+                "vmin": vmin,
+                "vmax": vmax,
+                "vmin_d": vmin_d,
+                "vmax_d": vmax_d,
+                "vmin_s": vmin_s,
+                "vmax_s": vmax_s,
+                "null_count": null_count,
+                "bloom": bloom_blob,
+                "payload": blob,
+            }
+        )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[f.name] for r in rows], type=f.type)
+            for f in arrow_schema
+        ],
+        schema=arrow_schema,
+    )
 
 
 class ColumnSpec(tuple):
@@ -776,39 +953,54 @@ def encode_table(
         + [F.col(f"`{c}`") for c in companions]
     )
 
-    def encode_stream(batches):
-        """Streaming bucket encoder over (chunk_id, doc_id)-sorted batches:
-        buckets are contiguous, so one pass with boundary detection replaces
-        the groupBy materialization, and the sort happened JVM-side."""
-        import numpy as np
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-        pending: list[pd.DataFrame] = []
-        cur = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["chunk_id"].to_numpy()
-            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
-            bounds = [0, *change.tolist(), len(pdf)]
-            for i in range(len(bounds) - 1):
-                seg = pdf.iloc[bounds[i] : bounds[i + 1]]
-                cid = ids[bounds[i]]
-                if cur is not None and cid != cur and pending:
-                    group = pd.concat(pending, ignore_index=True)
-                    pending = []
-                    yield _encode_group_sorted(group, columns, block_codec, bloom_cols)
-                cur = cid
-                pending.append(seg)
-        if pending:
-            yield _encode_group_sorted(
-                pd.concat(pending, ignore_index=True), columns, block_codec, bloom_cols
+    arrow_schema = to_arrow_schema(CHUNK_SCHEMA)
+
+    def encode_stream(batches):
+        """Streaming bucket encoder over (chunk_id, doc_id)-sorted Arrow
+        batches: buckets are contiguous, so one pass with boundary detection
+        replaces the groupBy materialization, the sort happened JVM-side, and
+        the data never detours through pandas (guide §4.2)."""
+        import pyarrow as pa
+
+        for pending in _chunk_groups(batches):
+            tbl = pa.Table.from_batches(pending).combine_chunks()
+            yield _encode_group_arrow(
+                tbl, columns, block_codec, bloom_cols, arrow_schema
             )
 
     # one shuffle: co-locate buckets, sort (chunk_id, doc_id) in Tungsten,
-    # then a pure partition-parallel mapInPandas encode pass
+    # then a pure partition-parallel mapInArrow encode pass
     return (
         bucketed.select(*cols)
         .repartition(F.col("chunk_id"))
         .sortWithinPartitions(F.col("chunk_id"), F.col(f"`{sort_col}`"))
-        .mapInPandas(encode_stream, CHUNK_SCHEMA)
+        .mapInArrow(encode_stream, CHUNK_SCHEMA)
     )
+
+
+def _chunk_groups(batches):
+    """Yield lists of RecordBatch slices, one list per contiguous
+    ``chunk_id`` group (a group may span Arrow batch boundaries inside the
+    partition — the sort guarantees contiguity, not batch alignment)."""
+    pending: list = []
+    cur = None
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        ids = rb.column(
+            rb.schema.get_field_index("chunk_id")
+        ).to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        bounds = [0, *change.tolist(), rb.num_rows]
+        for i in range(len(bounds) - 1):
+            cid = ids[bounds[i]]
+            if cur is not None and cid != cur and pending:
+                yield pending
+                pending = []
+            cur = cid
+            pending.append(rb.slice(bounds[i], bounds[i + 1] - bounds[i]))
+    if pending:
+        yield pending
+

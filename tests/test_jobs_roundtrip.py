@@ -126,3 +126,80 @@ def test_extreme_skew_bucket_sizes_bounded(spark):
         b.where(F.col("source") == "viral").select("chunk_id").distinct().count()
     )
     assert viral_buckets >= 3800 // 128  # hot key actually split
+
+
+def test_decode_tokens_agg_matches_explode_aggregate(spark, corpus):
+    """The fused decode+aggregate (r8 optimization: aggregate computed inside
+    the decode task, no exploded-token exchange) must equal the classic
+    posexplode + groupBy aggregate exactly — including the empty-doc rule
+    (posexplode of an empty array emits nothing)."""
+    with_empty = corpus.union(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": ["emptydoc"],
+                    "tokens": [[]],
+                    "n_tok": np.array([0], dtype=np.int32),
+                    "source": ["web"],
+                }
+            ),
+            corpus.schema,
+        )
+    )
+    chunks = encode_job.encode_table(with_empty, rows_per_bucket=64)
+    classic = (
+        decode_job.decode_chunks(chunks)
+        .select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.col("tok").cast("long")).alias("tok_sum"),
+            F.min("tok").cast("long").alias("tok_min"),
+            F.max("tok").cast("long").alias("tok_max"),
+            F.sum((F.col("pos") + 1) * F.col("tok").cast("long")).alias(
+                "tok_wsum"
+            ),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fused = (
+        decode_job.decode_tokens_agg(chunks)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(classic, fused)
+    assert "emptydoc" not in set(fused["doc_id"])
+
+
+def test_arrow_encode_fast_path_matches_pandas_path(spark, corpus):
+    """The Arrow-native bucket encoder (r8) must emit byte-identical chunk
+    rows to the pandas path it replaced — same codecs, payloads, checksums,
+    statistics."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    bucketed = skew.plan_buckets(corpus, rows_per_bucket=64)
+    pdf = (
+        bucketed.orderBy("chunk_id", "doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    one = pdf[pdf["chunk_id"] == pdf["chunk_id"].iloc[0]].reset_index(drop=True)
+    cols = dict(encode_job.DEFAULT_COLUMNS)
+    arrow_schema = to_arrow_schema(encode_job.CHUNK_SCHEMA)
+    via_pandas = encode_job._encode_group_sorted(one, cols)
+    tbl = pa.Table.from_pandas(one, preserve_index=False)
+    assert encode_job._group_is_fast(tbl, cols)
+    via_arrow = encode_job._encode_group_arrow(
+        tbl, cols, None, None, arrow_schema
+    ).to_pandas()
+    for c in ("column", "codec", "n_values", "checksum", "payload", "vmin",
+              "vmax", "vmin_s", "vmax_s", "null_count"):
+        pd.testing.assert_series_equal(
+            via_pandas[c].reset_index(drop=True),
+            via_arrow[c].rename(c).reset_index(drop=True),
+            check_dtype=False,
+        ), f"column {c} drifted"
