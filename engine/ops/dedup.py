@@ -58,22 +58,38 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signature per document: shingle -> xxhash64 -> affine-permuted
-    min per hash function. Pure built-ins: the per-hash min is an aggregate
-    over the exploded shingle hashes (map-side combinable)."""
+    min per hash function. Pure built-ins, and since r8 a pure PROJECTION:
+    the per-hash min is ``array_min`` over the document's own shingle-hash
+    array instead of an aggregate over exploded shingle rows — the shingles
+    of one document are already co-located, so the old explode +
+    groupBy(key) exchange shuffled every shingle hash to recompute a
+    locality the rows started with (guide §2.4). Values are identical
+    (same hash, same affine map, min over the same set); documents with
+    zero shingles produce no row, exactly like explode of an empty array."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, HASH_PRIME, num_hashes, dtype=np.int64)
     b = rng.integers(0, HASH_PRIME, num_hashes, dtype=np.int64)
-    sh = docs.select(
-        F.col(key_col),
-        F.explode(F.array_distinct(_shingles(text_col, k))).alias("shingle"),
-    ).select(key_col, F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h"))
-    mins = [
-        F.min((F.col("h") * int(a[i]) + int(b[i])) % HASH_PRIME).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(key_col).agg(*mins).select(
-        key_col, F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("signature")
+    hashes = F.transform(
+        F.array_distinct(_shingles(text_col, k)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
     )
+    per_doc = docs.select(F.col(key_col), hashes.alias("_hs")).where(
+        F.size("_hs") > 0
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_hs"),
+                    (lambda ai, bi: lambda h: (h * ai + bi) % HASH_PRIME)(
+                        int(a[i]), int(b[i])
+                    ),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return per_doc.select(key_col, sig.alias("signature"))
 
 
 def _star_collapse(df: DataFrame, group_col, key_col: str):
@@ -207,9 +223,13 @@ def minhash_lsh_pairs(
     large_star = tagged.where(
         (F.col("_bsize") > star_threshold) & (F.col(key_col) != F.col("_brep"))
     ).select(F.col("_brep").alias("id_a"), F.col(key_col).alias("id_b"))
-    pairs = small_pairs.union(large_star).distinct()
+    # ONE distinct over the unioned edge sets (set semantics are unchanged;
+    # the old shape ran distinct twice — union(small, large).distinct()
+    # .union(exact).distinct() — paying an extra exchange + dedup stage)
+    pairs = small_pairs.union(large_star)
     if exact_edges is not None:
-        pairs = pairs.union(exact_edges).distinct()
+        pairs = pairs.union(exact_edges)
+    pairs = pairs.distinct()
     if materialize:
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         pairs.count()

@@ -32,10 +32,11 @@ def _token_count_cols(text_col: str) -> dict:
         "n_words": F.size(words).cast("long"),
         "n_chars": n_chars.cast("long"),
         "n_tokens_est": (F.size(words) + F.ceil(n_chars / 4)).cast("long"),
-        "n_tokens_regex": F.size(
-            F.regexp_extract_all(
-                F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0)
-            )
+        # regexp_count == size(regexp_extract_all(..., 0)) — same
+        # non-overlapping match count, but the matcher only counts instead
+        # of materializing an array of match strings per document (r8)
+        "n_tokens_regex": F.regexp_count(
+            F.col(text_col), F.lit(BPE_SPLIT_PATTERN)
         ).cast("long"),
     }
 
@@ -47,13 +48,16 @@ def _quality_cols(text_col: str) -> dict:
     n = F.greatest(F.length(t), F.lit(1)).cast("double")
     words = F.split(t, " ")
 
-    def ratio_of(pattern: str):
-        return F.round(F.length(F.regexp_replace(t, pattern, "")) / n, 6)
+    def ratio_of(char_class: str):
+        # count of class characters == length after deleting the complement
+        # (the oracle's regexp_replace shape), but counted in one matcher
+        # pass with no rewritten string per document (r8)
+        return F.round(F.regexp_count(t, F.lit(char_class)) / n, 6)
 
     return {
-        "punct_ratio": ratio_of(r"[^.,;:!?]"),
-        "digit_ratio": ratio_of(r"[^0-9]"),
-        "upper_ratio": ratio_of(r"[^A-Z]"),
+        "punct_ratio": ratio_of(r"[.,;:!?]"),
+        "digit_ratio": ratio_of(r"[0-9]"),
+        "upper_ratio": ratio_of(r"[A-Z]"),
         "mean_word_len": F.round(
             (F.length(t) - F.size(words) + 1)
             / F.greatest(F.size(words), F.lit(1)),
