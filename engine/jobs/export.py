@@ -333,11 +333,19 @@ def export_parquet(
         if c != order
         and not expected[c].startswith(("array<", "map<", "struct<"))
     ] + [f"__valid_{n}" for n in companions]
-    list_cols = [
-        n for n, t in expected.items()
+    # tie-break serialization dtype per numeric list column: integer lists
+    # keep their NATIVE int64 width — routing them through float64 would
+    # collapse distinct array<bigint> values at/above 2^53 under duplicate
+    # leading keys, letting retried attempts commit non-byte-identical
+    # files (r7 ADVICE #4); floats keep float64 (NaN payloads normalize)
+    list_sort_dt = {
+        n: (np.int64 if _KINDS[t[6:-1]][1] in (np.int32, np.int64)
+            else np.float64)
+        for n, t in expected.items()
         if t.startswith("array<") and t[6:-1] in _KINDS
         and _KINDS[t[6:-1]][0] != "utf8"
-    ]
+    }
+    list_cols = list(list_sort_dt)
 
     def write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         from engine import parquet_out
@@ -347,13 +355,15 @@ def export_parquet(
         # deterministic bytes: a speculative/retried attempt must commit
         # IDENTICAL content under the same final name — sort by the
         # leading key, tie-broken by every remaining scalar column and
-        # byte-serialized numeric-list keys (values normalize through
-        # float64 so per-cell dtype widening cannot split equal lists)
+        # byte-serialized numeric-list keys (each list normalizes to ONE
+        # dtype per column — int64 for integer elements, float64 for float
+        # elements — so per-cell dtype widening cannot split equal lists
+        # and bigint values at/above 2^53 stay distinct)
         extra = {}
         for n in list_cols:
+            dt = list_sort_dt[n]
             extra[f"__lsort_{n}"] = [
-                None if x is None
-                else np.asarray(x, np.float64).tobytes()
+                None if x is None else np.asarray(x, dt).tobytes()
                 for x in pdf[n]
             ]
         for n in list_companions:

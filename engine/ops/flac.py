@@ -258,6 +258,13 @@ def _read_residual(r: _BitReader, block: int, order: int) -> np.ndarray:
     nparts = 1 << porder
     if block % nparts:
         raise ValueError("flac: partition count does not divide blocksize")
+    if (block >> porder) <= order:
+        # the first partition holds (block >> porder) - order samples; a
+        # malformed header where that is <= 0 would regress `pos` and leave
+        # np.empty slots unwritten — fail like the other grammar checks
+        raise ValueError(
+            "flac: partition order leaves no samples in the first partition"
+        )
     out = np.empty(block - order, np.int64)
     pos = 0
     for p in range(nparts):

@@ -266,6 +266,39 @@ def _walk_schema(elems: list) -> dict:
     return leaves
 
 
+# ConvertedType ids whose type-defined order is UNSIGNED (UINT_8..UINT_64):
+# legacy signed-comparison bounds are wrong for them above 2^(width-1)
+_UNSIGNED_CONVS = frozenset((11, 12, 13, 14))
+
+
+def _stats_bounds(st: dict, phys: int, conv) -> tuple:
+    """(min, max) pruning bounds from a chunk Statistics struct (field 12).
+
+    v2 order-defined bounds (5 max_value / 6 min_value) are always trusted.
+    The legacy pair (1 max / 2 min) predates PARQUET-251: old parquet-mr
+    computed BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY min/max with SIGNED byte
+    comparison, so a legacy bound on a string column can exclude row groups
+    that actually contain matching rows (silent row loss at plan time) for
+    non-ASCII data — the reference tracks exactly this with
+    ``is_min_max_deprecated`` (src/file/statistics.rs:106). Legacy bounds
+    are therefore accepted ONLY for physical types whose signed order IS
+    the type-defined order: BOOLEAN/INT32/INT64/FLOAT/DOUBLE (phys 0-2,
+    4-5), and not when an unsigned ConvertedType rides the int (signed
+    comparison misorders UINT values above 2^(width-1)). INT96 legacy
+    stats are junk order-wise and ignored like byte arrays."""
+    st_max = st.get(5)
+    st_min = st.get(6)
+    if (
+        5 not in st
+        and 6 not in st
+        and phys in (0, 1, 2, 4, 5)
+        and conv not in _UNSIGNED_CONVS
+    ):
+        st_max = st.get(1)
+        st_min = st.get(2)
+    return st_min, st_max
+
+
 def read_file_info(path: str) -> FileInfo:
     """Parse the footer of a real parquet file into per-column metadata,
     with nothing but the thrift compact parser above."""
@@ -311,13 +344,7 @@ def read_file_info(path: str) -> FileInfo:
                 start = min(
                     x for x in (cm.get(11), cm[9]) if x is not None
                 )
-                # chunk Statistics (field 12): v2 order-defined bounds
-                # (5 max_value / 6 min_value) preferred, legacy (1 max /
-                # 2 min) accepted — bounds stay raw bytes here, decoded
-                # only when a pruning predicate needs them
                 st = cm.get(12) or {}
-                st_max = st.get(5, st.get(1))
-                st_min = st.get(6, st.get(2))
                 enc_stats = [
                     (e.get(1), e.get(2), e.get(3))
                     for e in (cm.get(13) or [])
@@ -347,6 +374,7 @@ def read_file_info(path: str) -> FileInfo:
                         )
                     elif 1 in ltype and conv is None:
                         conv = 0  # STRING -> UTF8
+                st_min, st_max = _stats_bounds(st, cm[1], conv)
                 info.columns.append(
                     ColumnInfo(
                         path=col_path,
@@ -1033,7 +1061,13 @@ def _leaf_values_list(vals, conv):
                 for i in range(len(lens))
             ]
         return [bytes(data[offs[i] : offs[i + 1]]) for i in range(len(lens))]
-    return np.asarray(vals).tolist()
+    arr = np.asarray(vals)
+    if conv == 13 and arr.dtype == np.int32:
+        # UINT_32 rides int32 pages; widen through the unsigned view so
+        # repeated-leaf elements above 2^31 surface as positive longs,
+        # consistent with the flat path (_materialize_flat; r7 ADVICE #2)
+        arr = arr.view(np.uint32).astype(np.int64)
+    return arr.tolist()
 
 
 def _assemble_rep1(col: ColumnInfo, vals, defs: np.ndarray,
@@ -1121,6 +1155,10 @@ def _assemble_rep1(col: ColumnInfo, vals, defs: np.ndarray,
         )
     else:
         vals = np.asarray(vals)
+        if col.conv == 13 and vals.dtype == np.int32:
+            # UINT_32 element widening — same unsigned view as the flat
+            # path so list elements above 2^31 stay positive (r7 ADVICE #2)
+            vals = vals.view(np.uint32).astype(np.int64)
         if int(elem_valid.sum()) != len(vals):
             raise ValueError(
                 f"{col.path}: assembled {int(elem_valid.sum())} values, "
@@ -1273,11 +1311,12 @@ def _spark_type(c: ColumnInfo) -> str:
     binary — read_table hands them over as bytes and the query layer
     casts (the alltypes golden files lack UTF8 annotations anyway)."""
     if c.max_rep:
-        t = (
-            "string"
-            if (c.phys == "byte_array" and c.conv == 0)
-            else _SPARK_TYPES[c.phys]
-        )
+        if c.phys == "byte_array" and c.conv == 0:
+            t = "string"
+        elif c.conv == 13 and c.phys == "int32":
+            t = "long"  # UINT_32 elements widen like the flat path
+        else:
+            t = _SPARK_TYPES[c.phys]
         for _ in range(c.max_rep):
             t = f"array<{t}>"
         return t
@@ -1515,13 +1554,30 @@ def _ledger_plan(columns: list | None = None, predicate=None):
             for p in pdf["path"]:
                 sizes: dict = {}
                 pred_chunks: dict = {}  # (rg, colname) -> ColumnInfo
-                for c in read_file_info(p).columns:
+                finfo = read_file_info(p)
+                for c in finfo.columns:
                     if columns is None or c.path in columns:
                         sizes[c.rg] = sizes.get(c.rg, 0) + c.total_compressed
                     else:
                         sizes.setdefault(c.rg, 0)  # group exists, col pruned
                     if c.path in pred_names:
                         pred_chunks[(c.rg, c.path)] = c
+                if pred_names:
+                    # schema drift past paths[0] must fail HERE, in the
+                    # planning pass, naming the offending file — not as an
+                    # opaque task failure in the later pruned read (r7
+                    # ADVICE): downstream read_table_pruned raises for a
+                    # missing predicate column anyway, so 'keep the group'
+                    # would only defer and anonymize the error
+                    missing = sorted(
+                        pred_names - {c.path for c in finfo.columns}
+                    )
+                    if missing:
+                        raise ValueError(
+                            f"{p}: predicate column(s) {missing} absent "
+                            "from this file's schema (schema drift inside "
+                            "the input set)"
+                        )
 
                 norm_cache: dict = {}  # id(q) -> normalized leaf
 
