@@ -107,7 +107,10 @@ def _roundtrip_agg(spark, seq_df: DataFrame, token_codec: str | None) -> DataFra
     cols = dict(encode_job.DEFAULT_COLUMNS)
     cols["tokens"] = ("int32_list", token_codec)
     chunks = encode_job.encode_table(seq_df, columns=cols, rows_per_bucket=8192)
-    return decode_job.decode_tokens_agg(chunks)
+    # colocated: chunks flow STRAIGHT from encode_table, whose encoder
+    # emits each bucket's rows as one contiguous batch — decode+aggregate
+    # pipelines into the same stage instead of re-shuffling tiny chunk rows
+    return decode_job.decode_tokens_agg(chunks, colocated=True)
 
 
 

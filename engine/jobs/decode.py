@@ -243,7 +243,7 @@ _AGG_SCHEMA = StructType(
 )
 
 
-def decode_tokens_agg(chunks_df: DataFrame) -> DataFrame:
+def decode_tokens_agg(chunks_df: DataFrame, colocated: bool = False) -> DataFrame:
     """Decode + per-document aggregate in ONE pass: ``(doc_id, n_tok,
     tok_sum, tok_min, tok_max, tok_wsum)`` with positions ranked by
     ascending token value — the round-trip gate's aggregate contract.
@@ -260,6 +260,15 @@ def decode_tokens_agg(chunks_df: DataFrame) -> DataFrame:
     the exploded-token exchange + hash aggregate disappear outright; the
     ``source`` payload is never even shuffled or decoded. Documents with
     zero tokens are absent, exactly like posexplode of an empty array.
+
+    ``colocated=True`` additionally drops the chunk-gathering exchange:
+    the caller asserts every chunk's column rows are complete and
+    CONTIGUOUS within partitions — true for the direct output of
+    ``encode_table``, whose encoder emits each bucket as one batch
+    (guide §2.4: the shuffle would only re-establish a co-location the
+    rows already have). Spark then pipelines encode and decode+aggregate
+    in a single stage. Use the default for chunks read back from storage
+    or otherwise re-partitioned.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -314,9 +323,21 @@ def decode_tokens_agg(chunks_df: DataFrame) -> DataFrame:
         ).cast(arrow_schema)
 
     pruned = chunks_df.where(F.col("column").isin(["tokens", "n_tok", "doc_id"]))
-    return pruned.groupBy("chunk_id").applyInArrow(
-        lambda tbl: agg_group(tbl), _AGG_SCHEMA
-    )
+    if not colocated:
+        return pruned.groupBy("chunk_id").applyInArrow(
+            lambda tbl: agg_group(tbl), _AGG_SCHEMA
+        )
+
+    from .encode import _chunk_groups
+
+    def agg_stream(batches):
+        import pyarrow as pa
+
+        for pending in _chunk_groups(batches):
+            tbl = pa.Table.from_batches(pending).combine_chunks()
+            yield from agg_group(tbl).to_batches()
+
+    return pruned.mapInArrow(agg_stream, _AGG_SCHEMA)
 
 
 _SPARK_TYPES = {

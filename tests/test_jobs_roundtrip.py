@@ -203,3 +203,18 @@ def test_arrow_encode_fast_path_matches_pandas_path(spark, corpus):
             via_arrow[c].rename(c).reset_index(drop=True),
             check_dtype=False,
         ), f"column {c} drifted"
+
+
+def test_decode_tokens_agg_colocated_matches_shuffled(spark, corpus):
+    """colocated=True (no chunk-gathering exchange; valid on the direct
+    output of encode_table) must return exactly the shuffled path's rows."""
+    chunks = encode_job.encode_table(corpus, rows_per_bucket=64)
+    shuffled = (
+        decode_job.decode_tokens_agg(chunks)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    colocated = (
+        decode_job.decode_tokens_agg(chunks, colocated=True)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(shuffled, colocated)
