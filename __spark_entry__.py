@@ -38,6 +38,24 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor (guide §2.5 input skew): a
+    parquet SPLIT cannot start mid-row-group, so a single-file table with
+    one big row group scans as ONE task and serializes any compute-heavy,
+    shuffle-free stage-1 on an otherwise idle cluster. Round-robin
+    repartition to the cluster's default parallelism ONLY when the scan's
+    natural split count is below it — on real corpora (many files / many
+    row groups) the condition is false and no exchange is added. Only
+    applied where the stage-1 compute measurably dominates the exchange
+    cost (textstats expression tree, knn interpreted cosine folds); the
+    encode-side queries already parallelize through their bucket
+    exchange and measured SLOWER with an extra spread."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # round-trip queries: derive tokens -> encode(codec) -> decode -> aggregate
 # --------------------------------------------------------------------------
@@ -106,7 +124,18 @@ def _roundtrip_agg(spark, seq_df: DataFrame, token_codec: str | None) -> DataFra
     encode_job, decode_job = _engine(spark)
     cols = dict(encode_job.DEFAULT_COLUMNS)
     cols["tokens"] = ("int32_list", token_codec)
-    chunks = encode_job.encode_table(seq_df, columns=cols, rows_per_bucket=8192)
+    # the derived sequence table has exactly two consumers inside
+    # encode_table (the bucket-count aggregation and the encode shuffle);
+    # persisting the intermediate computes the groupBy+collect_list
+    # derivation ONCE per invocation instead of twice (guide §5: reused
+    # AND expensive to recompute — measured 6.1s -> 4.0s at sf1, neutral
+    # at sf0.1). This is an in-query intermediate recomputed fresh every
+    # run — never a cross-run cache; Spark's ContextCleaner drops the
+    # blocks once the result DataFrame is garbage-collected (the same
+    # lifetime contract as minhash_lsh_pairs' banded exchange).
+    chunks = encode_job.encode_table(
+        seq_df.persist(), columns=cols, rows_per_bucket=8192
+    )
     # colocated: chunks flow STRAIGHT from encode_table, whose encoder
     # emits each bucket's rows as one contiguous batch — decode+aggregate
     # pipelines into the same stage instead of re-shuffling tiny chunk rows
@@ -1193,7 +1222,7 @@ def _q_knn(spark, sf_dir) -> DataFrame:
     from engine.ops import simsearch
 
     _engine(spark)
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _read(spark, sf_dir, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2355,7 +2384,7 @@ def _q_textstats_all(spark, sf_dir) -> DataFrame:
     from engine.ops import textstats
 
     _engine(spark)
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(spark, _read(spark, sf_dir, "documents"))
     out = textstats.all_stats(docs).drop("rolling_fp")
     return out.withColumn("doc_id", F.col("doc_id").cast("long"))
 
