@@ -3,10 +3,11 @@
 Spark replay of the reference's read path (``SerializedFileReader ->
 get_row_iter``, ``src/file/reader.rs:132-292`` + record assembly
 ``src/record/reader.rs:378-520``): each ``chunk_id`` group holds one encoded
-blob per column; decode is a pure ``applyInPandas`` stage that reverses the
-column-chunk framing, verifies checksums, and reassembles rows. Token arrays
-must come back bit-identical (the round-trip invariant of the reference's
-encoding tests, ``src/encodings/encoding.rs:1179-1265``).
+blob per column; decode is a pure ``applyInArrow`` stage that reverses the
+column-chunk framing, verifies checksums, and reassembles rows straight
+into Arrow arrays (r8: no pandas hop in the corpus decode path). Token
+arrays must come back bit-identical (the round-trip invariant of the
+reference's encoding tests, ``src/encodings/encoding.rs:1179-1265``).
 """
 
 from __future__ import annotations
@@ -54,10 +55,6 @@ def _string_array_from_flat(lengths: np.ndarray, data: bytes, binary: bool = Fal
             pa.py_buffer(data),
         ],
     )
-
-
-def _strings_from_flat(lengths: np.ndarray, data: bytes) -> pd.Series:
-    return _string_array_from_flat(lengths, data).to_pandas()
 
 
 def _scatter_dense_strings(lengths, data, valid, binary: bool):
@@ -146,38 +143,9 @@ def _check_group_consistent(pdf: pd.DataFrame) -> None:
         )
 
 
-def _decode_group(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
-    _check_group_consistent(pdf)
-    blobs = {r["column"]: r["payload"] for _, r in pdf.iterrows()}
-    n_docs = int(pdf["n_docs"].iloc[0])
-
-    out = {}
-    lens_arr = None
-    if "n_tok" in blobs:
-        lens_arr = chunk.decode_chunk(blobs["n_tok"]).astype(np.int64)
-    if "tokens" in columns:
-        import pyarrow as pa
-
-        flat = chunk.decode_chunk(blobs["tokens"])
-        # Arrow-native record assembly: one C pass builds the list array from
-        # (offsets, flat) — no 65k-slice Python loop in the decode hot path
-        out["tokens"] = _list_array(lens_arr, pa.array(flat)).to_pandas()
-    if "doc_id" in columns:
-        out["doc_id"] = _strings_from_flat(*chunk.decode_chunk(blobs["doc_id"]))
-    if "n_tok" in columns:
-        out["n_tok"] = lens_arr.astype(np.int32)
-    if "source" in columns:
-        out["source"] = _strings_from_flat(*chunk.decode_chunk(blobs["source"]))
-    return pd.DataFrame({c: out[c] for c in columns})
-
-
-def _decode_group_arrow(tbl, columns: list[str], arrow_schema):
-    """Arrow-native ``_decode_group``: one chunk's column rows (a pa.Table)
-    -> one decoded pa.Table. The assembled Arrow arrays (_list_array /
-    _string_array_from_flat) are returned directly instead of detouring
-    through pandas object Series and back (guide §4.2)."""
-    import pyarrow as pa
-
+def _check_arrow_group_consistent(tbl) -> None:
+    """Arrow-table form of :func:`_check_group_consistent` (shared by the
+    chunk decoder and the fused aggregate)."""
     nd = tbl.column("n_docs").to_numpy(zero_copy_only=False)
     if len(nd) and (nd != nd[0]).any():
         cid = tbl.column("chunk_id")[0].as_py()
@@ -185,6 +153,16 @@ def _decode_group_arrow(tbl, columns: list[str], arrow_schema):
             f"chunk {cid!r}: columns disagree on row count "
             f"({sorted(set(int(x) for x in nd))})"
         )
+
+
+def _decode_group_arrow(tbl, columns: list[str], arrow_schema):
+    """Arrow-native chunk decode: one chunk's column rows (a pa.Table)
+    -> one decoded pa.Table. The assembled Arrow arrays (_list_array /
+    _string_array_from_flat) are returned directly instead of detouring
+    through pandas object Series and back (guide §4.2)."""
+    import pyarrow as pa
+
+    _check_arrow_group_consistent(tbl)
     blobs = dict(
         zip(tbl.column("column").to_pylist(), tbl.column("payload").to_pylist())
     )
@@ -279,13 +257,7 @@ def decode_tokens_agg(chunks_df: DataFrame, colocated: bool = False) -> DataFram
     def agg_group(tbl):
         import pyarrow as pa
 
-        nd = tbl.column("n_docs").to_numpy(zero_copy_only=False)
-        if len(nd) and (nd != nd[0]).any():
-            cid = tbl.column("chunk_id")[0].as_py()
-            raise ValueError(
-                f"chunk {cid!r}: columns disagree on row count "
-                f"({sorted(set(int(x) for x in nd))})"
-            )
+        _check_arrow_group_consistent(tbl)
         blobs = dict(
             zip(tbl.column("column").to_pylist(), tbl.column("payload").to_pylist())
         )

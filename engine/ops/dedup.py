@@ -65,7 +65,14 @@ def minhash_signatures(
     groupBy(key) exchange shuffled every shingle hash to recompute a
     locality the rows started with (guide §2.4). Values are identical
     (same hash, same affine map, min over the same set); documents with
-    zero shingles produce no row, exactly like explode of an empty array."""
+    zero shingles produce no row, exactly like explode of an empty array.
+
+    Precondition (new in r8): one row per ``key_col``. The old aggregate
+    silently merged duplicate keys into one signature over their combined
+    shingles; the projection emits one row per input row. Every in-repo
+    caller collapses exact duplicates before signing (``minhash_lsh_pairs``
+    via ``_exact_collapse``); callers with duplicate keys must do the same
+    or groupBy first."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, HASH_PRIME, num_hashes, dtype=np.int64)
     b = rng.integers(0, HASH_PRIME, num_hashes, dtype=np.int64)

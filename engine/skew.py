@@ -93,23 +93,31 @@ def plan_buckets(
     ``chunk_suffix`` scopes buckets to a window/micro-batch so incremental
     ingest closes buckets instead of appending into committed ones.
     """
-    reserved = set(BUCKET_META_COLS) | {"chunk_id"}
+    reserved = set(BUCKET_META_COLS) | {"chunk_id", "_key_str", "_esc_key"}
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with reserved bucket "
             "metadata names; rename them before encoding"
         )
-    # the escaped key is computed ONCE PER KEY on the broadcast side (one
-    # row per source), not via per-row regexp_replace over the data
-    buckets = bucket_counts(df, key, rows_per_bucket).withColumn(
-        "_esc_key", _escape_key(F.col(key))
+    # the key's string form AND its chunk_id escaping are computed ONCE PER
+    # KEY on the broadcast side (one row per source), not via per-row
+    # regexp_replace over the data. bucket_key deliberately comes from the
+    # SAME broadcast-side representative as the escaped key, so the
+    # chunk_id and the bucket_key metadata can never drift (a per-row cast
+    # could differ from the groupBy representative for float keys where
+    # -0.0 and 0.0 collapse into one group — lineage recomputes chunk_id
+    # FROM bucket_key, so they must share one source of truth).
+    buckets = (
+        bucket_counts(df, key, rows_per_bucket)
+        .withColumn("_key_str", F.col(key).cast("string"))
+        .withColumn("_esc_key", _escape_key(F.col(key)))
     )
     out = df.join(F.broadcast(buckets), key, "left")
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.col("bucket_n")).cast("int")
     suffix = F.lit(chunk_suffix) if chunk_suffix else F.lit(None).cast("string")
     return (
-        out.withColumn("bucket_key", F.col(key).cast("string"))
+        out.withColumn("bucket_key", F.col("_key_str"))
         .withColumn("bucket_salt", salt)
         .withColumn("bucket_suffix", suffix)
         .withColumn(
@@ -118,5 +126,5 @@ def plan_buckets(
                 F.col("_esc_key"), F.col("bucket_salt"), F.col("bucket_suffix")
             ),
         )
-        .drop("_esc_key")
+        .drop("_esc_key", "_key_str")
     )
