@@ -27,7 +27,13 @@ def flat_from_arrow(arr) -> tuple[np.ndarray, bytes]:
     """(lengths int64, concat data) lifted straight from a NON-NULL Arrow
     string/binary array's (offsets, data) buffers — zero per-value Python.
     Shared by the encode hot path and the DICT_BA uniques extraction so the
-    offset arithmetic (and its int32 overflow guard) live in one place."""
+    offset arithmetic (and its int32 overflow guard) live in one place.
+    Handles both 32-bit (string/binary) and 64-bit (large_string/
+    large_binary) offset layouts — the Arrow-native encode path hands
+    Spark's batches over verbatim, and a session running with
+    ``spark.sql.execution.arrow.useLargeVarTypes=true`` delivers large
+    types; parsing their int64 offsets as int32 would silently corrupt
+    every length (r8 review)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
@@ -36,9 +42,16 @@ def flat_from_arrow(arr) -> tuple[np.ndarray, bytes]:
         raise ValueError("byte-array chunk exceeds 2^31 bytes; page the column")
     if len(arr) == 0:
         return np.empty(0, np.int64), b""
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+    off_dt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(arr.buffers()[1], off_dt)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
+    if offs[-1] - offs[0] > np.iinfo(np.int32).max:
+        raise ValueError("byte-array chunk exceeds 2^31 bytes; page the column")
     lengths = np.diff(offs)
     data = arr.buffers()[2].slice(int(offs[0]), int(offs[-1] - offs[0])).to_pybytes()
     return lengths, data

@@ -103,3 +103,27 @@ def test_flac_rejects_partition_order_consuming_first_partition():
     r = flac._BitReader(buf)
     with pytest.raises(ValueError, match="first partition"):
         flac._read_residual(r, 32, 2)
+
+
+# --- Arrow large-type offsets in the encode hot path ------------------------
+
+
+def test_flat_from_arrow_handles_large_var_types():
+    """flat_from_arrow must parse int64 offsets for large_string /
+    large_binary arrays — a session running Spark with
+    arrow.useLargeVarTypes=true hands the Arrow-native encoder large-type
+    batches, and misreading their offsets as int32 silently corrupts every
+    length (r8 review)."""
+    import pyarrow as pa
+
+    from engine.codecs import bytearrays
+
+    for t in (pa.utf8(), pa.large_utf8(), pa.binary(), pa.large_binary()):
+        vals = [b"ab", b"cde", b"", b"fg"]
+        if t in (pa.utf8(), pa.large_utf8()):
+            vals = [v.decode() for v in vals]
+        arr = pa.array(vals, type=t)
+        lens, data = bytearrays.flat_from_arrow(arr)
+        assert lens.tolist() == [2, 3, 0, 2] and data == b"abcdefg"
+        lens, data = bytearrays.flat_from_arrow(arr.slice(1, 2))
+        assert lens.tolist() == [3, 0] and data == b"cde"
