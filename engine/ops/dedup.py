@@ -69,10 +69,13 @@ def minhash_signatures(
 
     Precondition (new in r8): one row per ``key_col``. The old aggregate
     silently merged duplicate keys into one signature over their combined
-    shingles; the projection emits one row per input row. Every in-repo
-    caller collapses exact duplicates before signing (``minhash_lsh_pairs``
-    via ``_exact_collapse``); callers with duplicate keys must do the same
-    or groupBy first."""
+    shingles; the projection emits one row per input row. Note that
+    ``_exact_collapse`` dedups by TEXT (one representative per md5 group)
+    but keeps fully duplicated rows — identical (key, text) pairs — so a
+    corpus with duplicate primary keys signs each copy: candidate pairs
+    still dedup through the downstream ``distinct()``, but bucket-size
+    accounting counts the copies. Callers needing the old merge semantics
+    for duplicate keys should ``dropDuplicates([key_col])`` first."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, HASH_PRIME, num_hashes, dtype=np.int64)
     b = rng.integers(0, HASH_PRIME, num_hashes, dtype=np.int64)
