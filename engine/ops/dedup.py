@@ -21,6 +21,10 @@ from pyspark.sql.types import ArrayType, LongType
 # permutations never overflow int64 under ANSI mode
 HASH_PRIME = (1 << 31) - 1
 
+# last lazy-mode minhash_lsh_pairs banded exchange (bounded to one live
+# cache; see the lifetime note inside minhash_lsh_pairs)
+_LSH_TAGGED_CACHE: list = []
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Group identical texts by md5; keep the smallest key as survivor.
@@ -204,22 +208,29 @@ def minhash_lsh_pairs(
     # disk past that. A per-bucket applyInPandas one-pass variant was also
     # measured: 53s vs 3.7s at sf0.1 (per-group overhead on tens of
     # thousands of near-singleton buckets); windows + joins over a cached
-    # exchange keep all per-bucket work JVM-side. Cache lifetime: with the
-    # default lazy return nothing here can unpersist deterministically
-    # — Spark's ContextCleaner drops the cached blocks once the returned
-    # DataFrame (and this intermediate) are garbage-collected on the driver.
-    # ``materialize=True`` (VERDICT r3 #6) is the deterministic path for
-    # long-lived drivers looping over corpora: the pair list is computed
-    # EAGERLY into its own persisted DataFrame, the internal exchange is
-    # unpersisted before returning, and the caller releases the result with
-    # ``pairs.unpersist()`` when done — cached-block usage returns to its
-    # pre-call level.
+    # exchange keep all per-bucket work JVM-side. Cache lifetime (r8 fix:
+    # CacheManager pins DataFrame caches until an explicit unpersist —
+    # driver-side GC does NOT release them, contrary to what this comment
+    # used to claim): each lazy-mode call unpersists the PREVIOUS call's
+    # exchange, bounding live caches to one; unpersist is always safe (a
+    # still-executing earlier result just recomputes, it never corrupts).
+    # ``materialize=True`` (VERDICT r3 #6) remains the fully deterministic
+    # path: the pair list is computed EAGERLY into its own persisted
+    # DataFrame, the internal exchange is unpersisted before returning,
+    # and the caller releases the result with ``pairs.unpersist()``.
     w = Window.partitionBy("band", "bhash")
     tagged = (
         banded.withColumn("_brep", F.min(key_col).over(w))
         .withColumn("_bsize", F.count("*").over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if not materialize:
+        while _LSH_TAGGED_CACHE:
+            try:
+                _LSH_TAGGED_CACHE.pop().unpersist()
+            except Exception:
+                pass  # a dead session's handle; nothing to release
+        _LSH_TAGGED_CACHE.append(tagged)
     small = tagged.where(F.col("_bsize") <= star_threshold).select(
         key_col, "band", "bhash"
     )
